@@ -1,0 +1,410 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** One verifiable query: the Spark plan and (when SQL-expressible) the
+  * equivalent DuckDB oracle SQL over the same parquet tables.
+  *
+  * Determinism rules (the driver hash-compares row values):
+  *   - every query's output is fully ordered by a unique key;
+  *   - double aggregates that are order-sensitive (sums of non-integral
+  *     doubles) are computed exactly via DECIMAL and cast back to double —
+  *     note a double can never be an exact decimal tie at scale >= 1, so
+  *     HALF_UP (Spark) vs round-to-even (C) never diverges there;
+  *   - column names are aliased identically on both sides.
+  */
+final case class Q(name: String,
+                   fn: (SparkSession, String) => DataFrame,
+                   oracle: Option[String],
+                   /** headline queries run in Bench */
+                   bench: Boolean = false)
+
+object Queries {
+  /** Load one testdata table. Plain parquet scan: filters/projections above
+    * this are pushed down by Catalyst into the scan.
+    *
+    * `events.ts` is TIMESTAMP(NANOS) parquet, which Spark only reads as a
+    * raw long (legacy conf); the data itself is microsecond-precision, so
+    * we convert ns -> us with integer division (the epoch-ns magnitude
+    * ~1.7e18 exceeds double's 2^53 exact range — float division would
+    * corrupt it). */
+  def T(s: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Exact money arithmetic: double -> DECIMAL(18,4) per row (tie-free,
+    * see header), summed exactly, surfaced as double. */
+  private def moneySum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 4))).cast("double")
+
+  // =====================================================================
+  // Relational core: SURVEY §2.2 (lookups/filters/projections),
+  // §2.4 (joins), §2.5 (aggregations/sorts/set ops), §2.6 (functions)
+  // =====================================================================
+
+  val relational: Seq[Q] = Seq(
+
+    // ---- A4/A6 aggregation with exact money sums (TPC-H Q1 shape) ----
+    Q("q01_pricing_summary",
+      (s, d) => {
+        import s.implicits._
+        T(s, d, "lineitem")
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            sum($"l_quantity").cast("double").as("sum_qty"),
+            moneySum($"l_extendedprice").as("sum_base_price"),
+            moneySum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+              .as("sum_disc_price"),
+            count(lit(1)).as("n_rows"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+             |       AS DOUBLE) AS sum_base_price,
+             |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+             |                AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+             |  count(*) AS n_rows
+             |FROM lineitem
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      bench = true),
+
+    // ---- P1/P2/P3 point lookup with pushed-down predicate ----
+    Q("q02_point_lookup",
+      (s, d) => {
+        import s.implicits._
+        T(s, d, "lineitem")
+          .where($"l_orderkey" === 1L)
+          .select($"l_orderkey", $"l_linenumber", $"l_partkey",
+            $"l_suppkey", $"l_quantity")
+          .orderBy($"l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             |       l_quantity
+             |FROM lineitem WHERE l_orderkey = 1
+             |ORDER BY l_linenumber""".stripMargin)),
+
+    // ---- J1-J4 join chain + group agg (TPC-H Q5 shape); dims broadcast ----
+    Q("q03_revenue_by_nation",
+      (s, d) => {
+        import s.implicits._
+        val li = T(s, d, "lineitem"); val o = T(s, d, "orders")
+        val c = T(s, d, "customer"); val n = T(s, d, "nation")
+        li.join(o, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(c), $"o_custkey" === $"c_custkey")
+          .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+          .groupBy($"n_name")
+          .agg(moneySum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+            .as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy($"n_name")
+      },
+      Some("""SELECT n_name,
+             |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+             |                AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             |  count(*) AS n_items
+             |FROM lineitem
+             |JOIN orders   ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation   ON c_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin),
+      bench = true),
+
+    // ---- EXISTS == left_semi (the reference's bitmap-accumulate idiom) ----
+    Q("q04_exists_semijoin",
+      (s, d) => {
+        import s.implicits._
+        val c = T(s, d, "customer")
+        val big = T(s, d, "orders").where($"o_totalprice" > 100000.0)
+        c.join(big, $"c_custkey" === $"o_custkey", "left_semi")
+          .select($"c_custkey", $"c_name")
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |              WHERE o_custkey = c_custkey
+             |                AND o_totalprice > 100000.0)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- NOT EXISTS == left_anti (`addChecked` novelty idiom, J5/J10) ----
+    Q("q05_not_exists_antijoin",
+      (s, d) => {
+        import s.implicits._
+        val c = T(s, d, "customer")
+        val big = T(s, d, "orders").where($"o_totalprice" > 200000.0)
+        c.join(big, $"c_custkey" === $"o_custkey", "left_anti")
+          .select($"c_custkey", $"c_name")
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey
+             |                    AND o_totalprice > 200000.0)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- A1 distinct / EXCEPT set algebra on ID sets ----
+    Q("q06_idset_algebra",
+      (s, d) => {
+        import s.implicits._
+        val inLi = T(s, d, "lineitem").select($"l_suppkey".as("suppkey"))
+          .distinct()
+        val rich = T(s, d, "supplier").where($"s_acctbal" > 5000.0)
+          .select($"s_suppkey".as("suppkey"))
+        inLi.except(rich).orderBy($"suppkey")
+      },
+      Some("""SELECT DISTINCT l_suppkey AS suppkey FROM lineitem
+             |EXCEPT
+             |SELECT s_suppkey AS suppkey FROM supplier
+             |WHERE s_acctbal > 5000.0
+             |ORDER BY suppkey""".stripMargin)),
+
+    // ---- A8 latest-version-wins dedup (window row_number) ----
+    Q("q07_latest_event_per_user",
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id")
+          .orderBy($"ts".desc, $"event_id".desc)
+        T(s, d, "events")
+          .withColumn("rn", row_number().over(w))
+          .where($"rn" === 1)
+          .select($"user_id", $"event_id", $"event_type")
+          .orderBy($"user_id")
+      },
+      Some("""SELECT user_id, event_id, event_type FROM (
+             |  SELECT user_id, event_id, event_type,
+             |    row_number() OVER (PARTITION BY user_id
+             |                       ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin),
+      bench = true),
+
+    // ---- A7 ordering + deterministic top-k ----
+    Q("q08_top_orders",
+      (s, d) => {
+        import s.implicits._
+        T(s, d, "orders")
+          .orderBy($"o_totalprice".desc, $"o_orderkey")
+          .select($"o_orderkey", $"o_totalprice")
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // ---- J9 order-preserving explode + reassembly (way-geometry shape) ----
+    Q("q09_ordered_reassembly",
+      (s, d) => {
+        import s.implicits._
+        T(s, d, "embeddings")
+          .where($"vec_id" < 32)
+          .select($"vec_id",
+            concat_ws(" ",
+              transform(slice($"embedding", 1, 8),
+                x => format_string("%.7f", x))).as("head8"))
+          .orderBy($"vec_id")
+      },
+      Some("""SELECT vec_id,
+             |  array_to_string(
+             |    list_transform(embedding[1:8], x -> printf('%.7f', x)),
+             |    ' ') AS head8
+             |FROM embeddings WHERE vec_id < 32
+             |ORDER BY vec_id""".stripMargin)),
+
+    // ---- G11/A6 min-max bounds aggregation ----
+    Q("q10_bounds_by_type",
+      (s, d) => {
+        import s.implicits._
+        T(s, d, "events")
+          .groupBy($"event_type")
+          .agg(min($"value").as("vmin"), max($"value").as("vmax"),
+            count(lit(1)).as("n"))
+          .orderBy($"event_type")
+      },
+      Some("""SELECT event_type, min(value) AS vmin, max(value) AS vmax,
+             |       count(*) AS n
+             |FROM events GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
+
+    // ---- P5 table statistics (`osmx query` stats surface) ----
+    Q("q11_table_stats",
+      (s, d) => {
+        val names = Seq("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings")
+        names.map(n => T(s, d, n)
+            .agg(count(lit(1)).as("n_rows"))
+            .select(lit(n).as("table_name"), col("n_rows")))
+          .reduce(_ unionAll _)
+          .orderBy("table_name")
+      },
+      Some(Seq("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings")
+        .map(n => s"SELECT '$n' AS table_name, count(*) AS n_rows FROM $n")
+        .mkString("", " UNION ALL ", " ORDER BY table_name"))),
+
+    // ---- G9 disjunct range scan (cell-covering range predicate shape) ----
+    Q("q12_range_disjuncts",
+      (s, d) => {
+        import s.implicits._
+        val ranges = Seq((0L, 20L), (50L, 60L), (120L, 150L), (180L, 190L))
+        val pred = ranges.map { case (lo, hi) =>
+          $"l_partkey" >= lo && $"l_partkey" < hi
+        }.reduce(_ || _)
+        T(s, d, "lineitem").where(pred)
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum($"l_quantity").cast("double").as("qty"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |       CAST(sum(l_quantity) AS DOUBLE) AS qty
+             |FROM lineitem
+             |WHERE (l_partkey >= 0 AND l_partkey < 20)
+             |   OR (l_partkey >= 50 AND l_partkey < 60)
+             |   OR (l_partkey >= 120 AND l_partkey < 150)
+             |   OR (l_partkey >= 180 AND l_partkey < 190)
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- F1 fixed-point encode/decode (coords are int32 * 1e-7) ----
+    Q("q13_fixed_point",
+      (s, d) => {
+        import s.implicits._
+        T(s, d, "orders")
+          .select($"o_orderkey",
+            round($"o_totalprice" * 100.0, 0).cast("long").as("cents"))
+          .withColumn("dollars",
+            ($"cents".cast("double") / 100.0))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |  CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS cents,
+             |  CAST(round(o_totalprice * 100.0, 0) AS BIGINT) / 100.0
+             |    AS dollars
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- F2 epoch seconds <-> ISO8601 ----
+    Q("q14_datetime_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        T(s, d, "orders")
+          .select($"o_orderkey",
+            unix_timestamp($"o_orderdate").as("epoch_s"),
+            date_format($"o_orderdate", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+              .as("iso"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+             |  strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS iso
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- F3/J9 WKT-style ordered formatting (7 decimal places) ----
+    Q("q15_wkt_linestring",
+      (s, d) => {
+        import s.implicits._
+        T(s, d, "lineitem")
+          .where($"l_orderkey" <= 50)
+          .select($"l_orderkey", $"l_linenumber",
+            format_string("%.7f %.7f", $"l_quantity", $"l_discount")
+              .as("pt"))
+          .groupBy($"l_orderkey")
+          .agg(concat(lit("LINESTRING ("),
+            array_join(transform(
+              array_sort(collect_list(struct($"l_linenumber", $"pt"))),
+              e => e("pt")), ", "),
+            lit(")")).as("wkt"))
+          .orderBy($"l_orderkey")
+      },
+      Some("""SELECT l_orderkey,
+             |  'LINESTRING (' ||
+             |  string_agg(printf('%.7f %.7f', l_quantity, l_discount),
+             |             ', ' ORDER BY l_linenumber,
+             |             printf('%.7f %.7f', l_quantity, l_discount))
+             |  || ')' AS wkt
+             |FROM lineitem WHERE l_orderkey <= 50
+             |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)),
+
+    // ---- F6 enum <-> string mapping ----
+    Q("q16_enum_mapping",
+      (s, d) => {
+        import s.implicits._
+        T(s, d, "orders")
+          .select($"o_orderkey",
+            when($"o_orderstatus" === "O", "open")
+              .when($"o_orderstatus" === "F", "finished")
+              .when($"o_orderstatus" === "P", "pending")
+              .otherwise("unknown").as("status_name"))
+          .groupBy($"status_name").agg(count(lit(1)).as("n"))
+          .orderBy($"status_name")
+      },
+      Some("""SELECT CASE o_orderstatus WHEN 'O' THEN 'open'
+             |         WHEN 'F' THEN 'finished' WHEN 'P' THEN 'pending'
+             |         ELSE 'unknown' END AS status_name,
+             |       count(*) AS n
+             |FROM orders GROUP BY 1 ORDER BY status_name""".stripMargin)),
+
+    // ---- J5 transitive closure fixpoint (extract's relation_relation) ----
+    Q("q17_transitive_closure",
+      (s, d) => {
+        import s.implicits._
+        val edges = T(s, d, "lineitem")
+          .select(($"l_partkey" % 97).as("child"),
+            ($"l_orderkey" % 97).as("parent"))
+          .distinct()
+        val seeds = s.range(1, 4).select($"id") // ids 1,2,3
+        graft.ops.Closure.reachable(seeds, edges,
+          childCol = "child", parentCol = "parent")
+          .orderBy($"id")
+      },
+      Some("""WITH RECURSIVE
+             |edges AS (SELECT DISTINCT l_partkey % 97 AS child,
+             |                 l_orderkey % 97 AS parent FROM lineitem),
+             |r AS (
+             |  SELECT CAST(x AS BIGINT) AS id FROM (VALUES (1),(2),(3)) t(x)
+             |  UNION
+             |  SELECT e.parent AS id FROM r JOIN edges e ON e.child = r.id
+             |)
+             |SELECT id FROM r ORDER BY id""".stripMargin),
+      bench = true),
+
+    // ---- J1/J2 reverse-index expansion (nodes->ways shape) ----
+    Q("q18_reverse_index",
+      (s, d) => {
+        import s.implicits._
+        val li = T(s, d, "lineitem")
+        val memberParts = li.where($"l_orderkey" === 1L)
+          .select($"l_partkey").distinct()
+        li.join(memberParts, Seq("l_partkey"), "left_semi")
+          .select($"l_orderkey".as("order_id")).distinct()
+          .orderBy($"order_id")
+      },
+      Some("""SELECT DISTINCT l_orderkey AS order_id FROM lineitem
+             |WHERE l_partkey IN
+             |  (SELECT l_partkey FROM lineitem WHERE l_orderkey = 1)
+             |ORDER BY order_id""".stripMargin)),
+
+    // ---- tumbling event-time window (streaming agg shape, run batch) ----
+    Q("q19_tumbling_window",
+      (s, d) => {
+        import s.implicits._
+        T(s, d, "events")
+          .groupBy(date_format(date_trunc("hour", $"ts"),
+            "yyyy-MM-dd HH:mm:ss").as("hour_start"), $"event_type")
+          .agg(count(lit(1)).as("n"),
+            moneySum($"value").as("sum_value"))
+          .orderBy($"hour_start", $"event_type")
+      },
+      Some("""SELECT strftime(date_trunc('hour', ts),
+             |                '%Y-%m-%d %H:%M:%S') AS hour_start, event_type,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+             |    AS sum_value
+             |FROM events GROUP BY 1, 2
+             |ORDER BY hour_start, event_type""".stripMargin))
+  )
+}

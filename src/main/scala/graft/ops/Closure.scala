@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed transitive-closure fixpoint.
+  *
+  * Re-expresses the reference's relation_relation closure loop
+  * (`src/extract.cpp:211-237`: repeatedly look up parents of
+  * newly-discovered relations until the novelty count hits zero) as an
+  * iterative DataFrame loop:
+  *
+  *   frontier_0 = seeds
+  *   frontier_{i+1} = (frontier_i join edges on child).parents EXCEPT visited
+  *   visited = union of all frontiers; stop when frontier empty
+  *
+  * Scale notes (100 TB design): the visited/frontier sets are DataFrames,
+  * never collected to the driver; each round is localCheckpoint()ed to
+  * truncate lineage (otherwise the plan doubles per iteration); the only
+  * driver-side value is the per-round novelty count — exactly the scalar
+  * the reference also tracks. OSM relation nesting is shallow (<= ~5
+  * levels), so the loop is short in practice; maxIters is a safety bound.
+  */
+object Closure {
+
+  /** All ids reachable from `seeds` by repeatedly following
+    * child -> parent edges. Output column: `id` (LONG), distinct.
+    * Seeds are included in the result (matches the reference: the initial
+    * relation set stays in the bitmap, `src/extract.cpp:219-224`).
+    */
+  def reachable(seeds: DataFrame, edges: DataFrame,
+                childCol: String, parentCol: String,
+                maxIters: Int = 50): DataFrame = {
+    val spark = seeds.sparkSession
+    val e = edges.select(col(childCol).cast("long").as("child"),
+      col(parentCol).cast("long").as("parent"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var visited = seeds.select(col(seeds.columns.head).cast("long").as("id"))
+      .distinct().localCheckpoint(eager = true)
+    var frontier = visited
+    var iter = 0
+    var novelty = frontier.count()
+    while (novelty > 0 && iter < maxIters) {
+      val next = frontier.join(e, frontier("id") === e("child"))
+        .select(e("parent").as("id")).distinct()
+        .join(visited, Seq("id"), "left_anti")
+        .localCheckpoint(eager = true)
+      novelty = next.count()
+      if (novelty > 0) {
+        visited = visited.union(next).localCheckpoint(eager = true)
+        frontier = next
+      }
+      iter += 1
+    }
+    e.unpersist(blocking = false)
+    visited
+  }
+}
