@@ -1,0 +1,120 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over a document table.
+  *
+  * Scale design (100 TB):
+  *   - exact dedup is a single hash-aggregate shuffle on the fingerprint —
+  *     map-side partial aggregation keeps the exchange small;
+  *   - MinHash/LSH never does an all-pairs comparison: signatures and band
+  *     keys are computed map-side (zero shuffle, see [[TextFunctions]]),
+  *     then ONE shuffle groups by band key, and pairs are emitted only
+  *     within buckets. Bucket skew (a pathological band key shared by
+  *     millions of docs) is bounded by `maxBucket`: oversized buckets are
+  *     dropped and reported rather than exploding quadratically — the same
+  *     guardrail production dedup pipelines use;
+  *   - SimHash gives a per-doc 64-bit sketch; near-dup candidates come
+  *     from banding the bit-string (4 x 16-bit bands => Hamming distance
+  *     <= 3 is always caught in at least one band by pigeonhole).
+  */
+object Dedup {
+
+  /** Exact duplicate groups by normalized-content fingerprint.
+    * Output: fingerprint, keep_id (min id), n_dups. */
+  def exactGroups(docs: DataFrame, textCol: String, idCol: String)
+  : DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        TextFunctions.fingerprint(col(textCol)).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Rows of `docs` surviving exact dedup (keep lowest id per content). */
+  def exactDedup(docs: DataFrame, textCol: String, idCol: String)
+  : DataFrame = {
+    val keep = exactGroups(docs, textCol, idCol)
+      .select(col("keep_id").as(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** MinHash/LSH candidate near-duplicate pairs (a < b).
+    * numHashes = bands * rowsPerBand. One shuffle (the band groupBy-join);
+    * everything upstream is map-side. */
+  def minhashCandidatePairs(docs: DataFrame, textCol: String, idCol: String,
+                            bands: Int = 4, rowsPerBand: Int = 4,
+                            maxBucket: Int = 1000): DataFrame = {
+    val n = bands * rowsPerBand
+    val withBands = docs
+      .select(col(idCol).as("doc_id"),
+        TextFunctions.minhashSignature(col(textCol), n).as("sig"))
+      .where(col("sig").isNotNull && !array_contains(
+        transform(col("sig"), s => s.isNull), true))
+      .select(col("doc_id"),
+        posexplode(TextFunctions.lshBands(col("sig"), bands, rowsPerBand)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    // group docs per (band, bkey); cap bucket size to bound the quadratic
+    val buckets = withBands.groupBy("band", "bkey")
+      .agg(sort_array(collect_list("doc_id")).as("ids"))
+      .where(size(col("ids")).between(2, maxBucket))
+    buckets
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), b ->
+          |    struct(a, b))))""".stripMargin)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+  }
+
+  /** Near-duplicate pairs confirmed by n-gram Jaccard >= `threshold`
+    * over LSH candidates (the standard candidate->verify pipeline). */
+  def minhashNearDuplicates(docs: DataFrame, textCol: String, idCol: String,
+                            threshold: Double = 0.6, ngram: Int = 3)
+  : DataFrame = {
+    val pairs = minhashCandidatePairs(docs, textCol, idCol)
+    val sh = docs.select(col(idCol).as("sid"),
+      TextFunctions.ngramShingles(col(textCol), ngram).as("shingles"))
+    pairs
+      .join(sh.withColumnRenamed("sid", "a")
+        .withColumnRenamed("shingles", "sha"), Seq("a"))
+      .join(sh.withColumnRenamed("sid", "b")
+        .withColumnRenamed("shingles", "shb"), Seq("b"))
+      .select(col("a"), col("b"),
+        round(TextFunctions.jaccard(col("sha"), col("shb")), 6)
+          .as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Per-doc SimHash sketch. */
+  def simhashSketch(docs: DataFrame, textCol: String, idCol: String)
+  : DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      TextFunctions.simhashBits(col(textCol)).as("simhash"))
+
+  /** SimHash near-dup candidate pairs: band the 64 bits into 4 x 16-bit
+    * chunks; Hamming distance <= 3 implies >= 1 identical chunk. */
+  def simhashCandidatePairs(docs: DataFrame, textCol: String, idCol: String,
+                            maxBucket: Int = 1000): DataFrame = {
+    val sk = simhashSketch(docs, textCol, idCol)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), lit(3)),
+          b => col("simhash").substr(b * 16 + 1, lit(16)))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    sk.groupBy("band", "bkey")
+      .agg(sort_array(collect_list("doc_id")).as("ids"))
+      .where(size(col("ids")).between(2, maxBucket))
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), b ->
+          |    struct(a, b))))""".stripMargin)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+  }
+
+  /** Hamming distance between two equal-length bit strings. */
+  def hamming(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(split(a, ""), split(b, ""),
+        (x, y) => when(x === y, 0).otherwise(1)),
+      lit(0), (acc, x) => acc + x)
+}

@@ -1,0 +1,267 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.Q
+import graft.Queries.T
+
+/** Training-data-pipeline queries over `documents` and `embeddings`,
+  * each with a DuckDB oracle implementing the SAME deterministic
+  * algorithm (md5-based hashing, sequential folds, 6-dp rounding).
+  */
+object LlmQueries {
+
+  /** DuckDB fragment: lowercase whitespace tokens, empty-free. */
+  private val dTokens =
+    """list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      | t -> t != '')""".stripMargin
+
+  /** DuckDB fragment: minhash signature (16 md5 minima). */
+  private val dSig =
+    s"""list_transform(generate_series(0, 15), i ->
+       |  list_min(list_transform($dTokens, t -> md5(i || ':' || t))))"""
+      .stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // ---- exact dedup by content fingerprint ----
+    Q("q20_dedup_exact",
+      (s, d) => {
+        import s.implicits._
+        Dedup.exactGroups(T(s, d, "documents"), "text", "doc_id")
+          .orderBy($"fingerprint")
+      },
+      Some("""SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+             |         AS fingerprint,
+             |       min(doc_id) AS keep_id, count(*) AS n_dups
+             |FROM documents GROUP BY 1
+             |ORDER BY fingerprint""".stripMargin)),
+
+    // ---- token counting: whitespace + BPE-ish regex ----
+    Q("q21_token_counts",
+      (s, d) => {
+        import s.implicits._
+        T(s, d, "documents").select($"doc_id",
+          TextFunctions.tokenCountWs($"text").cast("long").as("n_ws"),
+          TextFunctions.tokenCountRegex($"text").cast("long").as("n_bpe"),
+          length($"text").cast("long").as("n_chars_m"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""SELECT doc_id,
+              |  len($dTokens) AS n_ws,
+              |  len(regexp_extract_all(text,
+              |      '[\\p{L}]+|[\\p{N}]+|[^\\s\\p{L}\\p{N}]+')) AS n_bpe,
+              |  length(text) AS n_chars_m
+              |FROM documents ORDER BY doc_id""".stripMargin),
+      bench = true),
+
+    // ---- heuristic quality scoring ----
+    Q("q22_quality_scores",
+      (s, d) => {
+        import s.implicits._
+        T(s, d, "documents").select($"doc_id",
+          TextFunctions.qualityScore($"text").as("quality"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH f AS (SELECT doc_id,
+              |  CAST(length(text) AS DOUBLE) AS nc,
+              |  CAST(len($dTokens) AS DOUBLE) AS nw,
+              |  CAST(length(text) - length(regexp_replace(text,
+              |       '[[:punct:]]', '', 'g')) AS DOUBLE) AS np,
+              |  CAST(length(text) - length(regexp_replace(text,
+              |       '[A-Z]', '', 'g')) AS DOUBLE) AS nu
+              |  FROM documents)
+              |SELECT doc_id, round(
+              |  least(nc / 200.0, 1.0) * 0.3 +
+              |  (CASE WHEN nw > 0 AND nc / nw >= 3 AND nc / nw <= 12
+              |        THEN 1.0 ELSE 0.5 END) * 0.2 +
+              |  (1.0 - least(np / greatest(nc, 1.0) * 4.0, 1.0)) * 0.3 +
+              |  (1.0 - least(nu / greatest(nc, 1.0) * 2.0, 1.0)) * 0.2,
+              |  6) AS quality
+              |FROM f ORDER BY doc_id""".stripMargin)),
+
+    // ---- language ID by stopword argmax, scored against truth ----
+    Q("q23_langid",
+      (s, d) => {
+        import s.implicits._
+        T(s, d, "documents").select($"doc_id", $"lang",
+          TextFunctions.langId($"text").as("pred"))
+          .orderBy($"doc_id")
+      },
+      Some {
+        def hits(l: String) = {
+          val words = TextFunctions.stopwords(l)
+            .map(w => s"'$w'").mkString(", ")
+          s"len(list_filter($dTokens, t -> list_contains([$words], t)))"
+        }
+        s"""WITH h AS (SELECT doc_id, lang,
+           |  ${hits("en")} AS e, ${hits("de")} AS g,
+           |  ${hits("fr")} AS f, ${hits("es")} AS sp
+           |  FROM documents)
+           |SELECT doc_id, lang,
+           |  CASE WHEN e <= 0 AND g <= 0 AND f <= 0 AND sp <= 0 THEN 'und'
+           |       WHEN e >= g AND e >= f AND e >= sp THEN 'en'
+           |       WHEN g >= f AND g >= sp THEN 'de'
+           |       WHEN f >= sp THEN 'fr'
+           |       ELSE 'es' END AS pred
+           |FROM h ORDER BY doc_id""".stripMargin
+      }),
+
+    // ---- minhash signatures (map-side, zero shuffle) ----
+    Q("q24_minhash_signature",
+      (s, d) => {
+        import s.implicits._
+        T(s, d, "documents").select($"doc_id",
+          concat_ws("|",
+            TextFunctions.minhashSignature($"text", 16)).as("sig"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""SELECT doc_id, array_to_string($dSig, '|') AS sig
+              |FROM documents ORDER BY doc_id""".stripMargin),
+      bench = true),
+
+    // ---- LSH banding -> candidate near-dup pairs ----
+    Q("q25_minhash_pairs",
+      (s, d) => {
+        import s.implicits._
+        Dedup.minhashCandidatePairs(T(s, d, "documents"), "text", "doc_id")
+          .orderBy($"a", $"b")
+      },
+      Some(s"""WITH sig AS (SELECT doc_id, $dSig AS sig FROM documents),
+              |bands AS (
+              |  SELECT doc_id, b,
+              |         md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS bkey
+              |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) bs)
+              |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              |FROM bands x JOIN bands y
+              |  ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+              |ORDER BY a, b""".stripMargin)),
+
+    // ---- simhash sketches ----
+    Q("q26_simhash",
+      (s, d) => {
+        import s.implicits._
+        Dedup.simhashSketch(T(s, d, "documents"), "text", "doc_id")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH hs AS (SELECT doc_id,
+              |  list_transform($dTokens, t -> md5(t)) AS h
+              |  FROM documents)
+              |SELECT doc_id, array_to_string(
+              |  list_transform(generate_series(0, 63), j ->
+              |    CASE WHEN list_sum(list_transform(h, x ->
+              |      2 * (((strpos('0123456789abcdef',
+              |               x[CAST(j // 4 AS INT) + 1
+              |                 : CAST(j // 4 AS INT) + 1]) - 1)
+              |            >> CAST(j % 4 AS INT)) & 1) - 1)) >= 0
+              |    THEN '1' ELSE '0' END), '') AS simhash
+              |FROM hs ORDER BY doc_id""".stripMargin)),
+
+    // ---- blocked n-gram Jaccard near-dup scoring ----
+    Q("q27_ngram_jaccard",
+      (s, d) => {
+        import s.implicits._
+        val sh = T(s, d, "documents").select($"doc_id", $"lang",
+          expr("n_chars div 100").as("lb"),
+          TextFunctions.ngramShingles($"text", 3).as("sh"))
+        val a = sh.select($"doc_id".as("a"), $"lang", $"lb",
+          $"sh".as("sha"))
+        val b = sh.select($"doc_id".as("b"), $"lang", $"lb",
+          $"sh".as("shb"))
+        a.join(b, Seq("lang", "lb")).where($"a" < $"b")
+          .select($"a", $"b",
+            round(TextFunctions.jaccard($"sha", $"shb"), 6).as("jaccard"))
+          .where($"jaccard" >= 0.5)
+          .orderBy($"a", $"b")
+      },
+      Some("""WITH s AS (SELECT doc_id, lang, n_chars // 100 AS lb,
+             |  CASE WHEN length(regexp_replace(lower(trim(text)),
+             |                   '\s+', ' ', 'g')) >= 3
+             |  THEN list_sort(list_distinct(list_transform(
+             |    generate_series(1, length(regexp_replace(lower(trim(text)),
+             |                    '\s+', ' ', 'g')) - 2),
+             |    i -> regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+             |         [CAST(i AS INT) : CAST(i AS INT) + 2])))
+             |  ELSE [] END AS sh
+             |  FROM documents)
+             |SELECT x.doc_id AS a, y.doc_id AS b,
+             |  round(CAST(len(x.sh) + len(y.sh)
+             |        - len(list_distinct(list_concat(x.sh, y.sh)))
+             |        AS DOUBLE)
+             |    / CAST(len(list_distinct(list_concat(x.sh, y.sh)))
+             |        AS DOUBLE), 6) AS jaccard
+             |FROM s x JOIN s y ON x.lang = y.lang AND x.lb = y.lb
+             |                  AND x.doc_id < y.doc_id
+             |WHERE round(CAST(len(x.sh) + len(y.sh)
+             |        - len(list_distinct(list_concat(x.sh, y.sh)))
+             |        AS DOUBLE)
+             |    / CAST(len(list_distinct(list_concat(x.sh, y.sh)))
+             |        AS DOUBLE), 6) >= 0.5
+             |ORDER BY a, b""".stripMargin)),
+
+    // ---- brute-force cosine top-k (exactness baseline for ANN) ----
+    Q("q28_cosine_topk",
+      (s, d) => {
+        import s.implicits._
+        val emb = T(s, d, "embeddings")
+        val query = emb.where($"vec_id" === 0L)
+          .select($"embedding".cast("array<double>")).head()
+          .getSeq[Double](0)
+        Similarity.cosineTopK(emb, "embedding", "vec_id", query, 20)
+      },
+      Some("""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+             |           FROM embeddings WHERE vec_id = 0),
+             |sc AS (SELECT vec_id,
+             |  list_sum(list_transform(generate_series(1, 64), i ->
+             |    CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+             |    * qv[CAST(i AS INT)])) AS dt,
+             |  sqrt(list_sum(list_transform(embedding, x ->
+             |    CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nv,
+             |  sqrt(list_sum(list_transform(qv, x -> x * x))) AS nq
+             |  FROM embeddings, q)
+             |SELECT vec_id,
+             |  round(CASE WHEN nv = 0 OR nq = 0 THEN 0
+             |        ELSE dt / (nv * nq) END, 6) AS score
+             |FROM sc
+             |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin),
+      bench = true),
+
+    // ---- per-label embedding centroids (vector aggregation) ----
+    Q("q29_centroids",
+      (s, d) => {
+        import s.implicits._
+        Similarity.centroids(T(s, d, "embeddings"), "embedding", "label")
+          .select($"label", concat_ws(",",
+            transform($"centroid", m => format_string("%.6f", m)))
+            .as("centroid_s"))
+          .orderBy($"label")
+      },
+      Some("""WITH e AS (SELECT label, unnest(embedding) AS x,
+             |    generate_subscripts(embedding, 1) AS pos
+             |  FROM embeddings),
+             |m AS (SELECT label, pos,
+             |    CAST(sum(CAST(x AS DECIMAL(27,12))) AS DOUBLE)
+             |      / count(*) AS m
+             |  FROM e GROUP BY label, pos)
+             |SELECT label,
+             |  string_agg(printf('%.6f', round(m, 6)), ',' ORDER BY pos)
+             |    AS centroid_s
+             |FROM m GROUP BY label ORDER BY label""".stripMargin)),
+
+    // ---- multimodal binary plumbing: bytes, hash, frame offsets ----
+    Q("q30_multimodal_bytes",
+      (s, d) => {
+        import s.implicits._
+        Multimodal.assetsFromDocuments(T(s, d, "documents"))
+          .select($"asset_id", $"kind",
+            octet_length($"bytes").cast("long").as("n_bytes"),
+            md5(hex($"bytes")).as("content_hash"))
+          .orderBy($"asset_id")
+      },
+      Some("""SELECT doc_id AS asset_id,
+             |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+             |       WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             |  octet_length(CAST(text AS BLOB)) AS n_bytes,
+             |  md5(hex(CAST(text AS BLOB))) AS content_hash
+             |FROM documents ORDER BY asset_id""".stripMargin))
+  )
+}

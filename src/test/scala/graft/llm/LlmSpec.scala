@@ -1,0 +1,139 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LlmSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  test("exactDedup keeps the lowest id per normalized content") {
+    val d = docs(
+      1L -> "Hello  World", 2L -> "hello world", 3L -> "other text",
+      4L -> "  HELLO WORLD ")
+    val kept = Dedup.exactDedup(d, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+  }
+
+  test("minhash near-duplicates finds the planted near-dup pair") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 58).map(i => s"tok$i").mkString(" ") + " other word"
+    val unrelated = (100 to 160).map(i => s"w$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> unrelated)
+    val pairs = Dedup.minhashNearDuplicates(d, "text", "doc_id",
+      threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical docs collide, disjoint docs are distant") {
+    val d = docs(1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta",
+      3L -> "zz yy xx ww vv uu")
+    val sk = Dedup.simhashSketch(d, "text", "doc_id")
+    val m = sk.as[(Long, String)].collect().toMap
+    assert(m(1L) == m(2L))
+    assert(m(1L).length == 64 && m(1L).forall(c => c == '0' || c == '1'))
+    val dist = sk.agg(Dedup.hamming(lit(m(1L)), lit(m(3L)))).head.getInt(0)
+    assert(dist > 10)
+  }
+
+  test("ngram jaccard: identity is 1, disjoint is 0") {
+    val d = docs(1L -> "abcdef", 2L -> "abcdef", 3L -> "uvwxyz")
+    val sh = d.select($"doc_id",
+      TextFunctions.ngramShingles($"text", 3).as("sh"))
+    val arr = sh.as[(Long, Seq[String])].collect().toMap
+    val j = d.sparkSession.range(1)
+      .select(
+        TextFunctions.jaccard(typedlit(arr(1L)), typedlit(arr(2L))).as("same"),
+        TextFunctions.jaccard(typedlit(arr(1L)), typedlit(arr(3L))).as("diff"))
+      .head
+    assert(j.getDouble(0) == 1.0)
+    assert(j.getDouble(1) == 0.0)
+  }
+
+  test("langid picks the language with most stopword hits") {
+    val d = docs(
+      1L -> "the cat and the dog in the house is big",
+      2L -> "der Hund und die Katze ist nicht ein Tier",
+      3L -> "qqq zzz xxx")
+    val got = d.select($"doc_id", TextFunctions.langId($"text").as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "en"); assert(got(2L) == "de"); assert(got(3L) == "und")
+  }
+
+  test("cosineTopK: self-similarity ranks first with score 1") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f), 1),
+      (3L, Array(-1.0f, 0.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val top = Similarity.cosineTopK(vecs, "embedding", "vec_id",
+      Seq(1.0, 0.0, 0.0), 3).as[(Long, Double)].collect()
+    assert(top.head == ((0L, 1.0)))
+    assert(top.map(_._1).toSeq == Seq(0L, 1L, 2L))
+  }
+
+  test("annCosine agrees with brute force on the top hit") {
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val rows = (0L until 50L).map { i =>
+      val v = if (i == 42L) base.map(x => x * 1.01f)
+      else Array.fill(16)(rnd.nextGaussian().toFloat)
+      (i, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val q = base.map(_.toDouble).toSeq
+    val ann = Similarity.annCosine(df, "embedding", "vec_id", q, 5)
+      .as[(Long, Double)].collect()
+    assert(ann.head._1 == 42L, s"ann top hit was ${ann.toSeq}")
+    assert(ann.head._2 > 0.999)
+  }
+
+  test("centroids: mean of identical vectors is the vector") {
+    val df = Seq(
+      (0L, Array(1.0f, 2.0f), 7), (1L, Array(1.0f, 2.0f), 7),
+      (2L, Array(4.0f, 6.0f), 8), (3L, Array(0.0f, 0.0f), 8)
+    ).toDF("vec_id", "embedding", "label")
+    val m = Similarity.centroids(df, "embedding", "label")
+      .as[(Int, Seq[Double])].collect().toMap
+    assert(m(7) == Seq(1.0, 2.0))
+    assert(m(8) == Seq(2.0, 3.0))
+  }
+
+  test("multimodal: typed feature extraction and frame sampling") {
+    import Multimodal._
+    val assets = Seq(
+      Asset(1L, "image", "0123456789abcdef".getBytes, 64, 48, 1000L),
+      Asset(2L, "audio", Array.emptyByteArray, 0, 0, 0L))
+    val feats = extractFeatures(assets.toDS()).collect()
+      .map(f => f.asset_id -> f).toMap
+    assert(feats(1L).n_bytes == 16L)
+    assert(feats(1L).feature.length == 8)
+    assert(feats(2L).feature.toSeq == Seq.fill(8)(0.0))
+    // deterministic across runs
+    val again = extractFeatures(assets.toDS()).collect()
+      .map(f => f.asset_id -> f).toMap
+    assert(feats(1L).content_hash == again(1L).content_hash)
+
+    val frames = Seq((1L, "0123456789abcdef".getBytes))
+      .toDF("id", "bytes")
+      .select(frameSample($"bytes", 4, 4).as("frames"))
+      .as[Seq[Array[Byte]]].head()
+    assert(frames.length == 4)
+    assert(new String(frames.head) == "0123")
+    assert(new String(frames(2)) == "89ab")
+  }
+}
