@@ -4,13 +4,17 @@ import java.nio.file.{Files, Paths}
 
 /** Benchmark main: times every registered query at the given scale factor
   * and emits ONE machine-parseable JSON line on stdout (plus a copy in
-  * bench_out.json for belt-and-braces parsing).
+  * /tmp/graft_bench_out.json for belt-and-braces parsing — deliberately
+  * outside the repo so a stale committed artifact can't masquerade as a
+  * fresh run).
   *
   * Honest timing rules:
   *   - results are fully materialized through the "noop" sink (count()
   *     would let Spark skip computing projected columns entirely);
-  *   - a small warmup pass first pays one-time JVM/codegen/classloader
-  *     costs so per-query numbers measure the plan, not JIT.
+  *   - a warmup pass touches EVERY input table so no query pays one-time
+  *     FileIndex listing / footer-read costs inside its timed region;
+  *   - a query that throws is reported with elapsed = -1 and listed in a
+  *     "failed" array — a broken query must not read as a fast one.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -28,9 +32,14 @@ object Bench {
     : Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
-    // Warmup: one tiny scan + shuffle + write to trigger codegen paths.
+    // Warmup: touch every table (pays one-time listing/footer/codegen
+    // costs) plus one shuffle to warm the exchange path.
     try {
       import org.apache.spark.sql.functions._
+      for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings"))
+        Queries.T(spark, sfDir, t).limit(1)
+          .write.format("noop").mode("overwrite").save()
       spark.read.parquet(s"$sfDir/nation.parquet")
         .groupBy(col("n_regionkey")).count()
         .write.format("noop").mode("overwrite").save()
@@ -39,16 +48,25 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()
-        try run(fn) catch { case _: Throwable => }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok = try { run(fn); true } catch { case _: Throwable => false }
+        (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    // JSON-escape the env-provided path (quotes/backslashes/control chars)
+    val sfEsc = sfDir.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfEsc"}"""
     println(json)
-    try Files.writeString(Paths.get("bench_out.json"), json + "\n")
+    try Files.writeString(Paths.get("/tmp/graft_bench_out.json"), json + "\n")
     catch { case _: Throwable => }
     spark.stop()
   }

@@ -388,6 +388,57 @@ object Queries {
              |  (SELECT l_partkey FROM lineitem WHERE l_orderkey = 1)
              |ORDER BY order_id""".stripMargin)),
 
+    // ---- G1-G9 spatial covering scan: region -> coverer -> pruned scan
+    // -> exact residual. The oracle knows nothing about S2: it filters by
+    // pure point-in-region SQL, so any covering cell the coverer DROPS
+    // wrongly shows up as missing rows here (a real end-to-end guarantee
+    // of covering conservativeness). Locations are synthesized from
+    // orders numerics with engine-portable integer arithmetic. ----
+    Q("q31_spatial_covering",
+      (s, d) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        val loc = T(s, d, "orders").select(
+          $"o_orderkey".as("node_id"),
+          ((($"o_orderkey" * 7919L) % 1200000000L - 600000000L) / lit(1e7))
+            .as("lat"),
+          ((($"o_orderkey" * 104729L) % 3600000000L - 1800000000L) /
+            lit(1e7)).as("lng"))
+        val region = new graft.spatial.Region(Seq(
+          graft.spatial.BboxRegion(10, 20, 30, 50),
+          graft.spatial.DiscRegion(-30, -100, 15.0)))
+        val ranges = graft.spatial.Coverer.coveringRanges(region)
+        val cell = graft.functions.GraftFunctions
+          .s2CellId($"lat", $"lng", 16)
+        val pruned = graft.spatial.SpatialScan
+          .rangeSemiJoin(loc, cell, ranges)
+        // exact residual, formula mirrored verbatim in the oracle
+        val inBbox = $"lat" >= 10 && $"lat" <= 30 &&
+          $"lng" >= 20 && $"lng" <= 50
+        val inDisc = degrees(acos(least(lit(1.0), greatest(lit(-1.0),
+          sin(radians(lit(-30.0))) * sin(radians($"lat")) +
+            cos(radians(lit(-30.0))) * cos(radians($"lat")) *
+              cos(radians($"lng" - lit(-100.0))))))) <= 15.0
+        pruned.where(inBbox || inDisc)
+          .select($"node_id", $"lat", $"lng")
+          .orderBy($"node_id")
+      },
+      Some("""WITH loc AS (
+             |  SELECT o_orderkey AS node_id,
+             |    ((o_orderkey * 7919) % 1200000000 - 600000000) / 1e7
+             |      AS lat,
+             |    ((o_orderkey * 104729) % 3600000000 - 1800000000) / 1e7
+             |      AS lng
+             |  FROM orders)
+             |SELECT node_id, lat, lng FROM loc
+             |WHERE (lat >= 10 AND lat <= 30 AND lng >= 20 AND lng <= 50)
+             |   OR degrees(acos(least(1.0, greatest(-1.0,
+             |        sin(radians(-30.0))*sin(radians(lat)) +
+             |        cos(radians(-30.0))*cos(radians(lat))
+             |          *cos(radians(lng - (-100.0))))))) <= 15.0
+             |ORDER BY node_id""".stripMargin),
+      bench = true),
+
     // ---- tumbling event-time window (streaming agg shape, run batch) ----
     Q("q19_tumbling_window",
       (s, d) => {

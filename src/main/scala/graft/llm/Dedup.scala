@@ -48,8 +48,7 @@ object Dedup {
     val withBands = docs
       .select(col(idCol).as("doc_id"),
         TextFunctions.minhashSignature(col(textCol), n).as("sig"))
-      .where(col("sig").isNotNull && !array_contains(
-        transform(col("sig"), s => s.isNull), true))
+      .where(col("sig").isNotNull) // null iff zero tokens
       .select(col("doc_id"),
         posexplode(TextFunctions.lshBands(col("sig"), bands, rowsPerBand)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")

@@ -15,10 +15,37 @@ object LlmQueries {
     """list_filter(string_split_regex(lower(trim(text)), '\s+'),
       | t -> t != '')""".stripMargin
 
-  /** DuckDB fragment: minhash signature (16 md5 minima). */
-  private val dSig =
-    s"""list_transform(generate_series(0, 15), i ->
-       |  list_min(list_transform($dTokens, t -> md5(i || ':' || t))))"""
+  private val P = TextFunctions.MinhashPrime
+
+  /** DuckDB fragment: per-token 32-bit md5-prefix hashes mod P
+    * (mirrors [[TextFunctions.tokenHash32]]). */
+  private val dHashes =
+    s"""list_transform($dTokens, t ->
+       |  (CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % $P))"""
+      .stripMargin
+
+  /** DuckDB fragment: minhash signature as a BIGINT list — same affine
+    * permutations as [[TextFunctions.minhashSignature]] (coefficients
+    * inlined as identical literals). Expects a CTE column `h` holding
+    * [[dHashes]]. */
+  private val dSig: String =
+    TextFunctions.minhashCoeffs(16).map { case (a, b) =>
+      s"list_min(list_transform(h, x -> ($a * x + $b) % $P))"
+    }.mkString("[", ",\n  ", "]")
+
+  /** DuckDB CTE prelude shared by the minhash queries: token hashes,
+    * signatures (token-bearing docs only), band keys, candidate pairs. */
+  private val dCandidateCtes =
+    s"""hs AS (SELECT doc_id, $dHashes AS h FROM documents),
+       |sig AS (SELECT doc_id, $dSig AS sig FROM hs WHERE len(h) > 0),
+       |bands AS (
+       |  SELECT doc_id, b,
+       |         md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS bkey
+       |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) bs),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y
+       |    ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id)"""
       .stripMargin
 
   val all: Seq[Q] = Seq(
@@ -111,12 +138,14 @@ object LlmQueries {
       (s, d) => {
         import s.implicits._
         T(s, d, "documents").select($"doc_id",
-          concat_ws("|",
-            TextFunctions.minhashSignature($"text", 16)).as("sig"))
+          concat_ws("|", transform(
+            TextFunctions.minhashSignature($"text", 16),
+            v => v.cast("string"))).as("sig"))
           .orderBy($"doc_id")
       },
-      Some(s"""SELECT doc_id, array_to_string($dSig, '|') AS sig
-              |FROM documents ORDER BY doc_id""".stripMargin),
+      Some(s"""WITH hs AS (SELECT doc_id, $dHashes AS h FROM documents)
+              |SELECT doc_id, array_to_string($dSig, '|') AS sig
+              |FROM hs ORDER BY doc_id""".stripMargin),
       bench = true),
 
     // ---- LSH banding -> candidate near-dup pairs ----
@@ -126,15 +155,8 @@ object LlmQueries {
         Dedup.minhashCandidatePairs(T(s, d, "documents"), "text", "doc_id")
           .orderBy($"a", $"b")
       },
-      Some(s"""WITH sig AS (SELECT doc_id, $dSig AS sig FROM documents),
-              |bands AS (
-              |  SELECT doc_id, b,
-              |         md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS bkey
-              |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) bs)
-              |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-              |FROM bands x JOIN bands y
-              |  ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id
-              |ORDER BY a, b""".stripMargin)),
+      Some(s"""WITH $dCandidateCtes
+              |SELECT a, b FROM cand ORDER BY a, b""".stripMargin)),
 
     // ---- simhash sketches ----
     Q("q26_simhash",
@@ -146,57 +168,55 @@ object LlmQueries {
       Some(s"""WITH hs AS (SELECT doc_id,
               |  list_transform($dTokens, t -> md5(t)) AS h
               |  FROM documents)
-              |SELECT doc_id, array_to_string(
-              |  list_transform(generate_series(0, 63), j ->
-              |    CASE WHEN list_sum(list_transform(h, x ->
-              |      2 * (((strpos('0123456789abcdef',
-              |               x[CAST(j // 4 AS INT) + 1
-              |                 : CAST(j // 4 AS INT) + 1]) - 1)
-              |            >> CAST(j % 4 AS INT)) & 1) - 1)) >= 0
-              |    THEN '1' ELSE '0' END), '') AS simhash
+              |SELECT doc_id,
+              |  CASE WHEN len(h) = 0 THEN repeat('0', 64)
+              |  ELSE array_to_string(
+              |    list_transform(generate_series(0, 63), j ->
+              |      CASE WHEN list_sum(list_transform(h, x ->
+              |        2 * (((strpos('0123456789abcdef',
+              |                 x[CAST(j // 4 AS INT) + 1
+              |                   : CAST(j // 4 AS INT) + 1]) - 1)
+              |              >> CAST(j % 4 AS INT)) & 1) - 1)) >= 0
+              |      THEN '1' ELSE '0' END), '')
+              |  END AS simhash
               |FROM hs ORDER BY doc_id""".stripMargin)),
 
-    // ---- blocked n-gram Jaccard near-dup scoring ----
+    // ---- n-gram Jaccard near-dups: LSH candidates -> exact verify ----
+    // The scale-safe shape (one bucketed shuffle + per-candidate verify)
+    // replacing the r1/r2 all-pairs-within-block join that was quadratic
+    // in block size (the r2 verdict's top perf item).
     Q("q27_ngram_jaccard",
       (s, d) => {
         import s.implicits._
-        val sh = T(s, d, "documents").select($"doc_id", $"lang",
-          expr("n_chars div 100").as("lb"),
-          TextFunctions.ngramShingles($"text", 3).as("sh"))
-        val a = sh.select($"doc_id".as("a"), $"lang", $"lb",
-          $"sh".as("sha"))
-        val b = sh.select($"doc_id".as("b"), $"lang", $"lb",
-          $"sh".as("shb"))
-        a.join(b, Seq("lang", "lb")).where($"a" < $"b")
-          .select($"a", $"b",
-            round(TextFunctions.jaccard($"sha", $"shb"), 6).as("jaccard"))
-          .where($"jaccard" >= 0.5)
+        Dedup.minhashNearDuplicates(T(s, d, "documents"), "text", "doc_id",
+          threshold = 0.5, ngram = 3)
           .orderBy($"a", $"b")
       },
-      Some("""WITH s AS (SELECT doc_id, lang, n_chars // 100 AS lb,
-             |  CASE WHEN length(regexp_replace(lower(trim(text)),
-             |                   '\s+', ' ', 'g')) >= 3
-             |  THEN list_sort(list_distinct(list_transform(
-             |    generate_series(1, length(regexp_replace(lower(trim(text)),
-             |                    '\s+', ' ', 'g')) - 2),
-             |    i -> regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
-             |         [CAST(i AS INT) : CAST(i AS INT) + 2])))
-             |  ELSE [] END AS sh
-             |  FROM documents)
-             |SELECT x.doc_id AS a, y.doc_id AS b,
-             |  round(CAST(len(x.sh) + len(y.sh)
-             |        - len(list_distinct(list_concat(x.sh, y.sh)))
-             |        AS DOUBLE)
-             |    / CAST(len(list_distinct(list_concat(x.sh, y.sh)))
-             |        AS DOUBLE), 6) AS jaccard
-             |FROM s x JOIN s y ON x.lang = y.lang AND x.lb = y.lb
-             |                  AND x.doc_id < y.doc_id
-             |WHERE round(CAST(len(x.sh) + len(y.sh)
-             |        - len(list_distinct(list_concat(x.sh, y.sh)))
-             |        AS DOUBLE)
-             |    / CAST(len(list_distinct(list_concat(x.sh, y.sh)))
-             |        AS DOUBLE), 6) >= 0.5
-             |ORDER BY a, b""".stripMargin)),
+      Some(s"""WITH $dCandidateCtes,
+              |sh AS (SELECT doc_id,
+              |  CASE WHEN length(regexp_replace(lower(trim(text)),
+              |                   '\\s+', ' ', 'g')) >= 3
+              |  THEN list_sort(list_distinct(list_transform(
+              |    generate_series(1, length(regexp_replace(lower(trim(text)),
+              |                    '\\s+', ' ', 'g')) - 2),
+              |    i -> regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+              |         [CAST(i AS INT) : CAST(i AS INT) + 2])))
+              |  ELSE [] END AS sh
+              |  FROM documents),
+              |scored AS (
+              |  SELECT c.a, c.b,
+              |         len(x.sh) + len(y.sh) AS st,
+              |         len(list_distinct(list_concat(x.sh, y.sh))) AS un
+              |  FROM cand c JOIN sh x ON x.doc_id = c.a
+              |              JOIN sh y ON y.doc_id = c.b)
+              |SELECT a, b,
+              |  round(CASE WHEN un = 0 THEN 0.0
+              |        ELSE CAST(st - un AS DOUBLE) / un END, 6) AS jaccard
+              |FROM scored
+              |WHERE round(CASE WHEN un = 0 THEN 0.0
+              |      ELSE CAST(st - un AS DOUBLE) / un END, 6) >= 0.5
+              |ORDER BY a, b""".stripMargin),
+      bench = true),
 
     // ---- brute-force cosine top-k (exactness baseline for ANN) ----
     Q("q28_cosine_topk",

@@ -38,44 +38,80 @@ object TextFunctions {
   /** Exact-content fingerprint (md5 of normalized text). */
   def fingerprint(text: Column): Column = md5(normalize(text))
 
-  /** Seeded token hash: md5("<seed>:<token>"). Hex string; lexicographic
-    * min over tokens is a valid min-hash (uniform over the hex space). */
-  def seededHash(seed: Column, token: Column): Column =
-    md5(concat(seed.cast("string"), lit(":"), token))
+  /** MinHash modulus: 2^31 - 1 (Mersenne prime). Affine permutations
+    * `(a*h + b) mod P` over one 32-bit md5-prefix hash per token replace
+    * the old one-md5-per-(token,seed) scheme: 16x less hashing, and all
+    * intermediates fit signed 64-bit on any engine (a,h < 2^31 so the
+    * product is < 2^62 — no overflow divergence between Spark LONG and
+    * DuckDB BIGINT). */
+  val MinhashPrime: Long = 2147483647L
 
-  /** MinHash signature: array of `n` hex-string minima, one per seed.
-    * Computed entirely map-side (two nested HOFs) — zero shuffle.
-    * Null iff the document has no tokens. */
+  /** Deterministic permutation coefficients (a_i in [1,P), b_i in [0,P)).
+    * Fixed LCG-style derivation so Spark plans and oracle SQL can both
+    * inline identical literals. */
+  def minhashCoeffs(n: Int): Seq[(Long, Long)] =
+    (0 until n).map { i =>
+      val a = (1103515245L * (2 * i + 1) + 12345L) % MinhashPrime
+      val b = (1103515245L * (2 * i + 2) + 54321L) % MinhashPrime
+      (if (a == 0L) 1L else a, b)
+    }
+
+  /** 32-bit token hash: first 8 hex chars of md5 as a LONG in [0, 2^32). */
+  def tokenHash32(token: Column): Column =
+    conv(substring(md5(token), 1, 8), 16, 10).cast("long")
+
+  /** MinHash signature: array of `n` LONG minima. ONE md5 per token (the
+    * single `hs` array), then a single fold keeps `n` running minima —
+    * entirely map-side, zero shuffle. Null iff the document has no
+    * tokens. */
   def minhashSignature(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    transform(sequence(lit(0), lit(n - 1)),
-      i => array_min(transform(toks, t => seededHash(i, t))))
+    val coeffs = minhashCoeffs(n)
+    val as = typedlit(coeffs.map(_._1))
+    val bs = typedlit(coeffs.map(_._2))
+    val hs = transform(tokens(text), t => tokenHash32(t) % MinhashPrime)
+    val sig = aggregate(hs,
+      typedlit(Seq.fill(n)(MinhashPrime)),
+      (acc, h) => zip_with(acc,
+        zip_with(as, bs, (a, b) => (a * h + b) % MinhashPrime),
+        (m, v) => least(m, v)))
+    when(size(hs) > 0, sig)
   }
 
   /** LSH band keys over a minhash signature: `bands` hashes, each over
     * `rows` consecutive signature entries. Docs sharing any band key are
     * candidate near-duplicates. */
-  def lshBands(sig: Column, bands: Int, rows: Int): Column =
+  def lshBands(sig: Column, bands: Int, rows: Int): Column = {
+    val sigS = transform(sig, v => v.cast("string"))
     transform(sequence(lit(0), lit(bands - 1)),
-      b => md5(concat_ws("|", slice(sig, b * rows + 1, lit(rows)))))
+      b => md5(concat_ws("|", slice(sigS, b * rows + 1, lit(rows)))))
+  }
 
   /** 64-bit SimHash as a 64-char '0'/'1' string (string form keeps it
     * engine-portable; callers needing a LONG can conv() it).
     * Bit j comes from bit (j%4) of hex nibble (j/4) of each token's md5;
-    * the bit is set iff the token-majority vote is non-negative. */
+    * the bit is set iff the token-majority vote is non-negative.
+    * A zero-token document short-circuits to all-'0' (without this, an
+    * empty fold returns the init vector and every vote reads 0 >= 0 —
+    * divergent from SQL engines where sum-of-empty is NULL).
+    * Single fold: one md5 per token, one pass accumulating all 64 vote
+    * counters (the previous shape re-walked the token array per bit). */
   def simhashBits(text: Column): Column = {
     val hs = transform(tokens(text), tk => md5(tk))
-    concat_ws("", transform(sequence(lit(0), lit(63)), j => {
-      val p = floor(j.cast("double") / 4.0).cast("int") // nibble index 0..15
-      val k = (j % 4).cast("int")                       // bit within nibble
-      val vote = aggregate(hs, lit(0), (acc, h) => {
-        val nib = conv(h.substr(p + 1, lit(1)), 16, 10).cast("int")
-        val bit = (floor(nib.cast("double") / pow(lit(2.0),
-          k.cast("double"))).cast("int") % 2)
-        acc + (bit * 2 - 1)
-      })
-      when(vote >= 0, "1").otherwise("0")
-    }))
+    // per-token +/-1 contribution vector for all 64 bits, ordered
+    // j = nibble*4 + bit-in-nibble
+    def contrib(h: Column): Column =
+      flatten(transform(sequence(lit(0), lit(15)), nibIdx => {
+        val nib = conv(h.substr(nibIdx + 1, lit(1)), 16, 10).cast("int")
+        transform(sequence(lit(0), lit(3)), k => {
+          val divisor = element_at(typedlit(Seq(1, 2, 4, 8)), k + 1)
+          ((nib.cast("double") / divisor).cast("int") % 2) * 2 - 1
+        })
+      }))
+    val votes = aggregate(hs, typedlit(Seq.fill(64)(0)),
+      (acc, h) => zip_with(acc, contrib(h), (a, c) => a + c))
+    val bits = concat_ws("",
+      transform(votes, v => when(v >= 0, "1").otherwise("0")))
+    when(size(hs) === 0, lit("0" * 64)).otherwise(bits)
   }
 
   /** Distinct character n-gram shingles of the normalized text, sorted

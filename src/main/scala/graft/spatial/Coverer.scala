@@ -1,0 +1,120 @@
+package graft.spatial
+
+import scala.collection.mutable
+
+/** S2 region coverer: approximates a [[Region]] by at most `maxCells`
+  * cells of level at most `maxLevel`, mirroring the reference's planner
+  * (`src/extract.cpp:132-136`: S2RegionCoverer with max_cells=1024,
+  * max_level=16) re-derived on top of this repo's own S2 cell math.
+  *
+  * Guarantees (the ones spatial pruning correctness rests on):
+  *   - CONSERVATIVE: the union of returned cells covers every point the
+  *     region contains (cells are only dropped when a padded rect bound
+  *     of the cell provably misses the region);
+  *   - |result| <= maxCells, every cell level <= maxLevel;
+  *   - deterministic for a given region (BFS order, no randomness).
+  *
+  * The covering is approximate-by-design exactly like the reference
+  * (`docs/MANUAL.md:144-148`): callers needing exact results apply a
+  * residual point-in-region predicate after the range scan.
+  */
+object Coverer {
+
+  /** Conservative lat/lng rect of a cell: corners + edge midpoints,
+    * padded by a fraction of the cell size (great-circle edges bulge
+    * relative to lat/lng interpolation), pole-aware, antimeridian-aware.
+    * Returns (latLo, latHi, lngLo, lngHi); lngLo > lngHi encodes a
+    * wrapped interval.
+    */
+  def cellRect(id: Long): (Double, Double, Double, Double) = {
+    val lvl = S2.level(id)
+    // sample each edge at `k` subdivisions in (i,j) space (denser for
+    // coarse cells, whose great-circle edges bow far from the chord)
+    val k = if (lvl <= 2) 8 else if (lvl <= 6) 4 else 2
+    val (face, i, j) = S2.toFaceIJ(id)
+    val sizeIJ = 1 << (S2.MaxLevel - lvl)
+    val i0 = (i & -sizeIJ).toLong
+    val j0 = (j & -sizeIJ).toLong
+    val m = (1 << S2.MaxLevel).toDouble
+    val pts = (0 until 4 * k).map { t =>
+      val frac = (t % k).toDouble / k
+      val (ii, jj) = (t / k) match {
+        case 0 => (i0 + sizeIJ * frac, j0.toDouble)
+        case 1 => (i0 + sizeIJ.toDouble, j0 + sizeIJ * frac)
+        case 2 => (i0 + sizeIJ * (1 - frac), j0 + sizeIJ.toDouble)
+        case _ => (i0.toDouble, j0 + sizeIJ * (1 - frac))
+      }
+      val (x, y, z) = S2.faceUvToXyz(face, S2.stToUv(ii / m),
+        S2.stToUv(jj / m))
+      S2.xyzToLatLng(x, y, z)
+    }.toArray
+    val lats = pts.map(_._1)
+    // pole membership is exact via leaf-range containment
+    val northLeaf = S2.latLngToLeaf(90.0, 0.0)
+    val southLeaf = S2.latLngToLeaf(-90.0, 0.0)
+    val hasNorth = S2.rangeMin(id) <= northLeaf && northLeaf <= S2.rangeMax(id)
+    val hasSouth = S2.rangeMin(id) <= southLeaf && southLeaf <= S2.rangeMax(id)
+    // cell angular size in degrees (~90deg at level 0, halving per level);
+    // pad generously covers the residual between the sampled polyline and
+    // the true edge curve (sagitta ~ (size/k)^2, far below size/8)
+    val sizeDeg = 90.0 / (1L << lvl)
+    val pad = sizeDeg / 8.0 + 1e-9
+    val latLo = if (hasSouth) -90.0 else math.max(-90.0, lats.min - pad)
+    val latHi = if (hasNorth) 90.0 else math.min(90.0, lats.max + pad)
+    if (hasNorth || hasSouth)
+      return (latLo, latHi, -180.0, 180.0)
+    // unwrap lngs around the first sample so antimeridian cells stay a
+    // single contiguous interval
+    val ref = pts.head._2
+    val unwrapped = pts.map { case (_, l) =>
+      var x = l
+      while (x - ref > 180) x -= 360
+      while (ref - x > 180) x += 360
+      x
+    }
+    val lo = unwrapped.min - pad
+    val hi = unwrapped.max + pad
+    if (hi - lo >= 360.0) (latLo, latHi, -180.0, 180.0)
+    else (latLo, latHi, SubRegion.normLng(lo), SubRegion.normLng(hi))
+  }
+
+  /** Compute the covering: BFS refinement from the 6 face cells. A cell
+    * is dropped when its (padded) rect provably misses the region,
+    * accepted when the region provably contains it or it reached
+    * maxLevel, and split otherwise — children are rect-tested BEFORE
+    * enqueueing so the budget counts only live frontier cells. */
+  def covering(region: Region, maxCells: Int = 1024,
+               maxLevel: Int = 16): Seq[Long] = {
+    require(maxCells >= 6, "need at least the 6 face cells")
+    val result = mutable.ArrayBuffer[Long]()
+    val queue = mutable.Queue[Long]()
+    S2.faceCells.foreach { f =>
+      if (region.mayIntersect(cellRect(f))) queue.enqueue(f)
+    }
+    while (queue.nonEmpty) {
+      val c = queue.dequeue()
+      val lvl = S2.level(c)
+      val rect = cellRect(c)
+      val accept = lvl == maxLevel || region.containsRect(rect)
+      if (accept) result += c
+      else {
+        val kids = (0 until 4).map(k => S2.child(c, k))
+          .filter(k => region.mayIntersect(cellRect(k)))
+        // splitting replaces 1 frontier cell with up to 4: net +3 worst
+        if (result.size + queue.size + kids.size > maxCells) result += c
+        else kids.foreach(queue.enqueue)
+      }
+    }
+    result.toSeq
+  }
+
+  /** Level-`level` leaf-range disjuncts [lo, hi] (inclusive) of a
+    * covering — the scan predicate shape (`src/storage.cpp:171-172`'s
+    * child_begin/child_end semantics). */
+  def coveringRanges(region: Region, maxCells: Int = 1024,
+                     maxLevel: Int = 16, level: Int = 16)
+  : Seq[(Long, Long)] =
+    covering(region, maxCells, maxLevel)
+      .map(c => S2.childRangeAt(c, level))
+      .sortBy(_._1)
+}

@@ -49,6 +49,26 @@ class LlmSpec extends AnyFunSuite {
     assert(dist > 10)
   }
 
+  test("simhash of a zero-token document is all zeros") {
+    val d = docs(1L -> "", 2L -> "   ", 3L -> "word")
+    val m = Dedup.simhashSketch(d, "text", "doc_id")
+      .as[(Long, String)].collect().toMap
+    assert(m(1L) == "0" * 64)
+    assert(m(2L) == "0" * 64)
+    assert(m(3L) != "0" * 64)
+  }
+
+  test("minhash signature: null iff no tokens; identical docs agree") {
+    val d = docs(1L -> "a b c", 2L -> "a  b   c", 3L -> "")
+    val sig = d.select($"doc_id",
+      TextFunctions.minhashSignature($"text", 16).as("s"))
+      .as[(Long, Option[Seq[Long]])].collect().toMap
+    assert(sig(1L).get == sig(2L).get)
+    assert(sig(1L).get.length == 16)
+    assert(sig(1L).get.forall(v => v >= 0 && v < TextFunctions.MinhashPrime))
+    assert(sig(3L).isEmpty)
+  }
+
   test("ngram jaccard: identity is 1, disjoint is 0") {
     val d = docs(1L -> "abcdef", 2L -> "abcdef", 3L -> "uvwxyz")
     val sh = d.select($"doc_id",
