@@ -32,6 +32,7 @@ object Queries {
     * ~1.7e18 exceeds double's 2^53 exact range — float division would
     * corrupt it). */
   def T(s: SparkSession, dir: String, name: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s) // idempotent, cheap
     if (name == "events") {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       s.read.parquet(s"$dir/$name.parquet")
@@ -400,9 +401,9 @@ object Queries {
         graft.functions.GraftFunctions.register(s)
         val loc = T(s, d, "orders").select(
           $"o_orderkey".as("node_id"),
-          ((($"o_orderkey" * 7919L) % 1200000000L - 600000000L) / lit(1e7))
-            .as("lat"),
-          ((($"o_orderkey" * 104729L) % 3600000000L - 1800000000L) /
+          ((($"o_orderkey" * 981451653L) % 1200000000L - 600000000L) /
+            lit(1e7)).as("lat"),
+          ((($"o_orderkey" * 2147483629L) % 3600000000L - 1800000000L) /
             lit(1e7)).as("lng"))
         val region = new graft.spatial.Region(Seq(
           graft.spatial.BboxRegion(10, 20, 30, 50),
@@ -410,8 +411,8 @@ object Queries {
         val ranges = graft.spatial.Coverer.coveringRanges(region)
         val cell = graft.functions.GraftFunctions
           .s2CellId($"lat", $"lng", 16)
-        val pruned = graft.spatial.SpatialScan
-          .rangeSemiJoin(loc, cell, ranges)
+        val pruned = loc.where(
+          graft.spatial.SpatialScan.cellInRanges(cell, ranges))
         // exact residual, formula mirrored verbatim in the oracle
         val inBbox = $"lat" >= 10 && $"lat" <= 30 &&
           $"lng" >= 20 && $"lng" <= 50
@@ -425,9 +426,9 @@ object Queries {
       },
       Some("""WITH loc AS (
              |  SELECT o_orderkey AS node_id,
-             |    ((o_orderkey * 7919) % 1200000000 - 600000000) / 1e7
+             |    ((o_orderkey * 981451653) % 1200000000 - 600000000) / 1e7
              |      AS lat,
-             |    ((o_orderkey * 104729) % 3600000000 - 1800000000) / 1e7
+             |    ((o_orderkey * 2147483629) % 3600000000 - 1800000000) / 1e7
              |      AS lng
              |  FROM orders)
              |SELECT node_id, lat, lng FROM loc

@@ -63,10 +63,28 @@ object GraftFunctions {
     S2CellId(args(0), args(1), args(2))
   }
 
-  /** Idempotent per-session registration. */
+  /** All custom functions: name -> builder. */
+  private[functions] val builders
+  : Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "s2_cell_id" -> s2CellIdBuilder,
+    "minhash_signature" ->
+      ((args: Seq[Expression]) => MinHashSignature(args(0), args(1))),
+    "simhash64" -> ((args: Seq[Expression]) => SimHash64(args(0))),
+    "jaccard_sorted" ->
+      ((args: Seq[Expression]) => JaccardSorted(args(0), args(1))),
+    "hash48_sort_dedup" ->
+      ((args: Seq[Expression]) => Hash48SortDedup(args(0))),
+    "ngram_hash48" ->
+      ((args: Seq[Expression]) => NgramHash48(args(0), args(1))),
+    "cell_in_ranges" ->
+      ((args: Seq[Expression]) => CellInRanges(args(0), args(1), args(2))))
+
+  /** Idempotent per-session registration of every graft function. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "s2_cell_id", s2CellIdBuilder, "built-in")
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, b, "built-in")
+    }
 
   /** Column-API sugar (requires [[register]] on the session first). */
   def s2CellId(lat: Column, lng: Column, level: Int): Column =
@@ -79,8 +97,9 @@ object GraftFunctions {
   * `spark.sql.extensions` conf). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction((
-      FunctionIdentifier("s2_cell_id"),
-      new ExpressionInfo(classOf[S2CellId].getName, null, "s2_cell_id"),
-      (args: Seq[Expression]) => S2CellId(args(0), args(1), args(2))))
+    GraftFunctions.builders.foreach { case (name, b) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[S2CellId].getName, null, name), b))
+    }
 }

@@ -1,0 +1,415 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tight-loop implementations behind the text-hash Catalyst expressions.
+  * All md5-based so results are deterministic across engines and bit-for-
+  * bit reproducible by the DuckDB oracles (same algorithms as the
+  * documented SQL mirrors in [[graft.llm.LlmQueries]]).
+  *
+  * Static-forwarded (plain object, no companion class) so generated
+  * whole-stage code can call `graft.functions.TextHashImpl.…` directly.
+  */
+object TextHashImpl {
+
+  /** MinHash modulus, shared with [[graft.llm.TextFunctions]]. */
+  val P: Long = 2147483647L
+
+  /** Same derivation as TextFunctions.minhashCoeffs — kept in lockstep
+    * (asserted by unit test). */
+  def coeffA(i: Int): Long = {
+    val a = (1103515245L * (2 * i + 1) + 12345L) % P
+    if (a == 0L) 1L else a
+  }
+  def coeffB(i: Int): Long = (1103515245L * (2 * i + 2) + 54321L) % P
+
+  private val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** MinHash signature over a token array: one md5 per token, `n`
+    * affine-permutation running minima. Null iff zero tokens. */
+  def minhashSignature(tokens: ArrayData, n: Int): ArrayData = {
+    val num = tokens.numElements()
+    if (num == 0) return null
+    val mins = new Array[Long](n)
+    java.util.Arrays.fill(mins, P)
+    val digest = md5Local.get()
+    var i = 0
+    while (i < num) {
+      val t = tokens.getUTF8String(i)
+      if (t != null) {
+        digest.reset()
+        val d = digest.digest(t.getBytes)
+        // first 8 hex chars of md5 == first 4 bytes, big-endian unsigned
+        val h = (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % P
+        var k = 0
+        while (k < n) {
+          val v = (coeffA(k) * h + coeffB(k)) % P
+          if (v < mins(k)) mins(k) = v
+          k += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** 64-bit SimHash over a token array as a '0'/'1' string. Bit j comes
+    * from bit (j%4) of hex nibble (j/4) of each token's md5; zero tokens
+    * -> all zeros. */
+  def simhash64(tokens: ArrayData): UTF8String = {
+    val num = tokens.numElements()
+    val out = new Array[Byte](64)
+    if (num == 0) {
+      java.util.Arrays.fill(out, '0'.toByte)
+      return UTF8String.fromBytes(out)
+    }
+    val votes = new Array[Int](64)
+    val digest = md5Local.get()
+    var i = 0
+    while (i < num) {
+      val t = tokens.getUTF8String(i)
+      if (t != null) {
+        digest.reset()
+        val d = digest.digest(t.getBytes)
+        var j = 0
+        while (j < 64) {
+          val nibIdx = j >> 2
+          val b = d(nibIdx >> 1) & 0xff
+          val nib = if ((nibIdx & 1) == 0) (b >>> 4) & 15 else b & 15
+          votes(j) += (((nib >> (j & 3)) & 1) << 1) - 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var j = 0
+    while (j < 64) {
+      out(j) = if (votes(j) >= 0) '1'.toByte else '0'.toByte
+      j += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** md5-prefix 48-bit hash of each string, sorted and deduped — the
+    * compact shingle representation (8-byte elements instead of string
+    * objects). 12 hex chars = first 6 md5 bytes big-endian, identical to
+    * SQL `CAST(concat('0x', substr(md5(s),1,12)) AS BIGINT)`. Hash
+    * collisions (~n^2/2^49) are deterministic and engine-identical, so
+    * set cardinalities still agree exactly across engines. */
+  def hash48SortDedup(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val hs = new Array[Long](n)
+    val digest = md5Local.get()
+    var i = 0
+    var m = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        digest.reset()
+        val d = digest.digest(s.getBytes)
+        hs(m) = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
+          ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
+          ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+        m += 1
+      }
+      i += 1
+    }
+    val trimmed = if (m == n) hs else java.util.Arrays.copyOf(hs, m)
+    java.util.Arrays.sort(trimmed)
+    var w = 0
+    var r = 0
+    while (r < m) {
+      if (w == 0 || trimmed(w - 1) != trimmed(r)) {
+        trimmed(w) = trimmed(r); w += 1
+      }
+      r += 1
+    }
+    new GenericArrayData(
+      if (w == m) trimmed else java.util.Arrays.copyOf(trimmed, w))
+  }
+
+  /** Character n-gram 48-bit shingle hashes of a (pre-normalized) text:
+    * every n-code-point window, md5-48bit hashed, sorted, deduped. One
+    * JVM pass — equivalent to hash48SortDedup(per-char substr n-grams)
+    * but without materializing any intermediate string arrays. Code-point
+    * windows are computed on UTF-8 bytes (continuation bytes 10xxxxxx are
+    * not window starts), matching both Spark substr and SQL substring
+    * character semantics. */
+  def ngramHash48(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    // char start offsets
+    val starts = new Array[Int](bytes.length + 1)
+    var nc = 0
+    var off = 0
+    while (off < bytes.length) {
+      if ((bytes(off) & 0xc0) != 0x80) { starts(nc) = off; nc += 1 }
+      off += 1
+    }
+    starts(nc) = bytes.length
+    if (nc < n) return new GenericArrayData(Array.emptyLongArray)
+    val m = nc - n + 1
+    val hs = new Array[Long](m)
+    val digest = md5Local.get()
+    var i = 0
+    while (i < m) {
+      digest.reset()
+      digest.update(bytes, starts(i), starts(i + n) - starts(i))
+      val d = digest.digest()
+      hs(i) = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
+        ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
+        ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var w = 0
+    var r = 0
+    while (r < m) {
+      if (w == 0 || hs(w - 1) != hs(r)) { hs(w) = hs(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(
+      if (w == m) hs else java.util.Arrays.copyOf(hs, w))
+  }
+
+  /** Jaccard over two SORTED, DISTINCT long arrays by linear merge —
+    * reads elements in place (no array copy per pair). */
+  def jaccardSortedLong(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (na == 0 && nb == 0) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    var x = if (na > 0) a.getLong(0) else 0L
+    var y = if (nb > 0) b.getLong(0) else 0L
+    while (i < na && j < nb) {
+      if (x == y) {
+        inter += 1; i += 1; j += 1
+        if (i < na) x = a.getLong(i)
+        if (j < nb) y = b.getLong(j)
+      } else if (x < y) {
+        i += 1; if (i < na) x = a.getLong(i)
+      } else {
+        j += 1; if (j < nb) y = b.getLong(j)
+      }
+    }
+    inter.toDouble / (na + nb - inter).toDouble
+  }
+
+  /** Jaccard similarity of two SORTED, DISTINCT string arrays by linear
+    * merge — no hash-set allocation (equal to (|A|+|B|-|U|)/|U| with a
+    * hash union, but O(n+m)). Both-empty -> 0. */
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (na == 0 && nb == 0) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getUTF8String(i); val y = b.getUTF8String(j)
+      val c = x.compareTo(y)
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    inter.toDouble / union.toDouble
+  }
+}
+
+/** `minhash_signature(tokens, n) -> ARRAY<LONG>` (null iff zero tokens).
+  * Native expression so the per-token md5 loop runs as one JVM call
+  * inside whole-stage codegen instead of an interpreted HOF chain. */
+case class MinHashSignature(tokens: Expression, numHashes: Expression)
+  extends BinaryExpression {
+
+  override def left: Expression = tokens
+  override def right: Expression = numHashes
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_signature"
+
+  private lazy val n: Int = numHashes.eval().asInstanceOf[Int]
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    tokens.dataType match {
+      case ArrayType(StringType, _)
+        if numHashes.foldable && numHashes.dataType == IntegerType =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "minhash_signature expects (ARRAY<STRING>, literal INT)")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val t = tokens.eval(input)
+    if (t == null) null
+    else TextHashImpl.minhashSignature(t.asInstanceOf[ArrayData], n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val childGen = tokens.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = true;
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${childGen.isNull}) {
+          ${ev.value} = graft.functions.TextHashImpl.minhashSignature(
+            ${childGen.value}, $n);
+          ${ev.isNull} = ${ev.value} == null;
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(tokens = newLeft, numHashes = newRight)
+}
+
+/** `simhash64(tokens) -> CHAR(64) of '0'/'1'`. */
+case class SimHash64(tokens: Expression) extends UnaryExpression {
+
+  override def child: Expression = tokens
+  override def dataType: DataType = StringType
+  override def prettyName: String = "simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    tokens.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"simhash64 expects ARRAY<STRING>, got $other")
+    }
+
+  override def nullSafeEval(t: Any): Any =
+    TextHashImpl.simhash64(t.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashImpl.simhash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+  : Expression = copy(tokens = newChild)
+}
+
+/** `jaccard_sorted(a, b) -> DOUBLE` over sorted distinct arrays of
+  * strings OR longs (dispatches on input type). */
+case class JaccardSorted(a: Expression, b: Expression)
+  extends BinaryExpression {
+
+  override def left: Expression = a
+  override def right: Expression = b
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sorted"
+
+  private lazy val isLong = a.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (a.dataType, b.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"jaccard_sorted expects two ARRAY<STRING> or two ARRAY<LONG>, got $other")
+    }
+
+  override def nullSafeEval(x: Any, y: Any): Any =
+    if (isLong)
+      TextHashImpl.jaccardSortedLong(x.asInstanceOf[ArrayData],
+        y.asInstanceOf[ArrayData])
+    else
+      TextHashImpl.jaccardSorted(x.asInstanceOf[ArrayData],
+        y.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val fn = if (isLong) "jaccardSortedLong" else "jaccardSorted"
+    defineCodeGen(ctx, ev, (x, y) =>
+      s"graft.functions.TextHashImpl.$fn($x, $y)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(a = newLeft, b = newRight)
+}
+
+/** `ngram_hash48(text, n) -> ARRAY<LONG>`: sorted distinct md5-48bit
+  * hashes of all n-code-point windows of `text`. */
+case class NgramHash48(text: Expression, n: Expression)
+  extends BinaryExpression {
+
+  override def left: Expression = text
+  override def right: Expression = n
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_hash48"
+
+  private lazy val nVal: Int = n.eval().asInstanceOf[Int]
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (text.dataType == StringType && n.foldable &&
+      n.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "ngram_hash48 expects (STRING, literal INT)")
+
+  override def eval(input: InternalRow): Any = {
+    val t = text.eval(input)
+    if (t == null) null
+    else TextHashImpl.ngramHash48(t.asInstanceOf[UTF8String], nVal)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val textGen = text.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${textGen.code}
+        boolean ${ev.isNull} = ${textGen.isNull};
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.functions.TextHashImpl.ngramHash48(
+            ${textGen.value}, $nVal);
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(text = newLeft, n = newRight)
+}
+
+/** `hash48_sort_dedup(ARRAY<STRING>) -> ARRAY<LONG>`: md5-48bit hash of
+  * each element, sorted, deduped. */
+case class Hash48SortDedup(arr: Expression) extends UnaryExpression {
+
+  override def child: Expression = arr
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hash48_sort_dedup"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    arr.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"hash48_sort_dedup expects ARRAY<STRING>, got $other")
+    }
+
+  override def nullSafeEval(t: Any): Any =
+    TextHashImpl.hash48SortDedup(t.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashImpl.hash48SortDedup($c)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+  : Expression = copy(arr = newChild)
+}

@@ -38,9 +38,14 @@ object Dedup {
     docs.join(keep, Seq(idCol), "left_semi")
   }
 
-  /** MinHash/LSH candidate near-duplicate pairs (a < b).
-    * numHashes = bands * rowsPerBand. One shuffle (the band groupBy-join);
-    * everything upstream is map-side. */
+  /** MinHash/LSH candidate near-duplicate pairs (a < b), emitted EXACTLY
+    * ONCE each: a pair is produced only by its FIRST colliding band (the
+    * per-pair `exists` over earlier bands), so no distinct() shuffle over
+    * the redundant 4x pair stream is needed. numHashes = bands *
+    * rowsPerBand; one shuffle total (the band groupBy).
+    * With maxBucket capping, a pair whose first colliding band was in a
+    * dropped oversized bucket is dropped even if a later band also
+    * collides — consistent drop-and-report approximation semantics. */
   def minhashCandidatePairs(docs: DataFrame, textCol: String, idCol: String,
                             bands: Int = 4, rowsPerBand: Int = 4,
                             maxBucket: Int = 1000): DataFrame = {
@@ -50,19 +55,25 @@ object Dedup {
         TextFunctions.minhashSignature(col(textCol), n).as("sig"))
       .where(col("sig").isNotNull) // null iff zero tokens
       .select(col("doc_id"),
-        posexplode(TextFunctions.lshBands(col("sig"), bands, rowsPerBand)))
+        TextFunctions.lshBands(col("sig"), bands, rowsPerBand).as("bands"))
+      .select(col("doc_id"), col("bands"),
+        posexplode(col("bands")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
     // group docs per (band, bkey); cap bucket size to bound the quadratic
     val buckets = withBands.groupBy("band", "bkey")
-      .agg(sort_array(collect_list("doc_id")).as("ids"))
-      .where(size(col("ids")).between(2, maxBucket))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("bands"))))
+        .as("ms"))
+      .where(size(col("ms")).between(2, maxBucket))
     buckets
       .select(explode(expr(
-        """flatten(transform(ids, (a, i) ->
-          |  transform(slice(ids, i + 2, size(ids)), b ->
-          |    struct(a, b))))""".stripMargin)).as("p"))
+        s"""flatten(transform(ms, (x, i) ->
+           |  transform(
+           |    filter(slice(ms, i + 2, size(ms)),
+           |      y -> NOT exists(sequence(0, ${bands - 1}),
+           |        j -> j < band AND x.bands[j] = y.bands[j])),
+           |    y -> struct(x.doc_id AS a, y.doc_id AS b))))""".stripMargin))
+        .as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
-      .distinct()
   }
 
   /** Near-duplicate pairs confirmed by n-gram Jaccard >= `threshold`
@@ -71,13 +82,21 @@ object Dedup {
                             threshold: Double = 0.6, ngram: Int = 3)
   : DataFrame = {
     val pairs = minhashCandidatePairs(docs, textCol, idCol)
+    // hashed shingles: 8-byte sorted longs instead of string arrays —
+    // ~10x less data copied per candidate probe, same jaccard values
+    // (md5-48bit hashing is deterministic and engine-identical)
     val sh = docs.select(col(idCol).as("sid"),
-      TextFunctions.ngramShingles(col(textCol), ngram).as("shingles"))
+      TextFunctions.ngramShingleHashes(col(textCol), ngram).as("shingles"))
+    // The candidate-pair side is the big one (quadratic in cluster size);
+    // the per-doc shingle side is linear in corpus size. Broadcasting the
+    // doc side keeps the pair stream map-side (no shuffle of pairs); at
+    // scales where the doc side outgrows broadcast, drop the hint and
+    // AQE picks a shuffled hash join on the same plan.
     pairs
-      .join(sh.withColumnRenamed("sid", "a")
-        .withColumnRenamed("shingles", "sha"), Seq("a"))
-      .join(sh.withColumnRenamed("sid", "b")
-        .withColumnRenamed("shingles", "shb"), Seq("b"))
+      .join(broadcast(sh.withColumnRenamed("sid", "a")
+        .withColumnRenamed("shingles", "sha")), Seq("a"))
+      .join(broadcast(sh.withColumnRenamed("sid", "b")
+        .withColumnRenamed("shingles", "shb")), Seq("b"))
       .select(col("a"), col("b"),
         round(TextFunctions.jaccard(col("sha"), col("shb")), 6)
           .as("jaccard"))

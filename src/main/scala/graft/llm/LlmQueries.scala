@@ -196,11 +196,13 @@ object LlmQueries {
               |sh AS (SELECT doc_id,
               |  CASE WHEN length(regexp_replace(lower(trim(text)),
               |                   '\\s+', ' ', 'g')) >= 3
-              |  THEN list_sort(list_distinct(list_transform(
+              |  THEN list_distinct(list_transform(
               |    generate_series(1, length(regexp_replace(lower(trim(text)),
               |                    '\\s+', ' ', 'g')) - 2),
-              |    i -> regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
-              |         [CAST(i AS INT) : CAST(i AS INT) + 2])))
+              |    i -> CAST(concat('0x', substr(md5(
+              |      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+              |        [CAST(i AS INT) : CAST(i AS INT) + 2]), 1, 12))
+              |      AS BIGINT)))
               |  ELSE [] END AS sh
               |  FROM documents),
               |scored AS (

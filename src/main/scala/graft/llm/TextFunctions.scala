@@ -60,22 +60,14 @@ object TextFunctions {
   def tokenHash32(token: Column): Column =
     conv(substring(md5(token), 1, 8), 16, 10).cast("long")
 
-  /** MinHash signature: array of `n` LONG minima. ONE md5 per token (the
-    * single `hs` array), then a single fold keeps `n` running minima —
-    * entirely map-side, zero shuffle. Null iff the document has no
-    * tokens. */
-  def minhashSignature(text: Column, n: Int): Column = {
-    val coeffs = minhashCoeffs(n)
-    val as = typedlit(coeffs.map(_._1))
-    val bs = typedlit(coeffs.map(_._2))
-    val hs = transform(tokens(text), t => tokenHash32(t) % MinhashPrime)
-    val sig = aggregate(hs,
-      typedlit(Seq.fill(n)(MinhashPrime)),
-      (acc, h) => zip_with(acc,
-        zip_with(as, bs, (a, b) => (a * h + b) % MinhashPrime),
-        (m, v) => least(m, v)))
-    when(size(hs) > 0, sig)
-  }
+  /** MinHash signature: array of `n` LONG minima. ONE md5 per token, a
+    * single running-minima pass — the native [[graft.functions
+    * .MinHashSignature]] expression inside whole-stage codegen; entirely
+    * map-side, zero shuffle. Null iff the document has no tokens.
+    * Requires [[graft.functions.GraftFunctions.register]] on the
+    * session. */
+  def minhashSignature(text: Column, n: Int): Column =
+    call_function("minhash_signature", tokens(text), lit(n))
 
   /** LSH band keys over a minhash signature: `bands` hashes, each over
     * `rows` consecutive signature entries. Docs sharing any band key are
@@ -91,28 +83,13 @@ object TextFunctions {
     * Bit j comes from bit (j%4) of hex nibble (j/4) of each token's md5;
     * the bit is set iff the token-majority vote is non-negative.
     * A zero-token document short-circuits to all-'0' (without this, an
-    * empty fold returns the init vector and every vote reads 0 >= 0 —
-    * divergent from SQL engines where sum-of-empty is NULL).
-    * Single fold: one md5 per token, one pass accumulating all 64 vote
-    * counters (the previous shape re-walked the token array per bit). */
-  def simhashBits(text: Column): Column = {
-    val hs = transform(tokens(text), tk => md5(tk))
-    // per-token +/-1 contribution vector for all 64 bits, ordered
-    // j = nibble*4 + bit-in-nibble
-    def contrib(h: Column): Column =
-      flatten(transform(sequence(lit(0), lit(15)), nibIdx => {
-        val nib = conv(h.substr(nibIdx + 1, lit(1)), 16, 10).cast("int")
-        transform(sequence(lit(0), lit(3)), k => {
-          val divisor = element_at(typedlit(Seq(1, 2, 4, 8)), k + 1)
-          ((nib.cast("double") / divisor).cast("int") % 2) * 2 - 1
-        })
-      }))
-    val votes = aggregate(hs, typedlit(Seq.fill(64)(0)),
-      (acc, h) => zip_with(acc, contrib(h), (a, c) => a + c))
-    val bits = concat_ws("",
-      transform(votes, v => when(v >= 0, "1").otherwise("0")))
-    when(size(hs) === 0, lit("0" * 64)).otherwise(bits)
-  }
+    * empty vote vector would read 0 >= 0 per bit — divergent from SQL
+    * engines where sum-of-empty is NULL).
+    * Native [[graft.functions.SimHash64]] expression: one md5 per token,
+    * one pass accumulating all 64 vote counters. Requires
+    * [[graft.functions.GraftFunctions.register]] on the session. */
+  def simhashBits(text: Column): Column =
+    call_function("simhash64", tokens(text))
 
   /** Distinct character n-gram shingles of the normalized text, sorted
     * (sorted so set-compare is order-insensitive and deterministic). */
@@ -125,14 +102,19 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Jaccard similarity of two pre-distinct shingle arrays, computed
-    * without an intersect primitive (portable): |A∩B| = |A|+|B|-|A∪B|. */
-  def jaccard(a: Column, b: Column): Column = {
-    val unionN = size(array_distinct(concat(a, b)))
-    val interN = size(a) + size(b) - unionN
-    when(unionN === 0, lit(0.0))
-      .otherwise(interN.cast("double") / unionN.cast("double"))
-  }
+  /** Hashed shingles: md5-48bit of each n-gram of the normalized text,
+    * sorted distinct ARRAY<LONG> — the compact form for high-volume pair
+    * verification (native [[graft.functions.NgramHash48]]: one JVM pass,
+    * no intermediate string arrays). */
+  def ngramShingleHashes(text: Column, n: Int): Column =
+    call_function("ngram_hash48", normalize(text), lit(n))
+
+  /** Jaccard similarity of two pre-SORTED, pre-distinct shingle arrays
+    * (what [[ngramShingles]] emits): native linear-merge expression, no
+    * per-pair hash-set allocation. Equals (|A|+|B|-|A∪B|)/|A∪B|; both
+    * empty -> 0. Requires [[graft.functions.GraftFunctions.register]]. */
+  def jaccard(a: Column, b: Column): Column =
+    call_function("jaccard_sorted", a, b)
 
   // ------------------------------------------------------------ quality
 

@@ -49,6 +49,17 @@ object SpatialScan {
       "left_semi")
   }
 
+  /** O(log n)-per-row covering membership via the native
+    * [[graft.functions.CellInRanges]] expression (binary search over the
+    * sorted literal ranges, inside whole-stage codegen) — preferred over
+    * [[rangeSemiJoin]]'s nested-loop probe for large coverings. Requires
+    * [[GraftFunctions.register]] on the session. */
+  def cellInRanges(cellCol: Column, ranges: Seq[(Long, Long)]): Column = {
+    val sorted = ranges.sortBy(_._1)
+    call_function("cell_in_ranges", cellCol,
+      typedlit(sorted.map(_._1)), typedlit(sorted.map(_._2)))
+  }
+
   /** Cell-approximate region filter (reference semantics): covering
     * ranges only, no exact residual. `latCol`/`lngCol` in degrees. */
   def filterByRegionApprox(df: DataFrame, latCol: Column, lngCol: Column,
@@ -57,8 +68,8 @@ object SpatialScan {
   : DataFrame = {
     val ranges = Coverer.coveringRanges(region, level = level)
     val cell = GraftFunctions.s2CellId(latCol, lngCol, level)
-    if (ranges.size <= 64)
-      df.where(rangePredicate(cell, ranges))
-    else rangeSemiJoin(df, cell, ranges)
+    if (ranges.size <= 16)
+      df.where(rangePredicate(cell, ranges)) // small: parquet-pushable
+    else df.where(cellInRanges(cell, ranges))
   }
 }

@@ -14,8 +14,10 @@ class LlmSpec extends AnyFunSuite {
 
   import spark.implicits._
 
-  private def docs(rows: (Long, String)*): DataFrame =
+  private def docs(rows: (Long, String)*): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     rows.toDF("doc_id", "text")
+  }
 
   test("exactDedup keeps the lowest id per normalized content") {
     val d = docs(
@@ -67,6 +69,26 @@ class LlmSpec extends AnyFunSuite {
     assert(sig(1L).get.length == 16)
     assert(sig(1L).get.forall(v => v >= 0 && v < TextFunctions.MinhashPrime))
     assert(sig(3L).isEmpty)
+  }
+
+  test("native minhash coefficients match the documented oracle derivation") {
+    val expected = TextFunctions.minhashCoeffs(16)
+    (0 until 16).foreach { i =>
+      assert(graft.functions.TextHashImpl.coeffA(i) == expected(i)._1)
+      assert(graft.functions.TextHashImpl.coeffB(i) == expected(i)._2)
+    }
+  }
+
+  test("native ngram_hash48 equals hashing the string shingles") {
+    val d = docs(1L -> "Hello  World, this is a test", 2L -> "ab",
+      3L -> "héllo wörld ünïcode")
+    val both = d.select($"doc_id",
+      TextFunctions.ngramShingleHashes($"text", 3).as("native"),
+      call_function("hash48_sort_dedup",
+        TextFunctions.ngramShingles($"text", 3)).as("viaStrings"))
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+    both.foreach { case (id, a, b) => assert(a == b, s"doc $id") }
+    assert(both.find(_._1 == 2L).get._2.isEmpty) // shorter than n
   }
 
   test("ngram jaccard: identity is 1, disjoint is 0") {
