@@ -11,7 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   /** Every registered query, in declaration order. */
-  def all: Seq[Q] = Queries.relational ++ llm.LlmQueries.all
+  def all: Seq[Q] =
+    Queries.relational ++ llm.LlmQueries.all ++ osm.OsmQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

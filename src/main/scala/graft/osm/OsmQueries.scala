@@ -1,0 +1,376 @@
+package graft.osm
+
+import graft.Q
+import org.apache.spark.sql.functions._
+
+/** Oracle-backed queries over the OSM-shaped tables ([[SyntheticOsm]]).
+  * [[dOsmCtes]] mirrors every table derivation in DuckDB SQL so the
+  * oracle rebuilds byte-identical inputs from the same parquet. */
+object OsmQueries {
+
+  /** DuckDB CTE prelude rebuilding the [[SyntheticOsm.tables]] model.
+    * Tag maps are rendered directly as sorted "k=v;…" strings (the same
+    * projection [[Extract.tagsToString]] computes from the MapType
+    * columns). */
+  val dOsmCtes: String =
+    """locations AS (
+      |  SELECT o_orderkey AS id,
+      |    CAST((o_orderkey * 2147483629) % 3600000000 - 1800000000
+      |         AS INTEGER) AS lon,
+      |    CAST((o_orderkey * 981451653) % 1200000000 - 600000000
+      |         AS INTEGER) AS lat,
+      |    CAST(o_orderkey % 7 + 1 AS INTEGER) AS version
+      |  FROM orders),
+      |onodes AS (
+      |  SELECT o_orderkey AS id,
+      |    'prio=' || o_orderpriority || ';status=' || o_orderstatus
+      |      AS tags_s,
+      |    CAST(epoch(o_orderdate) AS BIGINT) AS ts,
+      |    'user' || (o_custkey % 100) AS user_s
+      |  FROM orders WHERE o_orderkey % 3 = 0),
+      |oways AS (
+      |  SELECT c_custkey + 1000000 AS id,
+      |    list(o_orderkey ORDER BY o_orderkey) AS nodes,
+      |    'segment=' || c_mktsegment AS tags_s,
+      |    CAST(c_custkey % 5 + 1 AS INTEGER) AS version,
+      |    'user' || (c_custkey % 100) AS user_s
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY c_custkey, c_mktsegment),
+      |nat_members AS (
+      |  SELECT c_nationkey AS nk, c_custkey + 1000000 AS ref,
+      |         'way' AS mtype, 'outer' AS role, c_custkey AS ord
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_nationkey, o_orderkey, 'node', 'label',
+      |         o_orderkey + 10000000
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE o_orderkey % 97 = 0),
+      |nat_rel_members AS (
+      |  SELECT nk, list(struct_pack(ref := ref, mtype := mtype,
+      |                              role := role) ORDER BY ord)
+      |           AS members
+      |  FROM nat_members GROUP BY nk),
+      |nat_rels AS (
+      |  SELECT n_nationkey + 2000000 AS id, m.members,
+      |    CASE WHEN n_nationkey % 2 = 0 THEN 'multipolygon'
+      |         ELSE 'boundary' END AS rtype,
+      |    'name=' || n_name || ';type=' ||
+      |      (CASE WHEN n_nationkey % 2 = 0 THEN 'multipolygon'
+      |            ELSE 'boundary' END) AS tags_s,
+      |    CAST(n_nationkey % 3 + 1 AS INTEGER) AS version,
+      |    CAST(1600000000 AS BIGINT) AS ts,
+      |    'user' || n_nationkey AS user_s
+      |  FROM nation JOIN nat_rel_members m ON m.nk = n_nationkey),
+      |reg_members AS (
+      |  SELECT n_regionkey AS rk,
+      |    list(struct_pack(ref := n_nationkey + 2000000,
+      |                     mtype := 'relation', role := 'subarea')
+      |         ORDER BY n_nationkey) AS members
+      |  FROM nation GROUP BY n_regionkey),
+      |reg_rels AS (
+      |  SELECT r_regionkey + 3000000 AS id, m.members,
+      |    'boundary' AS rtype,
+      |    'name=' || r_name || ';type=boundary' AS tags_s,
+      |    CAST(r_regionkey % 3 + 1 AS INTEGER) AS version,
+      |    CAST(1700000000 AS BIGINT) AS ts,
+      |    'user' || r_regionkey AS user_s
+      |  FROM region JOIN reg_members m ON m.rk = r_regionkey),
+      |orelations AS (
+      |  SELECT id, members, rtype, tags_s, version, ts, user_s
+      |  FROM nat_rels
+      |  UNION ALL
+      |  SELECT id, members, rtype, tags_s, version, ts, user_s
+      |  FROM reg_rels),
+      |node_way AS (
+      |  SELECT DISTINCT unnest(nodes) AS member_id, id AS parent_id
+      |  FROM oways),
+      |rel_members AS (
+      |  SELECT id AS parent_id, unnest(members) AS m FROM orelations),
+      |node_relation AS (
+      |  SELECT DISTINCT m.ref AS member_id, parent_id FROM rel_members
+      |  WHERE m.mtype = 'node'),
+      |way_relation AS (
+      |  SELECT DISTINCT m.ref AS member_id, parent_id FROM rel_members
+      |  WHERE m.mtype = 'way'),
+      |relation_relation AS (
+      |  SELECT DISTINCT m.ref AS member_id, parent_id FROM rel_members
+      |  WHERE m.mtype = 'relation')""".stripMargin
+
+  /** Fixed-point bbox of the extract region: lat [10,30], lon [20,50]
+    * degrees, exact integer comparisons on the 1e7 fixed-point coords. */
+  private val (latLoE7, latHiE7, lonLoE7, lonHiE7) =
+    (100000000L, 300000000L, 200000000L, 500000000L)
+
+  val all: Seq[Q] = Seq(
+
+    // ---- q32: the flagship extract verb end-to-end (G9 seed scan +
+    // J2-J8 + A7). Spark runs covering-pruned scan + residual; the
+    // oracle is pure SQL joins — any covering or join bug diverges. ----
+    Q("q32_extract_complete",
+      (s, d) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        val t = SyntheticOsm.tables(s, d)
+        val region = new graft.spatial.Region(Seq(
+          graft.spatial.BboxRegion(latLoE7 / 1e7, lonLoE7 / 1e7,
+            latHiE7 / 1e7, lonHiE7 / 1e7)))
+        val ranges = graft.spatial.Coverer.coveringRanges(region)
+        val cell = graft.spatial.SpatialScan
+          .s2CellOfFixed($"lat", $"lon")
+        val seeds = t.locations
+          .where(graft.spatial.SpatialScan.cellInRanges(cell, ranges))
+          .where($"lat" >= latLoE7 && $"lat" <= latHiE7 &&
+            $"lon" >= lonLoE7 && $"lon" <= lonHiE7)
+          .select($"id")
+        val sel = Extract.complete(t, seeds)
+        Extract.materialize(t, sel)
+      },
+      Some(s"""WITH RECURSIVE $dOsmCtes,
+              |seeds AS (
+              |  SELECT id FROM locations
+              |  WHERE lat >= $latLoE7 AND lat <= $latHiE7
+              |    AND lon >= $lonLoE7 AND lon <= $lonHiE7),
+              |wids0 AS (
+              |  SELECT DISTINCT parent_id AS id
+              |  FROM node_way JOIN seeds ON member_id = seeds.id),
+              |rel0 AS (
+              |  -- NOTE: inside WITH RECURSIVE, DuckDB does not dedup a
+              |  -- plain a-UNION-b CTE across branches; dedup explicitly
+              |  SELECT DISTINCT id FROM (
+              |    SELECT parent_id AS id
+              |    FROM node_relation JOIN seeds ON member_id = seeds.id
+              |    UNION ALL
+              |    SELECT parent_id
+              |    FROM way_relation JOIN wids0 ON member_id = wids0.id)
+              |    u),
+              |rclo AS (
+              |  SELECT id FROM rel0
+              |  UNION
+              |  SELECT rr.parent_id
+              |  FROM rclo JOIN relation_relation rr
+              |    ON rr.member_id = rclo.id),
+              |mpw AS (
+              |  SELECT DISTINCT m.ref AS id
+              |  FROM rel_members rm
+              |  JOIN rclo ON rclo.id = rm.parent_id
+              |  JOIN orelations r ON r.id = rm.parent_id
+              |  WHERE r.rtype = 'multipolygon' AND rm.m.mtype = 'way'
+              |    AND rm.m.ref IN (SELECT id FROM oways)),
+              |wids AS (SELECT DISTINCT id FROM (
+              |  SELECT id FROM wids0 UNION ALL SELECT id FROM mpw) u),
+              |wnodes AS (
+              |  SELECT DISTINCT unnest(w.nodes) AS id
+              |  FROM oways w JOIN wids ON w.id = wids.id),
+              |nids AS (SELECT DISTINCT id FROM (
+              |  SELECT id FROM seeds UNION ALL SELECT id FROM wnodes) u),
+              |nodes_out AS (
+              |  SELECT 0 AS trank, l.id, l.lon, l.lat, l.version,
+              |         n.ts, n.tags_s, CAST(NULL AS VARCHAR) AS refs_s,
+              |         n.user_s
+              |  FROM nids JOIN locations l ON l.id = nids.id
+              |  LEFT JOIN onodes n ON n.id = l.id),
+              |ways_out AS (
+              |  SELECT 1, w.id, CAST(NULL AS INTEGER),
+              |         CAST(NULL AS INTEGER), w.version,
+              |         CAST(1500000000 AS BIGINT), w.tags_s,
+              |         array_to_string(list_transform(w.nodes,
+              |           x -> CAST(x AS VARCHAR)), ','), w.user_s
+              |  FROM wids JOIN oways w ON w.id = wids.id),
+              |rels_out AS (
+              |  SELECT 2, r.id, CAST(NULL AS INTEGER),
+              |         CAST(NULL AS INTEGER), r.version, r.ts, r.tags_s,
+              |         array_to_string(list_transform(r.members,
+              |           m -> m.mtype || ':' || m.ref || ':' || m.role),
+              |           ','), r.user_s
+              |  FROM rclo JOIN orelations r ON r.id = rclo.id)
+              |SELECT * FROM (
+              |  SELECT * FROM nodes_out
+              |  UNION ALL SELECT * FROM ways_out
+              |  UNION ALL SELECT * FROM rels_out)
+              |ORDER BY trank, id""".stripMargin),
+      bench = true),
+
+    // ---- q33: CDC batch apply (U1) — node deletes + upserts with
+    // tagged/untagged transitions; output is the full post-state of
+    // locations LEFT OUTER the node blobs ----
+    Q("q33_cdc_apply",
+      (s, d) => {
+        import s.implicits._
+        val t = SyntheticOsm.tables(s, d)
+        val metaT = "struct<version:int,timestamp:bigint," +
+          "changeset:bigint,uid:bigint,user:string>"
+        val changes = t.locations.where($"id" % 17 <= 1).select(
+          $"id", ($"id" % 17 === 1).as("visible"),
+          ($"lon" + 1000).cast("int").as("lon"),
+          ($"lat" + 1000).cast("int").as("lat"),
+          ($"version" + 100).cast("int").as("version"),
+          when($"id" % 2 === 0,
+            map(lit("status"), lit("X"), lit("urgent"), lit("1")))
+            .otherwise(map().cast("map<string,string>")).as("tags"),
+          lit(null).cast(metaT).as("meta"))
+        val (loc2, nodes2) =
+          Changeset.applyNodeChanges(t.locations, t.nodes, changes)
+        loc2.join(nodes2.select($"id",
+            Extract.tagsToString($"tags").as("tags_s")),
+          Seq("id"), "left_outer")
+          .select($"id", $"lon", $"lat", $"version", $"tags_s")
+          .orderBy($"id")
+      },
+      Some(s"""WITH $dOsmCtes,
+              |locations2 AS (
+              |  SELECT id, lon, lat, version FROM locations
+              |  WHERE id % 17 > 1
+              |  UNION ALL
+              |  SELECT id, CAST(lon + 1000 AS INTEGER),
+              |         CAST(lat + 1000 AS INTEGER),
+              |         CAST(version + 100 AS INTEGER)
+              |  FROM locations WHERE id % 17 = 1),
+              |nodes2 AS (
+              |  SELECT id, tags_s FROM onodes WHERE id % 17 > 1
+              |  UNION ALL
+              |  SELECT id, 'status=X;urgent=1' FROM locations
+              |  WHERE id % 17 = 1 AND id % 2 = 0)
+              |SELECT l.id, l.lon, l.lat, l.version, n.tags_s
+              |FROM locations2 l LEFT JOIN nodes2 n ON n.id = l.id
+              |ORDER BY l.id""".stripMargin)),
+
+    // ---- q36: GeoJSON Feature assembly (F4, J9 order-preserving
+    // geometry join) — LineString per way, built with deterministic
+    // printf formatting on both engines ----
+    Q("q36_geojson",
+      (s, d) => {
+        import s.implicits._
+        val t = SyntheticOsm.tables(s, d)
+        val w = t.ways.where($"id" < SyntheticOsm.WayBase + 200)
+        val pts = w.select($"id", posexplode($"nodes"))
+          .join(t.locations.select($"id".as("nid"), $"lon", $"lat"),
+            $"col" === $"nid")
+          .select($"id", $"pos",
+            format_string("[%.7f,%.7f]", $"lon" / 1e7, $"lat" / 1e7)
+              .as("pt"))
+        val geo = pts.groupBy($"id")
+          .agg(array_join(transform(
+            array_sort(collect_list(struct($"pos", $"pt"))),
+            e => e("pt")), ",").as("coords"))
+        w.join(geo, "id").select($"id",
+          concat(lit("{\"type\":\"Feature\",\"id\":"), $"id",
+            lit(",\"geometry\":{\"type\":\"LineString\",\"coordinates\":["),
+            $"coords",
+            lit("]},\"properties\":{\"segment\":\""),
+            element_at($"tags", "segment"),
+            lit("\"}}")).as("feature"))
+          .orderBy($"id")
+      },
+      Some(s"""WITH $dOsmCtes,
+              |pts AS (
+              |  SELECT id, unnest(nodes) AS nid,
+              |         generate_subscripts(nodes, 1) AS pos
+              |  FROM oways WHERE id < 1000200),
+              |geo AS (
+              |  SELECT p.id,
+              |    string_agg(printf('[%.7f,%.7f]', l.lon/1e7, l.lat/1e7),
+              |               ',' ORDER BY p.pos) AS coords
+              |  FROM pts p JOIN locations l ON l.id = p.nid GROUP BY p.id)
+              |SELECT w.id,
+              |  '{"type":"Feature","id":' || w.id ||
+              |  ',"geometry":{"type":"LineString","coordinates":[' ||
+              |  g.coords || ']},"properties":{"segment":"' ||
+              |  replace(w.tags_s, 'segment=', '') || '"}}' AS feature
+              |FROM oways w JOIN geo g ON g.id = w.id
+              |WHERE w.id < 1000200 ORDER BY w.id""".stripMargin)),
+
+    // ---- q37: CDC way/relation apply (U2/U3) — membership rewrites
+    // with delete-then-insert adjacency recompute; output is the full
+    // post-state of the three member->parent indexes ----
+    Q("q37_cdc_adjacency",
+      (s, d) => {
+        import s.implicits._
+        val t = SyntheticOsm.tables(s, d)
+        val wayCh = t.ways
+          .where(($"id" - SyntheticOsm.WayBase) % 13 === 0)
+          .select($"id", lit(true).as("visible"),
+            reverse(filter($"nodes", x => x % 5 =!= 0)).as("nodes"),
+            $"tags", $"meta")
+        val (_, nodeWay2) =
+          Changeset.applyWayChanges(t.ways, t.nodeWay, wayCh)
+        val relCh = t.relations
+          .where($"id" >= SyntheticOsm.RelBase &&
+            $"id" < SyntheticOsm.SuperRelBase &&
+            ($"id" - SyntheticOsm.RelBase) % 5 === 0)
+          .select($"id", lit(true).as("visible"),
+            filter($"members", m => m("mtype") =!= "node").as("members"),
+            $"tags", $"meta")
+        val (_, nodeRel2, wayRel2, _) = Changeset.applyRelationChanges(
+          t.relations, t.nodeRelation, t.wayRelation,
+          t.relationRelation, relCh)
+        nodeWay2.select(lit("node_way").as("kind"), $"member_id",
+            $"parent_id")
+          .unionByName(nodeRel2.select(lit("node_relation").as("kind"),
+            $"member_id", $"parent_id"))
+          .unionByName(wayRel2.select(lit("way_relation").as("kind"),
+            $"member_id", $"parent_id"))
+          .orderBy($"kind", $"member_id", $"parent_id")
+      },
+      Some(s"""WITH $dOsmCtes,
+              |way_ch AS (
+              |  SELECT id,
+              |    list_reverse(list_filter(nodes, x -> x % 5 != 0))
+              |      AS nodes
+              |  FROM oways WHERE (id - 1000000) % 13 = 0),
+              |node_way2 AS (
+              |  SELECT member_id, parent_id FROM node_way
+              |  WHERE (parent_id - 1000000) % 13 != 0
+              |  UNION ALL
+              |  SELECT DISTINCT unnest(nodes), id FROM way_ch),
+              |rel_ch AS (
+              |  SELECT id,
+              |    list_filter(members, m -> m.mtype != 'node') AS members
+              |  FROM orelations
+              |  WHERE id >= 2000000 AND id < 3000000
+              |    AND (id - 2000000) % 5 = 0),
+              |rel_ch_members AS (
+              |  SELECT id AS parent_id, unnest(members) AS m FROM rel_ch),
+              |changed_rel AS (SELECT id FROM rel_ch),
+              |node_relation2 AS (
+              |  SELECT member_id, parent_id FROM node_relation
+              |  WHERE parent_id NOT IN (SELECT id FROM changed_rel)
+              |  UNION ALL
+              |  SELECT DISTINCT m.ref, parent_id FROM rel_ch_members
+              |  WHERE m.mtype = 'node'),
+              |way_relation2 AS (
+              |  SELECT member_id, parent_id FROM way_relation
+              |  WHERE parent_id NOT IN (SELECT id FROM changed_rel)
+              |  UNION ALL
+              |  SELECT DISTINCT m.ref, parent_id FROM rel_ch_members
+              |  WHERE m.mtype = 'way')
+              |SELECT * FROM (
+              |  SELECT 'node_way' AS kind, member_id, parent_id
+              |  FROM node_way2
+              |  UNION ALL
+              |  SELECT 'node_relation', member_id, parent_id
+              |  FROM node_relation2
+              |  UNION ALL
+              |  SELECT 'way_relation', member_id, parent_id
+              |  FROM way_relation2)
+              |ORDER BY kind, member_id, parent_id""".stripMargin)),
+
+    // ---- q35: tag-map operators (P7 MapType predicate, P8/F5 sorted
+    // entries projection) over the relations table ----
+    Q("q35_tag_filter",
+      (s, d) => {
+        import s.implicits._
+        val t = SyntheticOsm.tables(s, d)
+        t.relations
+          .where(element_at($"tags", "type") === "multipolygon")
+          .select($"id", Extract.tagsToString($"tags").as("tags_s"),
+            size($"members").cast("long").as("n_members"),
+            element_at($"tags", "name").as("name"))
+          .orderBy($"id")
+      },
+      Some(s"""WITH $dOsmCtes
+              |SELECT id, tags_s, len(members) AS n_members,
+              |       regexp_extract(tags_s, 'name=([^;]*)', 1) AS name
+              |FROM orelations WHERE rtype = 'multipolygon'
+              |ORDER BY id""".stripMargin))
+  )
+}

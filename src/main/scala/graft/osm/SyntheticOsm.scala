@@ -1,0 +1,145 @@
+package graft.osm
+
+import graft.Queries.T
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The engine's OSM-shaped logical model (SURVEY §1.4: locations / nodes
+  * / ways / relations + 4 reverse-adjacency tables), instantiated
+  * synthetically from the deterministic testdata star schema so every
+  * OSM operator has oracle-checkable inputs:
+  *
+  *   - node  = order        (id = o_orderkey; fixed-point coords derived
+  *                           from the key; tagged iff o_orderkey % 3 = 0)
+  *   - way   = customer     (id = c_custkey + 1e6; ordered node list =
+  *                           that customer's orders — order-significant
+  *                           like Way.nodes)
+  *   - relation = nation    (id = n_nationkey + 2e6; members = the
+  *                           nation's customer-ways + every 97th order as
+  *                           a node member; even nations are tagged
+  *                           type=multipolygon)
+  *   - super-relation = region (id = r_regionkey + 3e6; members = the
+  *                           region's nation-relations -> nesting for the
+  *                           transitive closure)
+  *
+  * Untagged nodes exist ONLY in `locations` (`src/expand.cpp:156`,
+  * `docs/MANUAL.md:118`); dangling way-member refs (customers without
+  * orders never materialize as ways) exercise the existence guard of
+  * multipolygon completion (`src/extract.cpp:254-255`).
+  *
+  * Every derivation is mirrored verbatim by [[OsmQueries.dOsmCtes]] so
+  * DuckDB rebuilds identical tables for the oracle compare.
+  */
+object SyntheticOsm {
+
+  final case class Tables(locations: DataFrame, nodes: DataFrame,
+                          ways: DataFrame, relations: DataFrame,
+                          nodeWay: DataFrame, nodeRelation: DataFrame,
+                          wayRelation: DataFrame,
+                          relationRelation: DataFrame)
+
+  val WayBase = 1000000L
+  val RelBase = 2000000L
+  val SuperRelBase = 3000000L
+
+  def tables(s: SparkSession, dir: String): Tables = {
+    import s.implicits._
+    val orders = T(s, dir, "orders")
+    val customer = T(s, dir, "customer")
+    val nation = T(s, dir, "nation")
+    val region = T(s, dir, "region")
+
+    val locations = orders.select(
+      $"o_orderkey".as("id"),
+      ((($"o_orderkey" * 2147483629L) % 3600000000L) - 1800000000L)
+        .cast("int").as("lon"),
+      ((($"o_orderkey" * 981451653L) % 1200000000L) - 600000000L)
+        .cast("int").as("lat"),
+      ($"o_orderkey" % 7 + 1).cast("int").as("version"))
+
+    val nodes = orders.where($"o_orderkey" % 3 === 0).select(
+      $"o_orderkey".as("id"),
+      map(lit("status"), $"o_orderstatus",
+        lit("prio"), $"o_orderpriority").as("tags"),
+      struct(($"o_orderkey" % 7 + 1).cast("int").as("version"),
+        unix_timestamp($"o_orderdate").as("timestamp"),
+        $"o_custkey".as("changeset"),
+        ($"o_custkey" % 1000).as("uid"),
+        concat(lit("user"), $"o_custkey" % 100).as("user")).as("meta"))
+
+    val ways = orders.groupBy($"o_custkey")
+      .agg(sort_array(collect_list($"o_orderkey")).as("nodes"))
+      .join(customer, $"o_custkey" === $"c_custkey")
+      .select(($"c_custkey" + WayBase).as("id"), $"nodes",
+        map(lit("segment"), $"c_mktsegment").as("tags"),
+        struct(($"c_custkey" % 5 + 1).cast("int").as("version"),
+          lit(1500000000L).as("timestamp"),
+          $"c_nationkey".cast("long").as("changeset"),
+          ($"c_custkey" % 1000).as("uid"),
+          concat(lit("user"), $"c_custkey" % 100).as("user")).as("meta"))
+
+    // nation relations: way members (all customers of the nation, also
+    // ones with no orders -> dangling refs) + every 97th order as a node
+    // member; member order = (ways by custkey, then nodes by orderkey)
+    val wayMembers = customer.select($"c_nationkey".as("nk"),
+      struct(($"c_custkey" + WayBase).as("ref"), lit("way").as("mtype"),
+        lit("outer").as("role")).as("m"),
+      $"c_custkey".as("ord"))
+    val nodeMembers = orders
+      .join(customer, $"o_custkey" === $"c_custkey")
+      .where($"o_orderkey" % 97 === 0)
+      .select($"c_nationkey".as("nk"),
+        struct($"o_orderkey".as("ref"), lit("node").as("mtype"),
+          lit("label").as("role")).as("m"),
+        ($"o_orderkey" + 10000000L).as("ord"))
+    val natRel = wayMembers.unionByName(nodeMembers)
+      .groupBy($"nk")
+      .agg(transform(array_sort(collect_list(struct($"ord", $"m"))),
+        e => e("m")).as("members"))
+      .join(nation, $"nk" === $"n_nationkey")
+      .select(($"n_nationkey" + RelBase).as("id"), $"members",
+        map(lit("type"),
+          when($"n_nationkey" % 2 === 0, "multipolygon")
+            .otherwise("boundary"),
+          lit("name"), $"n_name").as("tags"),
+        struct(($"n_nationkey" % 3 + 1).cast("int").as("version"),
+          lit(1600000000L).as("timestamp"),
+          $"n_regionkey".cast("long").as("changeset"),
+          $"n_nationkey".as("uid"),
+          concat(lit("user"), $"n_nationkey").as("user")).as("meta"))
+
+    val regRel = nation
+      .select($"n_regionkey".as("rk"),
+        struct(($"n_nationkey" + RelBase).as("ref"),
+          lit("relation").as("mtype"), lit("subarea").as("role")).as("m"),
+        $"n_nationkey".as("ord"))
+      .groupBy($"rk")
+      .agg(transform(array_sort(collect_list(struct($"ord", $"m"))),
+        e => e("m")).as("members"))
+      .join(region, $"rk" === $"r_regionkey")
+      .select(($"r_regionkey" + SuperRelBase).as("id"), $"members",
+        map(lit("type"), lit("boundary"), lit("name"), $"r_name")
+          .as("tags"),
+        struct(($"r_regionkey" % 3 + 1).cast("int").as("version"),
+          lit(1700000000L).as("timestamp"),
+          $"r_regionkey".cast("long").as("changeset"),
+          $"r_regionkey".as("uid"),
+          concat(lit("user"), $"r_regionkey").as("user")).as("meta"))
+
+    val relations = natRel.unionByName(regRel)
+
+    // reverse adjacency (member -> parents), deduped like the
+    // reference's DUPSORT indexes
+    val nodeWay = ways
+      .select(explode($"nodes").as("member_id"), $"id".as("parent_id"))
+      .distinct()
+    def memberAdj(mtype: String): DataFrame = relations
+      .select(explode($"members").as("m"), $"id".as("parent_id"))
+      .where($"m.mtype" === mtype)
+      .select($"m.ref".as("member_id"), $"parent_id")
+      .distinct()
+
+    Tables(locations, nodes, ways, relations,
+      nodeWay, memberAdj("node"), memberAdj("way"), memberAdj("relation"))
+  }
+}
