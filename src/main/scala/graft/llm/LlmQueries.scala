@@ -247,6 +247,56 @@ object LlmQueries {
              |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin),
       bench = true),
 
+    // ---- ANN over a materialized hyperplane-signature index: bucket
+    // filter (both signature halves) + exact rescore. The plane matrix
+    // is a driver-computed literal (no per-row hashing); the oracle
+    // re-derives identical signatures from the same inlined literals ----
+    Q("q34_ann",
+      (s, d) => {
+        import s.implicits._
+        val emb = T(s, d, "embeddings")
+        val query = emb.where($"vec_id" === 0L)
+          .select($"embedding".cast("array<double>")).head()
+          .getSeq[Double](0)
+        val index = Similarity.annIndex(emb, "embedding", "vec_id", 64, 8)
+        Similarity.annTopK(index, query, 20, 8)
+      },
+      Some {
+        val m = Similarity.planeMatrix(8, 64)
+        val mLit = m.map(_.mkString("[", ", ", "]"))
+          .mkString("[", ",\n    ", "]")
+        s"""WITH pm AS (SELECT $mLit AS m),
+           |sig AS (
+           |  SELECT vec_id, embedding, array_to_string(
+           |    list_transform(generate_series(1, 8), p ->
+           |      CASE WHEN list_sum(list_transform(generate_series(1, 64),
+           |        j -> CAST(embedding[CAST(j AS INT)] AS DOUBLE)
+           |             * m[CAST(p AS INT)][CAST(j AS INT)])) >= 0
+           |      THEN '1' ELSE '0' END), '') AS sig
+           |  FROM embeddings, pm),
+           |q AS (
+           |  SELECT CAST(embedding AS DOUBLE[]) AS qv, sig AS qsig
+           |  FROM sig WHERE vec_id = 0),
+           |cand AS (
+           |  SELECT s.vec_id, s.embedding FROM sig s, q
+           |  WHERE substr(s.sig, 1, 4) = substr(q.qsig, 1, 4)
+           |     OR substr(s.sig, 5, 4) = substr(q.qsig, 5, 4)),
+           |sc AS (
+           |  SELECT vec_id,
+           |    list_sum(list_transform(generate_series(1, 64), j ->
+           |      CAST(embedding[CAST(j AS INT)] AS DOUBLE)
+           |      * qv[CAST(j AS INT)])) AS dt,
+           |    sqrt(list_sum(list_transform(embedding, x ->
+           |      CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nv,
+           |    sqrt(list_sum(list_transform(qv, x -> x * x))) AS nq
+           |  FROM cand, q)
+           |SELECT vec_id,
+           |  round(CASE WHEN nv = 0 OR nq = 0 THEN 0
+           |        ELSE dt / (nv * nq) END, 6) AS score
+           |FROM sc ORDER BY score DESC, vec_id LIMIT 20""".stripMargin
+      },
+      bench = true),
+
     // ---- per-label embedding centroids (vector aggregation) ----
     Q("q29_centroids",
       (s, d) => {
