@@ -354,6 +354,67 @@ object OsmQueries {
               |  FROM way_relation2)
               |ORDER BY kind, member_id, parent_id""".stripMargin)),
 
+    // ---- q38: the FULL ingest round trip — synthetic tables -> OSM XML
+    // (S2 sink) -> osmxml DataSource read (S1) -> sorted versioned
+    // expand (A4/S4) -> read back. The oracle never leaves SQL: any
+    // divergence in the codec, DataSource, or sorted write shows up as
+    // a mismatch against the direct derivation ----
+    Q("q38_ingest_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        val t = SyntheticOsm.tables(s, d)
+        val all = Extract.Selected(
+          t.locations.select($"id"), t.ways.select($"id"),
+          t.relations.select($"id"))
+        val xmlDir = java.nio.file.Files
+          .createTempDirectory("graft-q38-xml").toString
+        Ingest.writeExtractXml(t, all, xmlDir, shards = 8)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-q38-db").toString
+        Ingest.expand(s, xmlDir, root)
+        Ingest.readTables(s, root).locations
+          .select($"id", $"lon", $"lat", $"version")
+          .orderBy($"id")
+      },
+      Some(s"""WITH $dOsmCtes
+              |SELECT id, lon, lat, version FROM locations
+              |ORDER BY id""".stripMargin)),
+
+    // ---- q39: way WKT (F3/J9) — the reference's flagship example
+    // (`examples/way_wkt.cpp`, README's Empire State Building demo):
+    // ordered node coords formatted "%.7f %.7f" ----
+    Q("q39_way_wkt",
+      (s, d) => {
+        import s.implicits._
+        val t = SyntheticOsm.tables(s, d)
+        val w = t.ways.where($"id" < SyntheticOsm.WayBase + 100)
+        val pts = w.select($"id", posexplode($"nodes"))
+          .join(t.locations.select($"id".as("nid"), $"lon", $"lat"),
+            $"col" === $"nid")
+          .select($"id", $"pos",
+            format_string("%.7f %.7f", $"lon" / 1e7, $"lat" / 1e7)
+              .as("pt"))
+        pts.groupBy($"id")
+          .agg(concat(lit("LINESTRING ("),
+            array_join(transform(
+              array_sort(collect_list(struct($"pos", $"pt"))),
+              e => e("pt")), ", "),
+            lit(")")).as("wkt"))
+          .orderBy($"id")
+      },
+      Some(s"""WITH $dOsmCtes,
+              |pts AS (
+              |  SELECT id, unnest(nodes) AS nid,
+              |         generate_subscripts(nodes, 1) AS pos
+              |  FROM oways WHERE id < 1000100),
+              |j AS (
+              |  SELECT p.id,
+              |    string_agg(printf('%.7f %.7f', l.lon/1e7, l.lat/1e7),
+              |               ', ' ORDER BY p.pos) AS body
+              |  FROM pts p JOIN locations l ON l.id = p.nid GROUP BY p.id)
+              |SELECT id, 'LINESTRING (' || body || ')' AS wkt
+              |FROM j ORDER BY id""".stripMargin)),
+
     // ---- q35: tag-map operators (P7 MapType predicate, P8/F5 sorted
     // entries projection) over the relations table ----
     Q("q35_tag_filter",

@@ -1,0 +1,178 @@
+package graft.sources
+
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
+import scala.collection.mutable
+
+/** OSM XML (.osm) element codec — the interchange format the reference
+  * ingests and emits through libosmium (`src/expand.cpp:273-295` reads
+  * `.osm.pbf`/XML; `src/extract.cpp:280-299` writes). PBF is the
+  * protobuf-compressed sibling of this format; the XML flavor covers the
+  * same element model (nodes/ways/relations with tags, metadata, refs)
+  * with zero extra dependencies — the DataSource plumbing on top is
+  * format-agnostic.
+  *
+  * Coordinates parse to the engine's canonical 1e7 fixed-point ints
+  * (matching libosmium's fixed-point Location) and format back with
+  * "%.7f" — an exact round-trip.
+  */
+object OsmXmlCodec {
+
+  final case class RawNode(id: Long, lon: Int, lat: Int, version: Int,
+                           timestamp: Long, changeset: Long, uid: Long,
+                           user: String, tags: Seq[(String, String)])
+  final case class RawWay(id: Long, version: Int, timestamp: Long,
+                          changeset: Long, uid: Long, user: String,
+                          tags: Seq[(String, String)], nodes: Seq[Long])
+  final case class RawRelation(id: Long, version: Int, timestamp: Long,
+                               changeset: Long, uid: Long, user: String,
+                               tags: Seq[(String, String)],
+                               members: Seq[(Long, String, String)])
+
+  def degToE7(s: String): Int = {
+    // exact fixed-point parse (avoids double rounding drift):
+    // sign, integer part, up to 7 fractional digits
+    val neg = s.startsWith("-")
+    val t = if (neg) s.substring(1) else s
+    val dot = t.indexOf('.')
+    val intPart = if (dot < 0) t else t.substring(0, dot)
+    val fracRaw = if (dot < 0) "" else t.substring(dot + 1)
+    val frac = (fracRaw + "0000000").substring(0, 7)
+    val v = intPart.toLong * 10000000L + frac.toLong
+    (if (neg) -v else v).toInt
+  }
+
+  def e7ToDeg(e7: Int): String = {
+    val neg = e7 < 0
+    val a = math.abs(e7.toLong)
+    val s = f"${a / 10000000L}%d.${a % 10000000L}%07d"
+    if (neg) "-" + s else s
+  }
+
+  /** OSM XML timestamps are ISO8601 ("2020-01-01T00:00:00Z"); the
+    * engine's canonical form is epoch seconds (F2). */
+  def tsToIso(epochS: Long): String =
+    java.time.Instant.ofEpochSecond(epochS).toString
+  def isoToTs(s: String): Long =
+    if (s.indexOf('T') >= 0) java.time.Instant.parse(s).getEpochSecond
+    else s.toLong
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '&' => "&amp;"
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case '"' => "&quot;"
+      case c => c.toString
+    }
+
+  def renderNode(n: RawNode): String = {
+    val sb = new StringBuilder
+    sb ++= s"""  <node id="${n.id}" lat="${e7ToDeg(n.lat)}" lon="${e7ToDeg(n.lon)}" version="${n.version}" timestamp="${tsToIso(n.timestamp)}" changeset="${n.changeset}" uid="${n.uid}" user="${esc(n.user)}""""
+    if (n.tags.isEmpty) sb ++= "/>"
+    else {
+      sb ++= ">\n"
+      n.tags.foreach { case (k, v) =>
+        sb ++= s"""    <tag k="${esc(k)}" v="${esc(v)}"/>\n"""
+      }
+      sb ++= "  </node>"
+    }
+    sb.result()
+  }
+
+  def renderWay(w: RawWay): String = {
+    val sb = new StringBuilder
+    sb ++= s"""  <way id="${w.id}" version="${w.version}" timestamp="${tsToIso(w.timestamp)}" changeset="${w.changeset}" uid="${w.uid}" user="${esc(w.user)}">\n"""
+    w.nodes.foreach(r => sb ++= s"""    <nd ref="$r"/>\n""")
+    w.tags.foreach { case (k, v) =>
+      sb ++= s"""    <tag k="${esc(k)}" v="${esc(v)}"/>\n"""
+    }
+    sb ++= "  </way>"
+    sb.result()
+  }
+
+  def renderRelation(r: RawRelation): String = {
+    val sb = new StringBuilder
+    sb ++= s"""  <relation id="${r.id}" version="${r.version}" timestamp="${tsToIso(r.timestamp)}" changeset="${r.changeset}" uid="${r.uid}" user="${esc(r.user)}">\n"""
+    r.members.foreach { case (ref, mtype, role) =>
+      sb ++= s"""    <member type="${esc(mtype)}" ref="$ref" role="${esc(role)}"/>\n"""
+    }
+    r.tags.foreach { case (k, v) =>
+      sb ++= s"""    <tag k="${esc(k)}" v="${esc(v)}"/>\n"""
+    }
+    sb ++= "  </relation>"
+    sb.result()
+  }
+
+  val header: String =
+    "<?xml version='1.0' encoding='UTF-8'?>\n<osm version=\"0.6\" generator=\"graft\">"
+  val footer: String = "</osm>"
+
+  /** Streaming StAX parse of one .osm document. Emits each element via
+    * the callbacks (constant memory — the reference's visitor model). */
+  def parse(in: java.io.InputStream,
+            onNode: RawNode => Unit,
+            onWay: RawWay => Unit,
+            onRelation: RawRelation => Unit): Unit = {
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    val r = f.createXMLStreamReader(in)
+
+    def attr(name: String, default: String = ""): String = {
+      val v = r.getAttributeValue(null, name)
+      if (v == null) default else v
+    }
+
+    var id = 0L; var lon = 0; var lat = 0; var version = 0
+    var ts = 0L; var cs = 0L; var uid = 0L; var user = ""
+    var kind = ""
+    val tags = mutable.ArrayBuffer[(String, String)]()
+    val nds = mutable.ArrayBuffer[Long]()
+    val members = mutable.ArrayBuffer[(Long, String, String)]()
+
+    def readCommon(): Unit = {
+      id = attr("id", "0").toLong
+      version = attr("version", "0").toInt
+      ts = isoToTs(attr("timestamp", "0"))
+      cs = attr("changeset", "0").toLong
+      uid = attr("uid", "0").toLong
+      user = attr("user")
+      tags.clear(); nds.clear(); members.clear()
+    }
+
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "node" =>
+              kind = "node"; readCommon()
+              lat = degToE7(attr("lat", "0"))
+              lon = degToE7(attr("lon", "0"))
+            case "way" => kind = "way"; readCommon()
+            case "relation" => kind = "relation"; readCommon()
+            case "tag" => tags += ((attr("k"), attr("v")))
+            case "nd" => nds += attr("ref", "0").toLong
+            case "member" =>
+              members += ((attr("ref", "0").toLong, attr("type"),
+                attr("role")))
+            case _ =>
+          }
+        case XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "node" =>
+              onNode(RawNode(id, lon, lat, version, ts, cs, uid, user,
+                tags.toSeq))
+            case "way" =>
+              onWay(RawWay(id, version, ts, cs, uid, user, tags.toSeq,
+                nds.toSeq))
+            case "relation" =>
+              onRelation(RawRelation(id, version, ts, cs, uid, user,
+                tags.toSeq, members.toSeq))
+            case _ =>
+          }
+        case _ =>
+      }
+    }
+    r.close()
+  }
+}

@@ -1,0 +1,301 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.util.{Map => JMap}
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 for OSM XML element files: the engine's S1 (scan) and
+  * S2 (sink) — the role libosmium's Reader/Writer plays in the reference
+  * (`src/expand.cpp:273-295`, `src/extract.cpp:280-299`).
+  *
+  * ```
+  * spark.read.format("osmxml").option("entity", "node").load(dir)
+  * df.write.format("osmxml").option("entity", "node").save(dir)
+  * ```
+  *
+  * Parallelism model mirrors the reference's: one input partition per
+  * file (libosmium decodes PBF blocks on worker threads; here each file
+  * is a block — a planet-scale ingest shards the input into many files).
+  * Column pruning is pushed into the reader (rows are built only with
+  * the requested fields). The writer emits one well-formed `.osm`
+  * document per partition; `coalesce(1)` for single-file interop.
+  */
+class OsmXmlSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "osmxml"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    OsmXmlSource.schemaFor(OsmXmlSource.entityOf(options.asScala.toMap))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new OsmXmlTable(schema, properties.asScala.toMap)
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object OsmXmlSource {
+  val memberType: StructType = StructType(Seq(
+    StructField("ref", LongType, nullable = false),
+    StructField("mtype", StringType, nullable = false),
+    StructField("role", StringType, nullable = true)))
+
+  private val common = Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("version", IntegerType, nullable = false),
+    StructField("timestamp", LongType, nullable = false),
+    StructField("changeset", LongType, nullable = false),
+    StructField("uid", LongType, nullable = false),
+    StructField("user", StringType, nullable = true),
+    StructField("tags", MapType(StringType, StringType), nullable = false))
+
+  def schemaFor(entity: String): StructType = entity match {
+    case "node" => StructType(
+      Seq(StructField("id", LongType, nullable = false),
+        StructField("lon", IntegerType, nullable = false),
+        StructField("lat", IntegerType, nullable = false)) ++ common.tail)
+    case "way" => StructType(common :+
+      StructField("nodes", ArrayType(LongType, containsNull = false),
+        nullable = false))
+    case "relation" => StructType(common :+
+      StructField("members", ArrayType(memberType, containsNull = false),
+        nullable = false))
+    case other =>
+      throw new IllegalArgumentException(
+        s"osmxml: entity must be node|way|relation, got '$other'")
+  }
+
+  def entityOf(options: Map[String, String]): String =
+    options.getOrElse("entity",
+      throw new IllegalArgumentException(
+        "osmxml requires .option(\"entity\", \"node\"|\"way\"|\"relation\")"))
+
+  /** Paths arrive as `path` or a JSON-array `paths`. */
+  def pathsOf(options: Map[String, String]): Seq[String] = {
+    val fromPaths = options.get("paths").toSeq.flatMap { js =>
+      js.stripPrefix("[").stripSuffix("]").split(",")
+        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+    }
+    val all = fromPaths ++ options.get("path").toSeq
+    if (all.isEmpty) throw new IllegalArgumentException(
+      "osmxml: no path given")
+    all.distinct
+  }
+
+  /** Expand dirs to their .osm files (Hadoop FS, so any supported
+    * filesystem works). */
+  def listFiles(paths: Seq[String]): Seq[String] = {
+    val conf = new Configuration()
+    paths.flatMap { p =>
+      val hp = new Path(p)
+      val fs = hp.getFileSystem(conf)
+      if (fs.getFileStatus(hp).isDirectory)
+        fs.listStatus(hp).toSeq.filter(_.isFile).map(_.getPath.toString)
+          .filter(f => f.endsWith(".osm") || f.endsWith(".xml"))
+      else Seq(p)
+    }.sorted
+  }
+}
+
+final class OsmXmlTable(tableSchema: StructType,
+                        options: Map[String, String])
+  extends Table with SupportsRead with SupportsWrite {
+  private val entity = OsmXmlSource.entityOf(options)
+
+  override def name(): String = s"osmxml.$entity"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newScanBuilder(caseInsensitiveOptions
+                              : CaseInsensitiveStringMap): ScanBuilder =
+    new OsmXmlScanBuilder(entity,
+      options ++ caseInsensitiveOptions.asScala)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new OsmXmlWriteBuilder(entity,
+      options ++ info.options().asScala.toMap, info.schema())
+}
+
+final class OsmXmlScanBuilder(entity: String, options: Map[String, String])
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = OsmXmlSource.schemaFor(entity)
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new Scan with Batch {
+    override def readSchema(): StructType = required
+    override def toBatch: Batch = this
+    override def description(): String = s"osmxml scan [$entity]"
+
+    override def planInputPartitions(): Array[InputPartition] =
+      OsmXmlSource.listFiles(OsmXmlSource.pathsOf(options))
+        .map(f => OsmXmlFilePartition(f): InputPartition).toArray
+
+    override def createReaderFactory(): PartitionReaderFactory =
+      new OsmXmlReaderFactory(entity, required.fieldNames)
+  }
+}
+
+final case class OsmXmlFilePartition(path: String) extends InputPartition
+
+final class OsmXmlReaderFactory(entity: String, columns: Array[String])
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+  : PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[OsmXmlFilePartition].path
+    new PartitionReader[InternalRow] {
+      import OsmXmlCodec._
+      // one file = one block: parsed streaming, buffered per block
+      // (mirrors per-PBF-block decode memory, not per-planet)
+      private val rows = ArrayBuffer[InternalRow]()
+      locally {
+        val hp = new Path(file)
+        val in = hp.getFileSystem(new Configuration()).open(hp)
+        try parse(in,
+          n => if (entity == "node") rows += toRow(nodeValues(n)),
+          w => if (entity == "way") rows += toRow(wayValues(w)),
+          r => if (entity == "relation") rows += toRow(relValues(r)))
+        finally in.close()
+      }
+      private var i = -1
+
+      private def tagsMap(tags: Seq[(String, String)]) =
+        new ArrayBasedMapData(
+          new GenericArrayData(
+            tags.map(t => UTF8String.fromString(t._1)).toArray[Any]),
+          new GenericArrayData(
+            tags.map(t => UTF8String.fromString(t._2)).toArray[Any]))
+
+      private def nodeValues(n: RawNode): Map[String, Any] = Map(
+        "id" -> n.id, "lon" -> n.lon, "lat" -> n.lat,
+        "version" -> n.version, "timestamp" -> n.timestamp,
+        "changeset" -> n.changeset, "uid" -> n.uid,
+        "user" -> UTF8String.fromString(n.user),
+        "tags" -> tagsMap(n.tags))
+
+      private def wayValues(w: RawWay): Map[String, Any] = Map(
+        "id" -> w.id, "version" -> w.version, "timestamp" -> w.timestamp,
+        "changeset" -> w.changeset, "uid" -> w.uid,
+        "user" -> UTF8String.fromString(w.user),
+        "tags" -> tagsMap(w.tags),
+        "nodes" -> new GenericArrayData(w.nodes.toArray[Any]))
+
+      private def relValues(r: RawRelation): Map[String, Any] = Map(
+        "id" -> r.id, "version" -> r.version, "timestamp" -> r.timestamp,
+        "changeset" -> r.changeset, "uid" -> r.uid,
+        "user" -> UTF8String.fromString(r.user),
+        "tags" -> tagsMap(r.tags),
+        "members" -> new GenericArrayData(r.members.map { case (ref, t, role) =>
+          new GenericInternalRow(Array[Any](ref,
+            UTF8String.fromString(t), UTF8String.fromString(role)))
+        }.toArray[Any]))
+
+      /** column pruning: build only the requested fields */
+      private def toRow(values: Map[String, Any]): InternalRow =
+        new GenericInternalRow(columns.map(values(_)))
+
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = rows(i)
+      override def close(): Unit = ()
+    }
+  }
+}
+
+final class OsmXmlWriteBuilder(entity: String,
+                               options: Map[String, String],
+                               dataSchema: StructType)
+  extends WriteBuilder with SupportsTruncate {
+  override def truncate(): WriteBuilder = this // overwrite = rewrite dir
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new BatchWrite {
+      private val dir = OsmXmlSource.pathsOf(options).head
+      // resolve field positions by NAME so any column order works
+      private val idx: Map[String, Int] =
+        dataSchema.fieldNames.zipWithIndex.toMap
+
+      override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory = new OsmXmlWriterFactory(entity, dir, idx)
+
+      override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+      override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+    }
+  }
+}
+
+final case class OsmXmlCommit(path: String) extends WriterCommitMessage
+
+final class OsmXmlWriterFactory(entity: String, dir: String,
+                                idx: Map[String, Int])
+  extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+  : DataWriter[InternalRow] = new DataWriter[InternalRow] {
+    import OsmXmlCodec._
+    private val path =
+      new Path(dir, f"part-$entity%s-$partitionId%05d.osm")
+    private val fs = path.getFileSystem(new Configuration())
+    private val out = fs.create(path, true)
+    private val w = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(out, "UTF-8"))
+    w.write(header); w.write("\n")
+
+    private def tagsOf(row: InternalRow): Seq[(String, String)] = {
+      val m = row.getMap(idx("tags"))
+      (0 until m.numElements()).map(i =>
+        (m.keyArray().getUTF8String(i).toString,
+          m.valueArray().getUTF8String(i).toString))
+    }
+    private def str(row: InternalRow, name: String): String = {
+      val i = idx(name)
+      if (row.isNullAt(i)) "" else row.getUTF8String(i).toString
+    }
+
+    override def write(row: InternalRow): Unit = {
+      def L(n: String) = row.getLong(idx(n))
+      def I(n: String) = row.getInt(idx(n))
+      val s = entity match {
+        case "node" => renderNode(RawNode(L("id"), I("lon"), I("lat"),
+          I("version"), L("timestamp"), L("changeset"), L("uid"),
+          str(row, "user"), tagsOf(row)))
+        case "way" =>
+          val nodes = row.getArray(idx("nodes"))
+          renderWay(RawWay(L("id"), I("version"), L("timestamp"),
+            L("changeset"), L("uid"), str(row, "user"), tagsOf(row),
+            (0 until nodes.numElements()).map(nodes.getLong)))
+        case "relation" =>
+          val ms = row.getArray(idx("members"))
+          renderRelation(RawRelation(L("id"), I("version"), L("timestamp"),
+            L("changeset"), L("uid"), str(row, "user"), tagsOf(row),
+            (0 until ms.numElements()).map { i =>
+              val m = ms.getStruct(i, 3)
+              (m.getLong(0), m.getUTF8String(1).toString,
+                if (m.isNullAt(2)) "" else m.getUTF8String(2).toString)
+            }))
+      }
+      w.write(s); w.write("\n")
+    }
+
+    override def commit(): WriterCommitMessage = {
+      w.write(footer); w.write("\n"); w.close()
+      OsmXmlCommit(path.toString)
+    }
+    override def abort(): Unit = { w.close(); fs.delete(path, false); () }
+    override def close(): Unit = ()
+  }
+}

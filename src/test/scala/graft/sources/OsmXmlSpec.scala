@@ -1,0 +1,172 @@
+package graft.sources
+
+import graft.osm.{Extract, Ingest, SyntheticOsm, VersionedTable}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** S1/S2 DataSource + expand/extract round trip (the SURVEY §5 property:
+  * extract(expand(x)) is topology-complete and re-expandable). */
+class OsmXmlSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def metaRow(v: Int) =
+    (v, 1600000000L + v, 77L, 42L, s"user$v")
+
+  /** Tiny hand-built world:
+    * nodes 1-3 in a cluster near (10,10); node 4 far away at (50,50);
+    * node 5 untagged at (10.001, 10.001); node 6 isolated at (-20,-20).
+    * way 100 = [1,2,5]; way 101 = [4] (outside); way 102 = [3] member of
+    * a multipolygon relation. relation 200 (multipolygon) = [way 102,
+    * way 999-missing]; relation 201 = [node 6, relation 200]. */
+  private def world(): (DataFrame, DataFrame, DataFrame) = {
+    val nodes = Seq(
+      (1L, 100000000, 100000000, 1, 1600000001L, 77L, 42L, "u",
+        Map("amenity" -> "cafe")),
+      (2L, 100010000, 100010000, 1, 1600000002L, 77L, 42L, "u",
+        Map("name" -> "A & B <\"x\">")),
+      (3L, 100020000, 100020000, 2, 1600000003L, 77L, 42L, "u",
+        Map.empty[String, String]),
+      (4L, 500000000, 500000000, 1, 1600000004L, 77L, 42L, "u",
+        Map.empty[String, String]),
+      (5L, 100010001, 100010001, 3, 1600000005L, 77L, 42L, "u",
+        Map.empty[String, String]),
+      (6L, -200000000, -200000000, 1, 1600000006L, 77L, 42L, "u",
+        Map("place" -> "island"))
+    ).toDF("id", "lon", "lat", "version", "timestamp", "changeset",
+      "uid", "user", "tags")
+    val ways = Seq(
+      (100L, 1, 1600000101L, 77L, 42L, "u",
+        Map("highway" -> "path"), Seq(1L, 2L, 5L)),
+      (101L, 1, 1600000102L, 77L, 42L, "u",
+        Map.empty[String, String], Seq(4L)),
+      (102L, 2, 1600000103L, 77L, 42L, "u",
+        Map.empty[String, String], Seq(3L))
+    ).toDF("id", "version", "timestamp", "changeset", "uid", "user",
+      "tags", "nodes")
+    val rels = Seq(
+      (200L, 1, 1600000201L, 77L, 42L, "u",
+        Map("type" -> "multipolygon"),
+        Seq((102L, "way", "outer"), (999L, "way", "outer"))),
+      (201L, 1, 1600000202L, 77L, 42L, "u",
+        Map("type" -> "collection"),
+        Seq((6L, "node", "label"), (200L, "relation", "sub")))
+    ).toDF("id", "version", "timestamp", "changeset", "uid", "user",
+      "tags", "members")
+    (nodes, ways, rels)
+  }
+
+  test("osmxml write -> read round-trips all three entities exactly") {
+    val (nodes, ways, rels) = world()
+    val dir = Files.createTempDirectory("graft-xml").toString
+    nodes.coalesce(1).write.format("osmxml").option("entity", "node")
+      .mode("overwrite").save(dir)
+    ways.coalesce(1).write.format("osmxml").option("entity", "way")
+      .mode("overwrite").save(dir)
+    rels.coalesce(1).write.format("osmxml").option("entity", "relation")
+      .mode("overwrite").save(dir)
+
+    val nodesBack = spark.read.format("osmxml").option("entity", "node")
+      .load(dir)
+    assert(nodesBack.count() == 6)
+    val n2 = nodesBack.where($"id" === 2L)
+      .select($"lon", $"lat", $"tags").head()
+    assert(n2.getInt(0) == 100010000 && n2.getInt(1) == 100010000)
+    assert(n2.getMap[String, String](2) == Map("name" -> "A & B <\"x\">"))
+
+    val waysBack = spark.read.format("osmxml").option("entity", "way")
+      .load(dir)
+    val w100 = waysBack.where($"id" === 100L)
+      .select($"nodes", $"timestamp").head()
+    assert(w100.getSeq[Long](0) == Seq(1L, 2L, 5L)) // order preserved
+    assert(w100.getLong(1) == 1600000101L)          // ISO ts round trip
+
+    val relsBack = spark.read.format("osmxml")
+      .option("entity", "relation").load(dir)
+    val r200 = relsBack.where($"id" === 200L).select($"members").head()
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(r200.map(m => (m.getLong(0), m.getString(1), m.getString(2)))
+      == Seq((102L, "way", "outer"), (999L, "way", "outer")))
+
+    // column pruning reaches the scan
+    val pruned = nodesBack.select($"id", $"lat")
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("osmxml"), "DSv2 scan missing from plan")
+    assert(pruned.as[(Long, Int)].collect().toSet.map((t: (Long, Int)) => t._1)
+      == Set(1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
+  test("expand -> extract -> re-expand: topology-complete round trip") {
+    val (nodes, ways, rels) = world()
+    val xmlDir = Files.createTempDirectory("graft-xml2").toString
+    nodes.coalesce(1).write.format("osmxml").option("entity", "node")
+      .mode("overwrite").save(xmlDir)
+    ways.coalesce(1).write.format("osmxml").option("entity", "way")
+      .mode("overwrite").save(xmlDir)
+    rels.coalesce(1).write.format("osmxml").option("entity", "relation")
+      .mode("overwrite").save(xmlDir)
+
+    // expand into the versioned store
+    val root = Files.createTempDirectory("graft-db").toString
+    val v = Ingest.expand(spark, xmlDir, root, numPartitions = 2)
+    assert(v == 1L)
+    assert(VersionedTable.metadata(root, "import_filename")
+      .contains(xmlDir))
+    val t = Ingest.readTables(spark, root)
+
+    // untagged nodes live only in locations (`src/expand.cpp:156`)
+    assert(t.locations.count() == 6)
+    assert(t.nodes.as[(Long, Map[String, String],
+      (Int, Long, Long, Long, String))].collect().map(_._1).toSet
+      == Set(1L, 2L, 6L))
+    // locations carry the s2cell index column, sorted
+    val locV = VersionedTable.read(spark, root, "locations")
+    assert(locV.columns.contains("s2cell"))
+
+    // extract seeded from the (10,10) cluster: bbox around it
+    val seeds = t.locations
+      .where($"lat".between(99000000, 101000000) &&
+        $"lon".between(99000000, 101000000))
+      .select($"id")
+    val sel = Extract.complete(t, seeds)
+
+    val nodeIds = sel.nodeIds.as[Long].collect().toSet
+    val wayIds = sel.wayIds.as[Long].collect().toSet
+    val relIds = sel.relationIds.as[Long].collect().toSet
+    // seeds 1,2,3,5 -> ways 100,102 -> relation 200 (via way 102)
+    //   -> relation 201 (closure over relation_relation)
+    //   -> multipolygon adds way 102 only (999 missing)
+    //   -> way completion keeps nodes 1,2,3,5 (way 101/node 4 excluded)
+    assert(wayIds == Set(100L, 102L), s"ways: $wayIds")
+    assert(relIds == Set(200L, 201L), s"relations: $relIds")
+    assert(nodeIds == Set(1L, 2L, 3L, 5L), s"nodes: $nodeIds")
+
+    // write the extract as XML, re-expand it, and the element sets match
+    val outDir = Files.createTempDirectory("graft-extract").toString
+    Ingest.writeExtractXml(t, sel, outDir)
+    val root2 = Files.createTempDirectory("graft-db2").toString
+    Ingest.expand(spark, outDir, root2, numPartitions = 2)
+    val t2 = Ingest.readTables(spark, root2)
+    assert(t2.locations.select("id").as[Long].collect().toSet == nodeIds)
+    assert(t2.ways.select("id").as[Long].collect().toSet == wayIds)
+    assert(t2.relations.select("id").as[Long].collect().toSet == relIds)
+    // way node order survives the round trip
+    assert(t2.ways.where($"id" === 100L).select($"nodes")
+      .as[Seq[Long]].head() == Seq(1L, 2L, 5L))
+    // --noUserData strips changeset/uid/user
+    val gdprDir = Files.createTempDirectory("graft-gdpr").toString
+    Ingest.writeExtractXml(t, sel, gdprDir, includeUserData = false)
+    val gdprNodes = spark.read.format("osmxml").option("entity", "node")
+      .load(gdprDir)
+    assert(gdprNodes.agg(max($"changeset"), max($"uid")).head()
+      == org.apache.spark.sql.Row(0L, 0L))
+  }
+}
