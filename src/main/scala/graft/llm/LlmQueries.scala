@@ -33,6 +33,22 @@ object LlmQueries {
       s"list_min(list_transform(h, x -> ($a * x + $b) % $P))"
     }.mkString("[", ",\n  ", "]")
 
+  /** DuckDB fragment: 64-bit simhash bit string from a CTE column `h`
+    * of per-token md5 hex strings (mirrors
+    * [[graft.functions.TextHashImpl.simhash64]], incl. the zero-token
+    * all-zeros case). */
+  private val dSimhashExpr: String =
+    """CASE WHEN len(h) = 0 THEN repeat('0', 64)
+      |  ELSE array_to_string(
+      |    list_transform(generate_series(0, 63), j ->
+      |      CASE WHEN list_sum(list_transform(h, x ->
+      |        2 * (((strpos('0123456789abcdef',
+      |                 x[CAST(j // 4 AS INT) + 1
+      |                   : CAST(j // 4 AS INT) + 1]) - 1)
+      |              >> CAST(j % 4 AS INT)) & 1) - 1)) >= 0
+      |      THEN '1' ELSE '0' END), '')
+      |  END""".stripMargin
+
   /** DuckDB CTE prelude shared by the minhash queries: token hashes,
     * signatures (token-bearing docs only), band keys, candidate pairs. */
   private val dCandidateCtes =
@@ -168,18 +184,29 @@ object LlmQueries {
       Some(s"""WITH hs AS (SELECT doc_id,
               |  list_transform($dTokens, t -> md5(t)) AS h
               |  FROM documents)
-              |SELECT doc_id,
-              |  CASE WHEN len(h) = 0 THEN repeat('0', 64)
-              |  ELSE array_to_string(
-              |    list_transform(generate_series(0, 63), j ->
-              |      CASE WHEN list_sum(list_transform(h, x ->
-              |        2 * (((strpos('0123456789abcdef',
-              |                 x[CAST(j // 4 AS INT) + 1
-              |                   : CAST(j // 4 AS INT) + 1]) - 1)
-              |              >> CAST(j % 4 AS INT)) & 1) - 1)) >= 0
-              |      THEN '1' ELSE '0' END), '')
-              |  END AS simhash
+              |SELECT doc_id, $dSimhashExpr AS simhash
               |FROM hs ORDER BY doc_id""".stripMargin)),
+
+    // ---- SimHash 4x16-bit banding -> candidate pairs (pigeonhole:
+    // Hamming distance <= 3 always collides in >= 1 band) ----
+    Q("q41_simhash_bands",
+      (s, d) => {
+        import s.implicits._
+        Dedup.simhashCandidatePairs(T(s, d, "documents"), "text",
+          "doc_id").orderBy($"a", $"b")
+      },
+      Some(s"""WITH hs AS (SELECT doc_id,
+              |  list_transform($dTokens, t -> md5(t)) AS h
+              |  FROM documents),
+              |sk AS (SELECT doc_id, $dSimhashExpr AS sh FROM hs),
+              |bands AS (
+              |  SELECT doc_id, b, substr(sh, b*16 + 1, 16) AS bkey
+              |  FROM sk, (SELECT unnest(generate_series(0, 3)) AS b) bs)
+              |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              |FROM bands x JOIN bands y
+              |  ON x.b = y.b AND x.bkey = y.bkey
+              | AND x.doc_id < y.doc_id
+              |ORDER BY a, b""".stripMargin)),
 
     // ---- n-gram Jaccard near-dups: LSH candidates -> exact verify ----
     // The scale-safe shape (one bucketed shuffle + per-candidate verify)

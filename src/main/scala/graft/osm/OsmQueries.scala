@@ -415,6 +415,48 @@ object OsmQueries {
               |SELECT id, 'LINESTRING (' || body || ')' AS wkt
               |FROM j ORDER BY id""".stripMargin)),
 
+    // ---- q40: augmented diff (J10) — parents affected by a changeset
+    // but not themselves changed (leftanti `not in actions`) ----
+    Q("q40_augmented_diff",
+      (s, d) => {
+        import s.implicits._
+        val t = SyntheticOsm.tables(s, d)
+        val chNodes = t.locations.where($"id" % 17 <= 1).select($"id")
+        val chWays = t.ways
+          .where(($"id" - SyntheticOsm.WayBase) % 13 === 0).select($"id")
+        val chRels = t.relations
+          .where($"id" >= SyntheticOsm.RelBase &&
+            $"id" < SyntheticOsm.SuperRelBase &&
+            ($"id" - SyntheticOsm.RelBase) % 5 === 0).select($"id")
+        AugmentedDiff.affectedParents(t, chNodes, chWays, chRels)
+      },
+      Some(s"""WITH $dOsmCtes,
+              |ch_nodes AS (SELECT id FROM locations WHERE id % 17 <= 1),
+              |ch_ways AS (SELECT id FROM oways
+              |            WHERE (id - 1000000) % 13 = 0),
+              |ch_rels AS (SELECT id FROM orelations
+              |            WHERE id >= 2000000 AND id < 3000000
+              |              AND (id - 2000000) % 5 = 0),
+              |aff_ways AS (
+              |  SELECT DISTINCT parent_id AS id
+              |  FROM node_way JOIN ch_nodes ON member_id = ch_nodes.id
+              |  WHERE parent_id NOT IN (SELECT id FROM ch_ways)),
+              |touching AS (
+              |  SELECT id FROM ch_ways UNION SELECT id FROM aff_ways),
+              |aff_rels AS (
+              |  SELECT DISTINCT id FROM (
+              |    SELECT parent_id AS id FROM node_relation
+              |    JOIN ch_nodes ON member_id = ch_nodes.id
+              |    UNION ALL
+              |    SELECT parent_id FROM way_relation
+              |    JOIN touching ON member_id = touching.id) u
+              |  WHERE id NOT IN (SELECT id FROM ch_rels))
+              |SELECT * FROM (
+              |  SELECT 'way' AS etype, id FROM aff_ways
+              |  UNION ALL
+              |  SELECT 'relation', id FROM aff_rels)
+              |ORDER BY etype, id""".stripMargin)),
+
     // ---- q35: tag-map operators (P7 MapType predicate, P8/F5 sorted
     // entries projection) over the relations table ----
     Q("q35_tag_filter",

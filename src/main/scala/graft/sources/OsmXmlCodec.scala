@@ -112,7 +112,28 @@ object OsmXmlCodec {
   def parse(in: java.io.InputStream,
             onNode: RawNode => Unit,
             onWay: RawWay => Unit,
-            onRelation: RawRelation => Unit): Unit = {
+            onRelation: RawRelation => Unit): Unit =
+    parseWithActions(in,
+      (n, _) => onNode(n), (w, _) => onWay(w), (r, _) => onRelation(r))
+
+  /** OsmChange (.osc) document header/footer + action rendering (S3:
+    * `src/update.cpp:272-276`'s `<create>/<modify>/<delete>` blocks). */
+  val changeHeader: String =
+    "<?xml version='1.0' encoding='UTF-8'?>\n<osmChange version=\"0.6\" generator=\"graft\">"
+  val changeFooter: String = "</osmChange>"
+  def renderAction(action: String, body: String): String =
+    s"  <$action>\n$body\n  </$action>"
+
+  /** Streaming parse of either a plain `.osm` or an OsmChange `.osc`
+    * document. For plain documents the action is null; inside
+    * `<create>/<modify>/<delete>` blocks it is that block's name —
+    * elements under `<delete>` are the reference's `visible=false` path
+    * (`src/update.cpp:33-48`). */
+  def parseWithActions(in: java.io.InputStream,
+                       onNode: (RawNode, String) => Unit,
+                       onWay: (RawWay, String) => Unit,
+                       onRelation: (RawRelation, String) => Unit)
+  : Unit = {
     val f = XMLInputFactory.newInstance()
     f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
     f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
@@ -126,6 +147,7 @@ object OsmXmlCodec {
     var id = 0L; var lon = 0; var lat = 0; var version = 0
     var ts = 0L; var cs = 0L; var uid = 0L; var user = ""
     var kind = ""
+    var action: String = null
     val tags = mutable.ArrayBuffer[(String, String)]()
     val nds = mutable.ArrayBuffer[Long]()
     val members = mutable.ArrayBuffer[(Long, String, String)]()
@@ -155,19 +177,21 @@ object OsmXmlCodec {
             case "member" =>
               members += ((attr("ref", "0").toLong, attr("type"),
                 attr("role")))
+            case a @ ("create" | "modify" | "delete") => action = a
             case _ =>
           }
         case XMLStreamConstants.END_ELEMENT =>
           r.getLocalName match {
             case "node" =>
               onNode(RawNode(id, lon, lat, version, ts, cs, uid, user,
-                tags.toSeq))
+                tags.toSeq), action)
             case "way" =>
               onWay(RawWay(id, version, ts, cs, uid, user, tags.toSeq,
-                nds.toSeq))
+                nds.toSeq), action)
             case "relation" =>
               onRelation(RawRelation(id, version, ts, cs, uid, user,
-                tags.toSeq, members.toSeq))
+                tags.toSeq, members.toSeq), action)
+            case "create" | "modify" | "delete" => action = null
             case _ =>
           }
         case _ =>

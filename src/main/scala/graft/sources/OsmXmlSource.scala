@@ -37,8 +37,11 @@ import scala.jdk.CollectionConverters._
 class OsmXmlSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "osmxml"
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    OsmXmlSource.schemaFor(OsmXmlSource.entityOf(options.asScala.toMap))
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val opts = options.asScala.toMap
+    OsmXmlSource.schemaFor(OsmXmlSource.entityOf(opts),
+      OsmXmlSource.changesOf(opts))
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table =
@@ -62,21 +65,31 @@ object OsmXmlSource {
     StructField("user", StringType, nullable = true),
     StructField("tags", MapType(StringType, StringType), nullable = false))
 
-  def schemaFor(entity: String): StructType = entity match {
-    case "node" => StructType(
-      Seq(StructField("id", LongType, nullable = false),
-        StructField("lon", IntegerType, nullable = false),
-        StructField("lat", IntegerType, nullable = false)) ++ common.tail)
-    case "way" => StructType(common :+
-      StructField("nodes", ArrayType(LongType, containsNull = false),
-        nullable = false))
-    case "relation" => StructType(common :+
-      StructField("members", ArrayType(memberType, containsNull = false),
-        nullable = false))
-    case other =>
-      throw new IllegalArgumentException(
-        s"osmxml: entity must be node|way|relation, got '$other'")
+  def schemaFor(entity: String, changes: Boolean = false): StructType = {
+    val base = entity match {
+      case "node" => StructType(
+        Seq(StructField("id", LongType, nullable = false),
+          StructField("lon", IntegerType, nullable = false),
+          StructField("lat", IntegerType, nullable = false)) ++ common.tail)
+      case "way" => StructType(common :+
+        StructField("nodes", ArrayType(LongType, containsNull = false),
+          nullable = false))
+      case "relation" => StructType(common :+
+        StructField("members", ArrayType(memberType, containsNull = false),
+          nullable = false))
+      case other =>
+        throw new IllegalArgumentException(
+          s"osmxml: entity must be node|way|relation, got '$other'")
+    }
+    // OsmChange (.osc) mode: each element carries its enclosing
+    // create/modify/delete block (S3)
+    if (changes) StructType(base :+
+      StructField("action", StringType, nullable = true))
+    else base
   }
+
+  def changesOf(options: Map[String, String]): Boolean =
+    options.get("changes").exists(_.equalsIgnoreCase("true"))
 
   def entityOf(options: Map[String, String]): String =
     options.getOrElse("entity",
@@ -124,6 +137,7 @@ final class OsmXmlTable(tableSchema: StructType,
   override def newScanBuilder(caseInsensitiveOptions
                               : CaseInsensitiveStringMap): ScanBuilder =
     new OsmXmlScanBuilder(entity,
+      OsmXmlSource.changesOf(options),
       options ++ caseInsensitiveOptions.asScala)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -131,9 +145,11 @@ final class OsmXmlTable(tableSchema: StructType,
       options ++ info.options().asScala.toMap, info.schema())
 }
 
-final class OsmXmlScanBuilder(entity: String, options: Map[String, String])
+final class OsmXmlScanBuilder(entity: String, changes: Boolean,
+                              options: Map[String, String])
   extends ScanBuilder with SupportsPushDownRequiredColumns {
-  private var required: StructType = OsmXmlSource.schemaFor(entity)
+  private var required: StructType =
+    OsmXmlSource.schemaFor(entity, changes)
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -148,13 +164,14 @@ final class OsmXmlScanBuilder(entity: String, options: Map[String, String])
         .map(f => OsmXmlFilePartition(f): InputPartition).toArray
 
     override def createReaderFactory(): PartitionReaderFactory =
-      new OsmXmlReaderFactory(entity, required.fieldNames)
+      new OsmXmlReaderFactory(entity, changes, required.fieldNames)
   }
 }
 
 final case class OsmXmlFilePartition(path: String) extends InputPartition
 
-final class OsmXmlReaderFactory(entity: String, columns: Array[String])
+final class OsmXmlReaderFactory(entity: String, changes: Boolean,
+                                columns: Array[String])
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
   : PartitionReader[InternalRow] = {
@@ -167,10 +184,18 @@ final class OsmXmlReaderFactory(entity: String, columns: Array[String])
       locally {
         val hp = new Path(file)
         val in = hp.getFileSystem(new Configuration()).open(hp)
-        try parse(in,
-          n => if (entity == "node") rows += toRow(nodeValues(n)),
-          w => if (entity == "way") rows += toRow(wayValues(w)),
-          r => if (entity == "relation") rows += toRow(relValues(r)))
+        // change mode keeps only elements inside an action block
+        def act(a: String): Map[String, Any] =
+          if (a == null) Map("action" -> null)
+          else Map("action" -> UTF8String.fromString(a))
+        def keep(a: String): Boolean = !changes || a != null
+        try parseWithActions(in,
+          (n, a) => if (entity == "node" && keep(a))
+            rows += toRow(nodeValues(n) ++ act(a)),
+          (w, a) => if (entity == "way" && keep(a))
+            rows += toRow(wayValues(w) ++ act(a)),
+          (r, a) => if (entity == "relation" && keep(a))
+            rows += toRow(relValues(r) ++ act(a)))
         finally in.close()
       }
       private var i = -1

@@ -108,6 +108,43 @@ object Coverer {
     result.toSeq
   }
 
+  /** G8: buffer a covering (`--expand LEVEL`, `src/extract.cpp:138-143`
+    * = S2CellUnion::Expand): every covering cell contributes the 8
+    * neighbors of its enclosing cell at `expandLevel` (or of itself if
+    * already coarser), guaranteeing a buffer of at least one
+    * level-`expandLevel` cell width around the original union — a
+    * conservative superset of the reference's expansion. */
+  def expandCovering(cells: Seq[Long], expandLevel: Int): Seq[Long] = {
+    val extra = cells.flatMap { c =>
+      val l = math.min(S2.level(c), expandLevel)
+      val base = S2.parent(c, l)
+      S2.neighbors(base) :+ base
+    }
+    normalize(cells ++ extra)
+  }
+
+  /** Drop cells nested inside another cell of the set (S2 cell ranges
+    * are either nested or disjoint), so downstream range predicates stay
+    * disjoint — required by the binary-search membership test. */
+  def normalize(cells: Seq[Long]): Seq[Long] = {
+    // ties on rangeMin = nested cells sharing their first leaf: put the
+    // LARGEST (ancestor) first so descendants get dropped
+    val sorted = cells.distinct
+      .sortBy(c => (S2.rangeMin(c), S2.rangeMin(c) - S2.rangeMax(c)))
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    var lastMax = Long.MinValue
+    sorted.foreach { c =>
+      // sorted by rangeMin and ranges are nested-or-disjoint, so a cell
+      // is either inside the last kept one (rangeMax <= lastMax) or
+      // fully past it
+      if (out.isEmpty || S2.rangeMax(c) > lastMax) {
+        out += c
+        lastMax = S2.rangeMax(c)
+      }
+    }
+    out.toSeq
+  }
+
   /** Level-`level` leaf-range disjuncts [lo, hi] (inclusive) of a
     * covering — the scan predicate shape (`src/storage.cpp:171-172`'s
     * child_begin/child_end semantics). */

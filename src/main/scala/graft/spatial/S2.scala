@@ -208,4 +208,39 @@ object S2 {
   /** The 6 face cells (level 0). */
   def faceCells: Array[Long] =
     Array.tabulate(6)(f => (f.toLong << 61) | lsbForLevel(0))
+
+  /** Leaf id for a possibly out-of-face (i, j) at `face`: the st->uv
+    * quadratic transform extends smoothly beyond [0,1], so projecting
+    * the out-of-range center through xyz and re-deriving the face gives
+    * the wrapped neighbor (the role of S2CellId::FromFaceIJWrap). */
+  private def fromFaceIJWrapped(face: Int, i: Int, j: Int): Long = {
+    val max = 1 << MaxLevel
+    if (i >= 0 && j >= 0 && i < max && j < max) fromFaceIJ(face, i, j)
+    else {
+      val m = max.toDouble
+      val u = stToUv((i + 0.5) / m)
+      val v = stToUv((j + 0.5) / m)
+      val (x, y, z) = faceUvToXyz(face, u, v)
+      val f2 = xyzToFace(x, y, z)
+      val (u2, v2) = faceUv(f2, x, y, z)
+      fromFaceIJ(f2, stToIJ(uvToSt(u2)), stToIJ(uvToSt(v2)))
+    }
+  }
+
+  /** The 8 same-level neighbors (4 edge + 4 vertex) of a cell, wrapped
+    * across face boundaries; fewer for cells at cube corners (duplicates
+    * removed). */
+  def neighbors(id: Long): Seq[Long] = {
+    val lvl = level(id)
+    val (face, i, j) = toFaceIJ(id)
+    val size = 1 << (MaxLevel - lvl)
+    val i0 = i & -size
+    val j0 = j & -size
+    (for {
+      di <- Seq(-size, 0, size)
+      dj <- Seq(-size, 0, size)
+      if !(di == 0 && dj == 0)
+    } yield parent(fromFaceIJWrapped(face, i0 + di, j0 + dj), lvl))
+      .distinct.filterNot(_ == id)
+  }
 }

@@ -104,6 +104,52 @@ class OsmXmlSpec extends AnyFunSuite {
       == Set(1L, 2L, 3L, 4L, 5L, 6L))
   }
 
+  test("osc change scan (S3) feeds Changeset (U1) correctly") {
+    import OsmXmlCodec._
+    // hand-built .osc: create node 10, modify node 1, delete node 2
+    val osc = Seq(
+      changeHeader,
+      renderAction("create", renderNode(RawNode(10L, 50, 60, 1,
+        1700000000L, 9L, 9L, "u", Seq("k" -> "v")))),
+      renderAction("modify", renderNode(RawNode(1L, 11, 11, 2,
+        1700000001L, 9L, 9L, "u", Seq.empty))),
+      renderAction("delete", renderNode(RawNode(2L, 0, 0, 2,
+        1700000002L, 9L, 9L, "u", Seq.empty))),
+      changeFooter).mkString("\n")
+    val dir = Files.createTempDirectory("graft-osc").toString
+    Files.write(java.nio.file.Paths.get(dir, "diff.osc.xml"),
+      osc.getBytes("UTF-8"))
+
+    val changes = spark.read.format("osmxml")
+      .option("entity", "node").option("changes", "true").load(dir)
+    assert(changes.count() == 3)
+    val acts = changes.select($"id", $"action")
+      .as[(Long, String)].collect().toMap
+    assert(acts == Map(10L -> "create", 1L -> "modify", 2L -> "delete"))
+
+    // apply: start from nodes 1,2,3
+    val loc = Seq((1L, 10, 10, 1), (2L, 20, 20, 1), (3L, 30, 30, 1))
+      .toDF("id", "lon", "lat", "version")
+    val nodes = Seq((1L, Map("a" -> "b")))
+      .toDF("id", "tags")
+      .select($"id", $"tags", struct(lit(1).as("version"),
+        lit(0L).as("timestamp"), lit(0L).as("changeset"),
+        lit(0L).as("uid"), lit("x").as("user")).as("meta"))
+    val ch = changes.select($"id",
+      ($"action" =!= "delete").as("visible"),
+      $"lon", $"lat", $"version", $"tags",
+      struct($"version", $"timestamp", $"changeset", $"uid", $"user")
+        .as("meta"))
+    val (loc2, nodes2) = graft.osm.Changeset.applyNodeChanges(
+      loc, nodes, ch)
+    assert(loc2.select($"id", $"lon", $"lat", $"version")
+      .as[(Long, Int, Int, Int)].collect().toSet ==
+      Set((1L, 11, 11, 2), (3L, 30, 30, 1), (10L, 50, 60, 1)))
+    // node 1 became untagged (modify with no tags deletes the blob);
+    // node 10 gained a blob
+    assert(nodes2.select($"id").as[Long].collect().toSet == Set(10L))
+  }
+
   test("expand -> extract -> re-expand: topology-complete round trip") {
     val (nodes, ways, rels) = world()
     val xmlDir = Files.createTempDirectory("graft-xml2").toString

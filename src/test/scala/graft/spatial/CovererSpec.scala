@@ -107,6 +107,52 @@ class CovererSpec extends AnyFunSuite {
     checkCovering(Region(json, "geojson"), 14)
   }
 
+  test("neighbors: 8 same-level cells, mutual, face-wrapping") {
+    val rnd = new Random(21)
+    for (_ <- 1 to 100) {
+      val lat = rnd.nextDouble() * 170 - 85
+      val lng = rnd.nextDouble() * 360 - 180
+      val c = S2.latLngToCellId(lat, lng, 10)
+      val ns = S2.neighbors(c)
+      assert(ns.size >= 7 && ns.size <= 8) // corner cells have 7
+      assert(ns.forall(n => S2.level(n) == 10))
+      assert(!ns.contains(c))
+      // neighborhood is mutual for edge neighbors (spot check)
+      assert(ns.exists(n => S2.neighbors(n).contains(c)))
+    }
+    // face boundary: a cell at lng ~ 180 still has 8 distinct neighbors
+    val edge = S2.latLngToCellId(10.0, 179.999, 10)
+    assert(S2.neighbors(edge).size == 8)
+  }
+
+  test("expandCovering buffers the region by about one cell (G8)") {
+    val r = Region("40.70,-74.02,40.78,-73.90", "bbox")
+    val cells = Coverer.covering(r)
+    val expanded = Coverer.expandCovering(cells, 12)
+    // superset of the original
+    val origRanges = cells.map(c => (S2.rangeMin(c), S2.rangeMax(c)))
+    val expRanges = expanded.map(c => (S2.rangeMin(c), S2.rangeMax(c)))
+    def covered(rs: Seq[(Long, Long)], leaf: Long) =
+      rs.exists { case (lo, hi) => lo <= leaf && leaf <= hi }
+    val rnd = new Random(31)
+    for (_ <- 1 to 500) {
+      val lat = 40.70 + rnd.nextDouble() * 0.08
+      val lng = -74.02 + rnd.nextDouble() * 0.12
+      val leaf = S2.latLngToLeaf(lat, lng)
+      if (covered(origRanges, leaf)) assert(covered(expRanges, leaf))
+    }
+    // a point just outside the bbox (within one level-12 cell ~ 2km)
+    val justOutside = S2.latLngToLeaf(40.785, -73.96)
+    assert(covered(expRanges, justOutside),
+      "expanded covering must include the one-cell buffer")
+    // normalized: ranges disjoint
+    val sorted = expRanges.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(a._2 < b._1)
+      case _ =>
+    }
+  }
+
   test("covering respects maxCells and maxLevel") {
     val r = Region("40.70,-74.02,40.78,-73.90", "bbox")
     for (budget <- Seq(6, 16, 64, 1024)) {
