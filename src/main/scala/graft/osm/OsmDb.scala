@@ -1,0 +1,78 @@
+package graft.osm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The `osmx query` verb (`src/cmd.cpp:44-112`) as a typed facade over a
+  * committed [[VersionedTable]] root: point lookups by id, existence
+  * tests, table statistics, and metadata — all backed by id-sorted
+  * parquet, so a point predicate prunes to one row group (the engine's
+  * analog of the reference's B-tree descent, `src/storage.cpp:70-77`).
+  *
+  * Every method pins the manifest version captured at construction:
+  * one [[OsmDb]] = one LMDB read transaction (`src/cmd.cpp:50`).
+  */
+final class OsmDb(spark: SparkSession, root: String) {
+
+  /** The pinned snapshot (readers are stable across later commits). */
+  val snapshot: VersionedTable.Manifest =
+    VersionedTable.current(root).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+
+  private def table(name: String): DataFrame =
+    VersionedTable.read(spark, root, name, Some(snapshot))
+
+  /** P1: location lookup — (lon, lat, version) or None (a node's coords
+    * exist even when its tags don't, `src/cmd.cpp:53-60`). */
+  def location(id: Long): Option[(Int, Int, Int)] =
+    table("locations").where(col("id") === id)
+      .select(col("lon"), col("lat"), col("version"))
+      .collect().headOption.map(r => (r.getInt(0), r.getInt(1),
+        r.getInt(2)))
+
+  /** P2/P3: tagged-node lookup (tags + metadata). */
+  def node(id: Long): Option[(Map[String, String], Int)] =
+    table("nodes").where(col("id") === id)
+      .select(col("tags"), col("meta.version"))
+      .collect().headOption
+      .map(r => (r.getMap[String, String](0).toMap, r.getInt(1)))
+
+  /** P3: way lookup — ordered node refs + tags. */
+  def way(id: Long): Option[(Seq[Long], Map[String, String])] =
+    table("ways").where(col("id") === id)
+      .select(col("nodes"), col("tags"))
+      .collect().headOption
+      .map(r => (r.getSeq[Long](0), r.getMap[String, String](1).toMap))
+
+  /** P3: relation lookup — members + tags. */
+  def relation(id: Long)
+  : Option[(Seq[(Long, String, String)], Map[String, String])] =
+    table("relations").where(col("id") === id)
+      .select(col("members"), col("tags"))
+      .collect().headOption
+      .map(r => (r.getSeq[org.apache.spark.sql.Row](0)
+        .map(m => (m.getLong(0), m.getString(1), m.getString(2))),
+        r.getMap[String, String](1).toMap))
+
+  /** P2: existence tests. */
+  def nodeExists(id: Long): Boolean =
+    !table("locations").where(col("id") === id).isEmpty
+  def wayExists(id: Long): Boolean =
+    !table("ways").where(col("id") === id).isEmpty
+  def relationExists(id: Long): Boolean =
+    !table("relations").where(col("id") === id).isEmpty
+
+  /** P4: reverse-index lookup (`python/osmx/osmx.py:41-46`). */
+  def parents(adjTable: String, memberId: Long): Seq[Long] =
+    table(adjTable).where(col("member_id") === memberId)
+      .select(col("parent_id")).orderBy(col("parent_id"))
+      .collect().map(_.getLong(0)).toSeq
+
+  /** P5: per-table row counts + metadata, like `osmx query` with no
+    * args (`src/cmd.cpp:96-109`). */
+  def stats(): Map[String, Long] =
+    snapshot.tables.map(t => t -> table(t).count()).toMap
+
+  /** P6: metadata KV. */
+  def metadata(key: String): Option[String] = snapshot.meta.get(key)
+}

@@ -36,7 +36,20 @@ object SyntheticOsm {
                           ways: DataFrame, relations: DataFrame,
                           nodeWay: DataFrame, nodeRelation: DataFrame,
                           wayRelation: DataFrame,
-                          relationRelation: DataFrame)
+                          relationRelation: DataFrame) {
+    private def all = Seq(locations, nodes, ways, relations, nodeWay,
+      nodeRelation, wayRelation, relationRelation)
+
+    /** Persist every table (MEMORY_AND_DISK). The derived tables here
+      * cost a shuffle each to build; pipelines like extract reference
+      * ways/relations/adjacency several times, so caching trades one
+      * materialization for N recomputes — on a real deployment these
+      * are parquet tables and this is moot. */
+    def cache(): Tables = { all.foreach(_.persist()); this }
+    def uncache(): Tables = {
+      all.foreach(_.unpersist(blocking = false)); this
+    }
+  }
 
   val WayBase = 1000000L
   val RelBase = 2000000L

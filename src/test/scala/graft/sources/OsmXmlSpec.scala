@@ -214,5 +214,18 @@ class OsmXmlSpec extends AnyFunSuite {
       .load(gdprDir)
     assert(gdprNodes.agg(max($"changeset"), max($"uid")).head()
       == org.apache.spark.sql.Row(0L, 0L))
+
+    // the `osmx query` verb over the ingested store (P1-P6)
+    val db = new graft.osm.OsmDb(spark, root)
+    assert(db.location(5L).contains((100010001, 100010001, 3)))
+    assert(db.node(5L).isEmpty) // untagged: coords only
+    assert(db.node(1L).map(_._1).contains(Map("amenity" -> "cafe")))
+    assert(db.way(100L).map(_._1).contains(Seq(1L, 2L, 5L)))
+    assert(db.relation(201L).map(_._1.map(_._1)).contains(Seq(6L, 200L)))
+    assert(db.nodeExists(4L) && !db.nodeExists(999L))
+    assert(db.parents("node_way", 1L) == Seq(100L))
+    assert(db.parents("relation_relation", 200L) == Seq(201L))
+    assert(db.stats()("locations") == 6L)
+    assert(db.metadata("import_filename").contains(xmlDir))
   }
 }
