@@ -14,9 +14,11 @@ object SparkEntry {
   def all: Seq[Q] =
     Queries.relational ++ llm.LlmQueries.all ++ osm.OsmQueries.all
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The flagship is the reference's flagship: a covering-pruned,
+    * topology-complete regional extract. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q03_revenue_by_nation")(spark, "/root/testdata/sf0.001")
+    queries("q32_extract_complete")(spark, "/root/testdata/sf0.001")
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

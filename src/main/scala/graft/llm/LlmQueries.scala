@@ -324,6 +324,52 @@ object LlmQueries {
       },
       bench = true),
 
+    // ---- embedding-cosine near-dup pairs: signature-bucket candidates
+    // -> exact cosine verify (the vector flavor of minhash dedup). The
+    // testdata has no true near-dups (max pairwise cosine ~0.51), so
+    // the threshold is set low to exercise the full pipeline; the
+    // planted-duplicate semantics are unit-tested in LlmSpec ----
+    Q("q42_embedding_neardup",
+      (s, d) => {
+        import s.implicits._
+        Similarity.embeddingNearDuplicates(T(s, d, "embeddings"),
+          "embedding", "vec_id", dim = 64, threshold = 0.25)
+          .orderBy($"a", $"b")
+      },
+      Some {
+        val m = Similarity.planeMatrix(8, 64)
+        val mLit = m.map(_.mkString("[", ", ", "]"))
+          .mkString("[", ",\n    ", "]")
+        s"""WITH pm AS (SELECT $mLit AS m),
+           |sig AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           |    array_to_string(
+           |    list_transform(generate_series(1, 8), p ->
+           |      CASE WHEN list_sum(list_transform(generate_series(1, 64),
+           |        j -> CAST(embedding[CAST(j AS INT)] AS DOUBLE)
+           |             * m[CAST(p AS INT)][CAST(j AS INT)])) >= 0
+           |      THEN '1' ELSE '0' END), '') AS sig
+           |  FROM embeddings, pm),
+           |cand AS (
+           |  SELECT x.vec_id AS a, y.vec_id AS b, x.v AS va, y.v AS vb
+           |  FROM sig x JOIN sig y
+           |    ON x.sig = y.sig AND x.vec_id < y.vec_id),
+           |sc AS (
+           |  SELECT a, b,
+           |    list_sum(list_transform(generate_series(1, 64), j ->
+           |      va[CAST(j AS INT)] * vb[CAST(j AS INT)])) AS dt,
+           |    sqrt(list_sum(list_transform(va, x -> x * x))) AS na,
+           |    sqrt(list_sum(list_transform(vb, x -> x * x))) AS nb
+           |  FROM cand)
+           |SELECT a, b,
+           |  round(CASE WHEN na = 0 OR nb = 0 THEN 0
+           |        ELSE dt / (na * nb) END, 6) AS score
+           |FROM sc
+           |WHERE round(CASE WHEN na = 0 OR nb = 0 THEN 0
+           |      ELSE dt / (na * nb) END, 6) >= 0.25
+           |ORDER BY a, b""".stripMargin
+      }),
+
     // ---- per-label embedding centroids (vector aggregation) ----
     Q("q29_centroids",
       (s, d) => {

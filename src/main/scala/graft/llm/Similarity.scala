@@ -116,6 +116,33 @@ object Similarity {
       .limit(k)
   }
 
+  /** Embedding-cosine near-duplicate pairs: candidates share an exact
+    * hyperplane-signature bucket (ONE shuffle on the signature — never
+    * all-pairs), verified by exact cosine >= threshold. The same
+    * bucketed candidate->verify shape as minhash dedup, over vectors.
+    * `maxBucket` caps pathological buckets (drop-and-report). */
+  def embeddingNearDuplicates(embeddings: DataFrame, vecCol: String,
+                              idCol: String, dim: Int,
+                              threshold: Double, planes: Int = 8,
+                              maxBucket: Int = 10000): DataFrame = {
+    val idx = annIndex(embeddings, vecCol, idCol, dim, planes)
+    val buckets = idx
+      .groupBy(col("sig"))
+      .agg(sort_array(collect_list(struct(col("vec_id"),
+        col("embedding").cast("array<double>").as("v")))).as("ms"))
+      .where(size(col("ms")).between(2, maxBucket))
+    buckets
+      .select(explode(expr(
+        """flatten(transform(ms, (x, i) ->
+          |  transform(slice(ms, i + 2, size(ms)),
+          |    y -> struct(x.vec_id AS a, y.vec_id AS b,
+          |                x.v AS va, y.v AS vb))))""".stripMargin))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"),
+        round(cosine(col("p.va"), col("p.vb")), 6).as("score"))
+      .where(col("score") >= threshold)
+  }
+
   /** One-shot ANN (index built inline) — kept for API compatibility. */
   def annCosine(embeddings: DataFrame, vecCol: String, idCol: String,
                 query: Seq[Double], k: Int, planes: Int = 8): DataFrame =

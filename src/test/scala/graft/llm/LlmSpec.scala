@@ -144,6 +144,21 @@ class LlmSpec extends AnyFunSuite {
     assert(ann.head._2 > 0.999)
   }
 
+  test("embeddingNearDuplicates finds planted duplicate vectors") {
+    val rnd = new scala.util.Random(5)
+    val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val rows = (0L until 100L).map { i =>
+      val v = if (i == 7L || i == 42L) base.map(x => x * (1 + i * 1e-4f))
+      else Array.fill(16)(rnd.nextGaussian().toFloat)
+      (i, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDuplicates(df, "embedding",
+      "vec_id", dim = 16, threshold = 0.999)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((7L, 42L)), s"got $pairs")
+  }
+
   test("centroids: mean of identical vectors is the vector") {
     val df = Seq(
       (0L, Array(1.0f, 2.0f), 7), (1L, Array(1.0f, 2.0f), 7),
