@@ -440,6 +440,36 @@ object Queries {
              |ORDER BY node_id""".stripMargin),
       bench = true),
 
+    // ---- declarative exact region predicate: the RegionRewrite
+    // optimizer rule injects the covering prune in front of the exact
+    // st_within_region residual (plan-time spatial pruning as a
+    // Rule[LogicalPlan]); the oracle is plain bbox SQL ----
+    Q("q43_region_rewrite",
+      (s, d) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        T(s, d, "orders").select(
+          $"o_orderkey".as("node_id"),
+          ((($"o_orderkey" * 981451653L) % 1200000000L - 600000000L) /
+            lit(1e7)).as("lat"),
+          ((($"o_orderkey" * 2147483629L) % 3600000000L - 1800000000L) /
+            lit(1e7)).as("lng"))
+          .where(expr(
+            "st_within_region(lat, lng, '-35.0,100.0,-15.0,150.0', 'bbox')"))
+          .orderBy($"node_id")
+      },
+      Some("""WITH loc AS (
+             |  SELECT o_orderkey AS node_id,
+             |    ((o_orderkey * 981451653) % 1200000000 - 600000000) / 1e7
+             |      AS lat,
+             |    ((o_orderkey * 2147483629) % 3600000000 - 1800000000) / 1e7
+             |      AS lng
+             |  FROM orders)
+             |SELECT node_id, lat, lng FROM loc
+             |WHERE lat >= -35.0 AND lat <= -15.0
+             |  AND lng >= 100.0 AND lng <= 150.0
+             |ORDER BY node_id""".stripMargin)),
+
     // ---- tumbling event-time window (streaming agg shape, run batch) ----
     Q("q19_tumbling_window",
       (s, d) => {

@@ -77,14 +77,23 @@ object GraftFunctions {
     "ngram_hash48" ->
       ((args: Seq[Expression]) => NgramHash48(args(0), args(1))),
     "cell_in_ranges" ->
-      ((args: Seq[Expression]) => CellInRanges(args(0), args(1), args(2))))
+      ((args: Seq[Expression]) => CellInRanges(args(0), args(1), args(2))),
+    "st_within_region" ->
+      ((args: Seq[Expression]) =>
+        StWithinRegion(args(0), args(1), args(2), args(3))))
 
-  /** Idempotent per-session registration of every graft function. */
-  def register(spark: SparkSession): Unit =
+  /** Idempotent per-session registration of every graft function, plus
+    * the region-rewrite optimizer rule (plan-time spatial pruning). */
+  def register(spark: SparkSession): Unit = {
     builders.foreach { case (name, b) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, b, "built-in")
     }
+    if (!spark.experimental.extraOptimizations
+      .contains(graft.plans.RegionRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RegionRewrite
+  }
 
   /** Column-API sugar (requires [[register]] on the session first). */
   def s2CellId(lat: Column, lng: Column, level: Int): Column =
@@ -96,10 +105,12 @@ object GraftFunctions {
   * build time (`.withExtensions(new GraftExtensions)` or the
   * `spark.sql.extensions` conf). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, b) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[S2CellId].getName, null, name), b))
     }
+    ext.injectOptimizerRule(_ => graft.plans.RegionRewrite)
+  }
 }
