@@ -118,7 +118,7 @@ object SyntheticOsm {
         struct(($"n_nationkey" % 3 + 1).cast("int").as("version"),
           lit(1600000000L).as("timestamp"),
           $"n_regionkey".cast("long").as("changeset"),
-          $"n_nationkey".as("uid"),
+          $"n_nationkey".cast("long").as("uid"),
           concat(lit("user"), $"n_nationkey").as("user")).as("meta"))
 
     val regRel = nation
@@ -136,7 +136,7 @@ object SyntheticOsm {
         struct(($"r_regionkey" % 3 + 1).cast("int").as("version"),
           lit(1700000000L).as("timestamp"),
           $"r_regionkey".cast("long").as("changeset"),
-          $"r_regionkey".as("uid"),
+          $"r_regionkey".cast("long").as("uid"),
           concat(lit("user"), $"r_regionkey").as("user")).as("meta"))
 
     val relations = natRel.unionByName(regRel)
