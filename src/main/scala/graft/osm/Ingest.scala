@@ -36,7 +36,9 @@ object Ingest {
   def expand(spark: SparkSession, xmlPath: String, root: String,
              numPartitions: Int = 8, dryRun: Boolean = false): Long = {
     GraftFunctions.register(spark)
-    val nodesRaw = readOsm(spark, xmlPath, "node")
+    // nodes are read three ways (locations, tagged nodes, max-ts);
+    // persist so the XML parse happens once per file
+    val nodesRaw = readOsm(spark, xmlPath, "node").persist()
     val waysRaw = readOsm(spark, xmlPath, "way")
     val relsRaw = readOsm(spark, xmlPath, "relation")
 
@@ -75,7 +77,7 @@ object Ingest {
       .select(col("m.ref").as("member_id"), col("parent_id")))
 
     val maxTs = nodesRaw.agg(max("timestamp")).head().getLong(0)
-    VersionedTable.commit(root, Map(
+    try VersionedTable.commit(root, Map(
       "locations" -> locations,
       "nodes" -> nodes,
       "ways" -> ways,
@@ -87,6 +89,7 @@ object Ingest {
       Map("import_filename" -> xmlPath,
         "osmosis_replication_timestamp" -> maxTs.toString),
       dryRun = dryRun)
+    finally nodesRaw.unpersist(blocking = false)
   }
 
   /** Load the table bundle back from a committed version. */

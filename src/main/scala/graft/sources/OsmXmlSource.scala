@@ -159,9 +159,17 @@ final class OsmXmlScanBuilder(entity: String, changes: Boolean,
     override def toBatch: Batch = this
     override def description(): String = s"osmxml scan [$entity]"
 
-    override def planInputPartitions(): Array[InputPartition] =
-      OsmXmlSource.listFiles(OsmXmlSource.pathsOf(options))
-        .map(f => OsmXmlFilePartition(f): InputPartition).toArray
+    override def planInputPartitions(): Array[InputPartition] = {
+      val files = OsmXmlSource.listFiles(OsmXmlSource.pathsOf(options))
+      // our own writer names files part-<entity>-NNNNN.osm; when that
+      // convention is present, prune other entities' files at plan time
+      // (otherwise every entity scan re-parses the whole directory)
+      val named = files.filter(_.matches(s".*part-$entity-\\d+\\.osm$$"))
+      val anyNamed = files.exists(
+        _.matches(".*part-(node|way|relation)-\\d+\\.osm$"))
+      val mine = if (anyNamed) named else files
+      mine.map(f => OsmXmlFilePartition(f): InputPartition).toArray
+    }
 
     override def createReaderFactory(): PartitionReaderFactory =
       new OsmXmlReaderFactory(entity, changes, required.fieldNames)
