@@ -28,14 +28,47 @@ object Closure {
     * child -> parent edges. Output column: `id` (LONG), distinct.
     * Seeds are included in the result (matches the reference: the initial
     * relation set stays in the bitmap, `src/extract.cpp:219-224`).
+    *
+    * ADAPTIVE: when the edge set is small (<= `driverEdgeLimit` rows —
+    * relation_relation is ~7M rows even planet-scale, and seeds of a
+    * relation closure are bounded by the relation count), the closure
+    * runs DRIVER-SIDE over collected edges and seeds, exactly like the
+    * reference's in-memory bitmap loop (`src/extract.cpp:211-237`) —
+    * zero per-round job overhead. Callers whose seed sets dwarf the
+    * edge set should pass `driverEdgeLimit = 0` to force the
+    * distributed checkpointed loop.
     */
   def reachable(seeds: DataFrame, edges: DataFrame,
                 childCol: String, parentCol: String,
-                maxIters: Int = 50): DataFrame = {
+                maxIters: Int = 50,
+                driverEdgeLimit: Long = 4000000L): DataFrame = {
     val spark = seeds.sparkSession
     val e = edges.select(col(childCol).cast("long").as("child"),
       col(parentCol).cast("long").as("parent"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+
+    if (e.count() <= driverEdgeLimit) {
+      // reference-style driver closure (`src/extract.cpp:211-237`)
+      val adj = e.collect()
+        .groupBy(_.getLong(0))
+        .map { case (c, rows) => c -> rows.map(_.getLong(1)) }
+      e.unpersist(blocking = false)
+      val seedIds = seeds
+        .select(col(seeds.columns.head).cast("long").as("id"))
+        .distinct().collect().map(_.getLong(0))
+      val visited = scala.collection.mutable.LinkedHashSet[Long](
+        seedIds: _*)
+      var frontier: Seq[Long] = seedIds.toSeq
+      var iter = 0
+      while (frontier.nonEmpty && iter < maxIters) {
+        frontier = frontier.flatMap(adj.getOrElse(_, Array.empty[Long]))
+          .distinct.filterNot(visited.contains)
+        visited ++= frontier
+        iter += 1
+      }
+      import spark.implicits._
+      return visited.toSeq.toDF("id")
+    }
     var visited = seeds.select(col(seeds.columns.head).cast("long").as("id"))
       .distinct().localCheckpoint(eager = true)
     var frontier = visited
