@@ -129,6 +129,18 @@ object Dedup {
       .distinct()
   }
 
+  /** Documents surviving near-duplicate removal: a doc is dropped iff it
+    * is the HIGHER id of some verified near-dup pair (so every dup
+    * cluster keeps at least its lowest id; chains collapse toward the
+    * minimum). The standard curation step after exact dedup. */
+  def nearDupSurvivors(docs: DataFrame, textCol: String, idCol: String,
+                       threshold: Double = 0.6, ngram: Int = 3)
+  : DataFrame = {
+    val dropped = minhashNearDuplicates(docs, textCol, idCol, threshold,
+      ngram).select(col("b").as(idCol)).distinct()
+    docs.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Hamming distance between two equal-length bit strings. */
   def hamming(a: Column, b: Column): Column =
     aggregate(

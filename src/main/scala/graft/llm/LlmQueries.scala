@@ -370,6 +370,43 @@ object LlmQueries {
            |ORDER BY a, b""".stripMargin
       }),
 
+    // ---- near-dup survivors: the curation step (drop every doc that
+    // is the higher id of a verified near-dup pair) ----
+    Q("q44_dedup_survivors",
+      (s, d) => {
+        import s.implicits._
+        Dedup.nearDupSurvivors(T(s, d, "documents"), "text", "doc_id",
+          threshold = 0.5, ngram = 3)
+          .select($"doc_id", $"lang", $"n_chars")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH $dCandidateCtes,
+              |sh AS (SELECT doc_id,
+              |  CASE WHEN length(regexp_replace(lower(trim(text)),
+              |                   '\\s+', ' ', 'g')) >= 3
+              |  THEN list_distinct(list_transform(
+              |    generate_series(1, length(regexp_replace(lower(trim(text)),
+              |                    '\\s+', ' ', 'g')) - 2),
+              |    i -> CAST(concat('0x', substr(md5(
+              |      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+              |        [CAST(i AS INT) : CAST(i AS INT) + 2]), 1, 12))
+              |      AS BIGINT)))
+              |  ELSE [] END AS sh
+              |  FROM documents),
+              |scored AS (
+              |  SELECT c.a, c.b,
+              |         len(x.sh) + len(y.sh) AS st,
+              |         len(list_distinct(list_concat(x.sh, y.sh))) AS un
+              |  FROM cand c JOIN sh x ON x.doc_id = c.a
+              |              JOIN sh y ON y.doc_id = c.b),
+              |dropped AS (
+              |  SELECT DISTINCT b FROM scored
+              |  WHERE round(CASE WHEN un = 0 THEN 0.0
+              |        ELSE CAST(st - un AS DOUBLE) / un END, 6) >= 0.5)
+              |SELECT doc_id, lang, n_chars FROM documents
+              |WHERE doc_id NOT IN (SELECT b FROM dropped)
+              |ORDER BY doc_id""".stripMargin)),
+
     // ---- per-label embedding centroids (vector aggregation) ----
     Q("q29_centroids",
       (s, d) => {

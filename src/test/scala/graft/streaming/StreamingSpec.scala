@@ -29,6 +29,56 @@ class StreamingSpec extends AnyFunSuite {
                   version: Int, seq: Long): Row =
     Row(id, visible, lon, lat, version, null, null, seq)
 
+  test("watermarked tumbling-window aggregation over a file stream") {
+    import org.apache.spark.sql.functions._
+    val inDir = Files.createTempDirectory("graft-evt").toString
+    val ckpt = Files.createTempDirectory("graft-evt-ckpt").toString
+    val outDir = Files.createTempDirectory("graft-evt-out").toString
+
+    // two batches of (ts, v) events across two hours
+    Seq(("2024-01-01 10:05:00", 1.0), ("2024-01-01 10:55:00", 2.0),
+      ("2024-01-01 11:10:00", 4.0))
+      .toDF("ts_s", "v").withColumn("ts", to_timestamp($"ts_s"))
+      .select("ts", "v").write.mode("append").parquet(inDir)
+
+    val q = spark.readStream
+      .schema("ts TIMESTAMP, v DOUBLE").parquet(inDir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+      .select(date_format($"w.start", "HH:mm").as("h"), $"n", $"sv")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", outDir)
+      .start()
+    q.awaitTermination()
+    // append mode emits only watermark-closed windows; push the
+    // watermark past 11:00 with a late-ish second batch and rerun
+    Seq(("2024-01-01 12:30:00", 8.0))
+      .toDF("ts_s", "v").withColumn("ts", to_timestamp($"ts_s"))
+      .select("ts", "v").write.mode("append").parquet(inDir)
+    val q2 = spark.readStream
+      .schema("ts TIMESTAMP, v DOUBLE").parquet(inDir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"), sum($"v").as("sv"))
+      .select(date_format($"w.start", "HH:mm").as("h"), $"n", $"sv")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet").option("path", outDir)
+      .start()
+    q2.awaitTermination()
+
+    val got = spark.read.parquet(outDir)
+      .as[(String, Long, Double)].collect()
+      .map { case (h, n, sv) => h -> ((n, sv)) }.toMap
+    // the 10:00 and 11:00 windows are closed once the watermark passed
+    assert(got.get("10:00").contains((2L, 3.0)), s"got $got")
+    assert(got.get("11:00").contains((1L, 4.0)), s"got $got")
+  }
+
   test("catch-up applies ordered diffs and advances seqnum atomically") {
     val root = Files.createTempDirectory("graft-repl").toString
     val changesDir = Files.createTempDirectory("graft-osc").toString
