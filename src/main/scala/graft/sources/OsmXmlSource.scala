@@ -117,7 +117,8 @@ object OsmXmlSource {
       val fs = hp.getFileSystem(conf)
       if (fs.getFileStatus(hp).isDirectory)
         fs.listStatus(hp).toSeq.filter(_.isFile).map(_.getPath.toString)
-          .filter(f => f.endsWith(".osm") || f.endsWith(".xml"))
+          .filter(f => f.endsWith(".osm") || f.endsWith(".xml") ||
+            f.endsWith(".pbf"))
       else Seq(p)
     }.sorted
   }
@@ -164,9 +165,10 @@ final class OsmXmlScanBuilder(entity: String, changes: Boolean,
       // our own writer names files part-<entity>-NNNNN.osm; when that
       // convention is present, prune other entities' files at plan time
       // (otherwise every entity scan re-parses the whole directory)
-      val named = files.filter(_.matches(s".*part-$entity-\\d+\\.osm$$"))
+      val named = files.filter(
+        _.matches(s".*part-$entity-\\d+\\.osm(\\.pbf)?$$"))
       val anyNamed = files.exists(
-        _.matches(".*part-(node|way|relation)-\\d+\\.osm$"))
+        _.matches(".*part-(node|way|relation)-\\d+\\.osm(\\.pbf)?$"))
       val mine = if (anyNamed) named else files
       mine.map(f => OsmXmlFilePartition(f): InputPartition).toArray
     }
@@ -197,14 +199,21 @@ final class OsmXmlReaderFactory(entity: String, changes: Boolean,
           if (a == null) Map("action" -> null)
           else Map("action" -> UTF8String.fromString(a))
         def keep(a: String): Boolean = !changes || a != null
-        try parseWithActions(in,
-          (n, a) => if (entity == "node" && keep(a))
-            rows += toRow(nodeValues(n) ++ act(a)),
-          (w, a) => if (entity == "way" && keep(a))
-            rows += toRow(wayValues(w) ++ act(a)),
-          (r, a) => if (entity == "relation" && keep(a))
-            rows += toRow(relValues(r) ++ act(a)))
-        finally in.close()
+        try {
+          if (file.endsWith(".pbf")) {
+            require(!changes, "osc change mode is XML-only")
+            OsmPbfCodec.parse(in,
+              n => if (entity == "node") rows += toRow(nodeValues(n)),
+              w => if (entity == "way") rows += toRow(wayValues(w)),
+              r => if (entity == "relation") rows += toRow(relValues(r)))
+          } else parseWithActions(in,
+            (n, a) => if (entity == "node" && keep(a))
+              rows += toRow(nodeValues(n) ++ act(a)),
+            (w, a) => if (entity == "way" && keep(a))
+              rows += toRow(wayValues(w) ++ act(a)),
+            (r, a) => if (entity == "relation" && keep(a))
+              rows += toRow(relValues(r) ++ act(a)))
+        } finally in.close()
       }
       private var i = -1
 
@@ -264,7 +273,8 @@ final class OsmXmlWriteBuilder(entity: String,
         dataSchema.fieldNames.zipWithIndex.toMap
 
       override def createBatchWriterFactory(info: PhysicalWriteInfo)
-      : DataWriterFactory = new OsmXmlWriterFactory(entity, dir, idx)
+      : DataWriterFactory = new OsmXmlWriterFactory(entity, dir, idx,
+        options.get("format").exists(_.equalsIgnoreCase("pbf")))
 
       override def commit(messages: Array[WriterCommitMessage]): Unit = ()
       override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -275,10 +285,12 @@ final class OsmXmlWriteBuilder(entity: String,
 final case class OsmXmlCommit(path: String) extends WriterCommitMessage
 
 final class OsmXmlWriterFactory(entity: String, dir: String,
-                                idx: Map[String, Int])
+                                idx: Map[String, Int], pbf: Boolean)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
-  : DataWriter[InternalRow] = new DataWriter[InternalRow] {
+  : DataWriter[InternalRow] =
+    if (pbf) new OsmPbfDataWriter(entity, dir, idx, partitionId)
+    else new DataWriter[InternalRow] {
     import OsmXmlCodec._
     private val path =
       new Path(dir, f"part-$entity%s-$partitionId%05d.osm")
@@ -330,5 +342,91 @@ final class OsmXmlWriterFactory(entity: String, dir: String,
     }
     override def abort(): Unit = { w.close(); fs.delete(path, false); () }
     override def close(): Unit = ()
+  }
+}
+
+/** Shared InternalRow -> Raw element conversion (writer side). */
+private[sources] final class RowToRaw(idx: Map[String, Int]) {
+  import OsmXmlCodec._
+  private def tagsOf(row: InternalRow): Seq[(String, String)] = {
+    val m = row.getMap(idx("tags"))
+    (0 until m.numElements()).map(i =>
+      (m.keyArray().getUTF8String(i).toString,
+        m.valueArray().getUTF8String(i).toString))
+  }
+  private def str(row: InternalRow, name: String): String = {
+    val i = idx(name)
+    if (row.isNullAt(i)) "" else row.getUTF8String(i).toString
+  }
+  private def L(row: InternalRow, n: String) = row.getLong(idx(n))
+  private def I(row: InternalRow, n: String) = row.getInt(idx(n))
+
+  def node(row: InternalRow): RawNode =
+    RawNode(L(row, "id"), I(row, "lon"), I(row, "lat"), I(row, "version"),
+      L(row, "timestamp"), L(row, "changeset"), L(row, "uid"),
+      str(row, "user"), tagsOf(row))
+  def way(row: InternalRow): RawWay = {
+    val nodes = row.getArray(idx("nodes"))
+    RawWay(L(row, "id"), I(row, "version"), L(row, "timestamp"),
+      L(row, "changeset"), L(row, "uid"), str(row, "user"), tagsOf(row),
+      (0 until nodes.numElements()).map(nodes.getLong))
+  }
+  def relation(row: InternalRow): RawRelation = {
+    val ms = row.getArray(idx("members"))
+    RawRelation(L(row, "id"), I(row, "version"), L(row, "timestamp"),
+      L(row, "changeset"), L(row, "uid"), str(row, "user"), tagsOf(row),
+      (0 until ms.numElements()).map { i =>
+        val m = ms.getStruct(i, 3)
+        (m.getLong(0), m.getUTF8String(1).toString,
+          if (m.isNullAt(2)) "" else m.getUTF8String(2).toString)
+      })
+  }
+}
+
+/** Binary PBF partition writer: buffers the partition's elements and
+  * streams one `.osm.pbf` file (OSMHeader + chunked OSMData blobs) at
+  * commit. Memory is one partition's elements — size partitions
+  * accordingly, as with any columnar writer. */
+final class OsmPbfDataWriter(entity: String, dir: String,
+                             idx: Map[String, Int], partitionId: Int)
+  extends DataWriter[InternalRow] {
+  import OsmXmlCodec.{RawNode, RawRelation, RawWay}
+  private val conv = new RowToRaw(idx)
+  private val nodes = ArrayBuffer[RawNode]()
+  private val ways = ArrayBuffer[RawWay]()
+  private val relations = ArrayBuffer[RawRelation]()
+  private val path = new Path(dir, f"part-$entity%s-$partitionId%05d.osm.pbf")
+
+  override def write(row: InternalRow): Unit = entity match {
+    case "node" => nodes += conv.node(row)
+    case "way" => ways += conv.way(row)
+    case "relation" => relations += conv.relation(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val fs = path.getFileSystem(new Configuration())
+    val out = fs.create(path, true)
+    try OsmPbfCodec.write(out, nodes.iterator, ways.iterator,
+      relations.iterator)
+    finally out.close()
+    OsmXmlCommit(path.toString)
+  }
+  override def abort(): Unit = {
+    val fs = path.getFileSystem(new Configuration())
+    fs.delete(path, false)
+    ()
+  }
+  override def close(): Unit = ()
+}
+
+/** `osmpbf` DataSource: same table surface as `osmxml` (reads
+  * auto-detect by extension), writes binary PBF. */
+class OsmPbfSource extends OsmXmlSource {
+  override def shortName(): String = "osmpbf"
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table = {
+    val withFmt = new java.util.HashMap[String, String](properties)
+    withFmt.put("format", "pbf")
+    super.getTable(schema, partitioning, withFmt)
   }
 }

@@ -104,6 +104,48 @@ class OsmXmlSpec extends AnyFunSuite {
       == Set(1L, 2L, 3L, 4L, 5L, 6L))
   }
 
+  test("osmpbf binary round-trips and agrees with the XML path") {
+    val (nodes, ways, rels) = world()
+    val pbfDir = Files.createTempDirectory("graft-pbf").toString
+    val xmlDir = Files.createTempDirectory("graft-pbf-xml").toString
+    for ((df, e) <- Seq((nodes, "node"), (ways, "way"),
+      (rels, "relation"))) {
+      df.coalesce(1).write.format("osmpbf").option("entity", e)
+        .mode("overwrite").save(pbfDir)
+      df.coalesce(1).write.format("osmxml").option("entity", e)
+        .mode("overwrite").save(xmlDir)
+    }
+    // binary files, reasonably compact
+    val files = new java.io.File(pbfDir).listFiles()
+      .filter(_.getName.endsWith(".osm.pbf"))
+    assert(files.length == 3)
+
+    for (e <- Seq("node", "way", "relation")) {
+      def comparable(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("tags_s",
+          graft.osm.Extract.tagsToString(col("tags"))).drop("tags")
+      val viaPbf = comparable(spark.read.format("osmpbf")
+        .option("entity", e).load(pbfDir))
+      val viaXml = comparable(spark.read.format("osmxml")
+        .option("entity", e).load(xmlDir))
+      // identical row sets through two independent codecs
+      assert(viaPbf.count() == viaXml.count())
+      assert(viaPbf.exceptAll(viaXml).isEmpty &&
+        viaXml.exceptAll(viaPbf).isEmpty,
+        s"$e diverged between pbf and xml codecs")
+    }
+    // order-significant fields survive (way refs, member order)
+    val w100 = spark.read.format("osmpbf").option("entity", "way")
+      .load(pbfDir).where($"id" === 100L).select($"nodes").head()
+    assert(w100.getSeq[Long](0) == Seq(1L, 2L, 5L))
+    // expand works straight off the PBF directory
+    val root = Files.createTempDirectory("graft-pbf-db").toString
+    Ingest.expand(spark, pbfDir, root, numPartitions = 2)
+    val t = Ingest.readTables(spark, root)
+    assert(t.locations.count() == 6)
+    assert(t.relations.count() == 2)
+  }
+
   test("osc change scan (S3) feeds Changeset (U1) correctly") {
     import OsmXmlCodec._
     // hand-built .osc: create node 10, modify node 1, delete node 2
