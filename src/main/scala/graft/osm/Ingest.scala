@@ -103,12 +103,15 @@ object Ingest {
       t("relation_relation"))
   }
 
-  /** Write an extract back out as OSM XML (S2): one `.osm` document per
-    * entity directory, elements in reference order. `includeUserData =
-    * false` is `--noUserData` (`src/extract.cpp:324-328`). */
-  def writeExtractXml(t: SyntheticOsm.Tables, sel: Extract.Selected,
-                      dir: String, includeUserData: Boolean = true,
-                      shards: Int = 1): Unit = {
+  /** Write an extract back out as OSM XML or binary PBF (S2): one
+    * document per entity, elements in reference order. `includeUserData
+    * = false` is `--noUserData` (`src/extract.cpp:324-328`); `format`
+    * is the DataSource name ("osmxml" or "osmpbf" — the reference's
+    * extract emits PBF, `src/extract.cpp:295`). */
+  def writeExtract(t: SyntheticOsm.Tables, sel: Extract.Selected,
+                   dir: String, includeUserData: Boolean = true,
+                   shards: Int = 1, format: String = "osmxml")
+  : Unit = {
     val noUser = lit("").as("user")
     val nodesOut = sel.nodeIds
       .join(t.locations, Seq("id"))
@@ -125,7 +128,7 @@ object Ingest {
         coalesce(col("tags"),
           map().cast("map<string,string>")).as("tags"))
       .orderBy(col("id"))
-    nodesOut.coalesce(shards).write.format("osmxml")
+    nodesOut.coalesce(shards).write.format(format)
       .option("entity", "node").mode("overwrite").save(dir)
 
     def entityOut(ids: DataFrame, table: DataFrame, extra: String)
@@ -141,10 +144,16 @@ object Ingest {
       .orderBy(col("id"))
 
     entityOut(sel.wayIds, t.ways, "nodes").coalesce(shards)
-      .write.format("osmxml").option("entity", "way")
+      .write.format(format).option("entity", "way")
       .mode("overwrite").save(dir)
     entityOut(sel.relationIds, t.relations, "members").coalesce(shards)
-      .write.format("osmxml").option("entity", "relation")
+      .write.format(format).option("entity", "relation")
       .mode("overwrite").save(dir)
   }
+
+  /** Back-compat alias for the XML flavor. */
+  def writeExtractXml(t: SyntheticOsm.Tables, sel: Extract.Selected,
+                      dir: String, includeUserData: Boolean = true,
+                      shards: Int = 1): Unit =
+    writeExtract(t, sel, dir, includeUserData, shards, "osmxml")
 }
