@@ -159,6 +159,22 @@ class LlmSpec extends AnyFunSuite {
     assert(pairs == Set((7L, 42L)), s"got $pairs")
   }
 
+  test("curate funnel: dedup, near-dup, quality, language in order") {
+    val good = "the cat and the dog sat in the house for a while " * 4
+    val d = docs(
+      1L -> good,                      // survivor
+      2L -> good,                      // exact dup of 1 -> dropped
+      3L -> (good + " extra tail"),    // near-dup of 1 -> dropped
+      4L -> "!!! ??? !!! ??? !!!",     // punctuation-heavy -> quality
+      5L -> ("der Hund und die Katze ist nicht ein Tier mit den von " * 4))
+    val (out, rep) = Curate.curateWithReport(d, minQuality = 0.5,
+      langs = Seq("en"), nearDupThreshold = 0.5)
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L))
+    assert(rep.input == 5 && rep.afterExact == 4)
+    assert(rep.afterNearDup == 3, s"$rep")
+    assert(rep.output == 1, s"$rep")
+  }
+
   test("centroids: mean of identical vectors is the vector") {
     val df = Seq(
       (0L, Array(1.0f, 2.0f), 7), (1L, Array(1.0f, 2.0f), 7),
