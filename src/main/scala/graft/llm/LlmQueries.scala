@@ -50,9 +50,10 @@ object LlmQueries {
       |  END""".stripMargin
 
   /** DuckDB CTE prelude shared by the minhash queries: token hashes,
-    * signatures (token-bearing docs only), band keys, candidate pairs. */
-  private val dCandidateCtes =
-    s"""hs AS (SELECT doc_id, $dHashes AS h FROM documents),
+    * signatures (token-bearing docs only), band keys, candidate pairs.
+    * `src` is the doc table/CTE (needs doc_id + text columns). */
+  private def dCandidateCtesFrom(src: String): String =
+    s"""hs AS (SELECT doc_id, $dHashes AS h FROM $src),
        |sig AS (SELECT doc_id, $dSig AS sig FROM hs WHERE len(h) > 0),
        |bands AS (
        |  SELECT doc_id, b,
@@ -62,6 +63,43 @@ object LlmQueries {
        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |  FROM bands x JOIN bands y
        |    ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id)"""
+      .stripMargin
+
+  private val dCandidateCtes = dCandidateCtesFrom("documents")
+
+  /** DuckDB fragment: stopword-hit count for language `l` (mirrors
+    * [[TextFunctions.stopwordHits]]). */
+  private def dHits(l: String): String = {
+    val words = TextFunctions.stopwords(l)
+      .map(w => s"'$w'").mkString(", ")
+    s"len(list_filter($dTokens, t -> list_contains([$words], t)))"
+  }
+
+  /** Hashed-shingle CTE (`sh`) + verified near-dup drop set (`dropped`)
+    * over `src` at `threshold` — the q27/q44 pipeline pieces. */
+  private def dNearDupDropCtes(src: String, threshold: Double): String =
+    s"""sh AS (SELECT doc_id,
+       |  CASE WHEN length(regexp_replace(lower(trim(text)),
+       |                   '\\s+', ' ', 'g')) >= 3
+       |  THEN list_distinct(list_transform(
+       |    generate_series(1, length(regexp_replace(lower(trim(text)),
+       |                    '\\s+', ' ', 'g')) - 2),
+       |    i -> CAST(concat('0x', substr(md5(
+       |      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+       |        [CAST(i AS INT) : CAST(i AS INT) + 2]), 1, 12))
+       |      AS BIGINT)))
+       |  ELSE [] END AS sh
+       |  FROM $src),
+       |scored AS (
+       |  SELECT c.a, c.b,
+       |         len(x.sh) + len(y.sh) AS st,
+       |         len(list_distinct(list_concat(x.sh, y.sh))) AS un
+       |  FROM cand c JOIN sh x ON x.doc_id = c.a
+       |              JOIN sh y ON y.doc_id = c.b),
+       |dropped AS (
+       |  SELECT DISTINCT b FROM scored
+       |  WHERE round(CASE WHEN un = 0 THEN 0.0
+       |        ELSE CAST(st - un AS DOUBLE) / un END, 6) >= $threshold)"""
       .stripMargin
 
   val all: Seq[Q] = Seq(
@@ -131,14 +169,9 @@ object LlmQueries {
           .orderBy($"doc_id")
       },
       Some {
-        def hits(l: String) = {
-          val words = TextFunctions.stopwords(l)
-            .map(w => s"'$w'").mkString(", ")
-          s"len(list_filter($dTokens, t -> list_contains([$words], t)))"
-        }
         s"""WITH h AS (SELECT doc_id, lang,
-           |  ${hits("en")} AS e, ${hits("de")} AS g,
-           |  ${hits("fr")} AS f, ${hits("es")} AS sp
+           |  ${dHits("en")} AS e, ${dHits("de")} AS g,
+           |  ${dHits("fr")} AS f, ${dHits("es")} AS sp
            |  FROM documents)
            |SELECT doc_id, lang,
            |  CASE WHEN e <= 0 AND g <= 0 AND f <= 0 AND sp <= 0 THEN 'und'
@@ -405,6 +438,50 @@ object LlmQueries {
               |        ELSE CAST(st - un AS DOUBLE) / un END, 6) >= 0.5)
               |SELECT doc_id, lang, n_chars FROM documents
               |WHERE doc_id NOT IN (SELECT b FROM dropped)
+              |ORDER BY doc_id""".stripMargin)),
+
+    // ---- the full curation funnel end-to-end: exact dedup -> near-dup
+    // survivors -> quality floor -> language allowlist, one oracle ----
+    Q("q45_curate_funnel",
+      (s, d) => {
+        import s.implicits._
+        Curate.curate(T(s, d, "documents"), "text", "doc_id",
+          minQuality = 0.5, langs = Seq("en"), nearDupThreshold = 0.5)
+          .select($"doc_id", $"lang", $"source")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH exact AS (
+              |  SELECT * FROM documents WHERE doc_id IN (
+              |    SELECT min(doc_id) FROM documents
+              |    GROUP BY md5(regexp_replace(lower(trim(text)),
+              |                 '\\s+', ' ', 'g')))),
+              |${dCandidateCtesFrom("exact")},
+              |${dNearDupDropCtes("exact", 0.5)},
+              |survivors AS (
+              |  SELECT * FROM exact
+              |  WHERE doc_id NOT IN (SELECT b FROM dropped)),
+              |feat AS (SELECT doc_id, lang, source, text,
+              |  CAST(length(text) AS DOUBLE) AS nc,
+              |  CAST(len($dTokens) AS DOUBLE) AS nw,
+              |  CAST(length(text) - length(regexp_replace(text,
+              |       '[[:punct:]]', '', 'g')) AS DOUBLE) AS np,
+              |  CAST(length(text) - length(regexp_replace(text,
+              |       '[A-Z]', '', 'g')) AS DOUBLE) AS nu
+              |  FROM survivors),
+              |q AS (SELECT doc_id, lang, source, text FROM feat
+              |  WHERE round(
+              |    least(nc / 200.0, 1.0) * 0.3 +
+              |    (CASE WHEN nw > 0 AND nc / nw >= 3 AND nc / nw <= 12
+              |          THEN 1.0 ELSE 0.5 END) * 0.2 +
+              |    (1.0 - least(np / greatest(nc, 1.0) * 4.0, 1.0)) * 0.3 +
+              |    (1.0 - least(nu / greatest(nc, 1.0) * 2.0, 1.0)) * 0.2,
+              |    6) >= 0.5),
+              |h AS (SELECT doc_id, lang, source,
+              |  ${dHits("en")} AS e, ${dHits("de")} AS g,
+              |  ${dHits("fr")} AS f, ${dHits("es")} AS sp FROM q)
+              |SELECT doc_id, lang, source FROM h
+              |WHERE NOT (e <= 0 AND g <= 0 AND f <= 0 AND sp <= 0)
+              |  AND e >= g AND e >= f AND e >= sp
               |ORDER BY doc_id""".stripMargin)),
 
     // ---- per-label embedding centroids (vector aggregation) ----
