@@ -76,7 +76,9 @@ object Ingest {
       .where(col("m.mtype") === mtype)
       .select(col("m.ref").as("member_id"), col("parent_id")))
 
-    val maxTs = nodesRaw.agg(max("timestamp")).head().getLong(0)
+    // empty input (zero nodes) => null max; default the replication ts
+    val maxTsRow = nodesRaw.agg(max("timestamp")).head()
+    val maxTs = if (maxTsRow.isNullAt(0)) 0L else maxTsRow.getLong(0)
     try VersionedTable.commit(root, Map(
       "locations" -> locations,
       "nodes" -> nodes,

@@ -172,8 +172,17 @@ object OsmPbfCodec {
     inf.setInput(data)
     val out = new Array[Byte](rawSize)
     var off = 0
-    while (off < rawSize && !inf.finished())
-      off += inf.inflate(out, off, rawSize - off)
+    while (off < rawSize && !inf.finished()) {
+      val n = inf.inflate(out, off, rawSize - off)
+      // truncated/corrupt zlib: inflate yields 0 with no way to make
+      // progress (all input consumed) — fail instead of spinning
+      if (n == 0 && (inf.needsInput() || inf.needsDictionary())) {
+        inf.end()
+        throw new java.io.IOException(
+          s"corrupt zlib blob: expected $rawSize bytes, got $off")
+      }
+      off += n
+    }
     inf.end()
     out
   }
@@ -184,15 +193,67 @@ object OsmPbfCodec {
             onWay: RawWay => Unit, onRelation: RawRelation => Unit)
   : Unit = {
     val in = new DataInputStream(is)
-    while (readOneBlob(in, onNode, onWay, onRelation)) {}
+    var more = true
+    while (more) readBlobUnit(in) match {
+      case Some((blobType, payload, _)) =>
+        if (blobType == "OSMData")
+          parseBlock(payload, onNode, onWay, onRelation)
+      case None => more = false
+    }
   }
 
-  private def readOneBlob(in: DataInputStream, onNode: RawNode => Unit,
-                          onWay: RawWay => Unit,
-                          onRelation: RawRelation => Unit): Boolean = {
+  /** One blob's position in a .osm.pbf file. The format is
+    * blob-delimited: every [len][BlobHeader][Blob] unit decodes
+    * independently, which is what makes a single planet file splittable
+    * into parallel input partitions (the reference decodes blocks on
+    * parallel worker threads, `src/expand.cpp:273-295`). */
+  final case class BlobInfo(offset: Long, length: Long, blobType: String)
+
+  /** Driver-side blob index: reads ONLY the 4-byte length prefixes and
+    * BlobHeaders, skipping payload bytes — O(#blobs) tiny reads, no
+    * decompression. */
+  def scanBlobs(is: InputStream): Seq[BlobInfo] = {
+    val in = new DataInputStream(is)
+    val out = mutable.ArrayBuffer[BlobInfo]()
+    var pos = 0L
+    var eof = false
+    while (!eof) {
+      val headerLen =
+        try in.readInt()
+        catch { case _: java.io.EOFException => eof = true; 0 }
+      if (!eof) {
+        val headerBytes = new Array[Byte](headerLen)
+        in.readFully(headerBytes)
+        var blobType = ""
+        var datasize = 0
+        val h = new Pbf.In(headerBytes)
+        while (h.hasMore) h.readTag() match {
+          case (1, 2) => blobType = new String(h.readLenBytes(), "UTF-8")
+          case (3, 0) => datasize = h.readVarint().toInt
+          case (_, w) => h.skip(w)
+        }
+        var toSkip = datasize
+        while (toSkip > 0) {
+          val skipped = in.skipBytes(toSkip)
+          if (skipped <= 0) throw new java.io.EOFException(
+            s"truncated blob at offset $pos")
+          toSkip -= skipped
+        }
+        val len = 4L + headerLen + datasize
+        out += BlobInfo(pos, len, blobType)
+        pos += len
+      }
+    }
+    out.toSeq
+  }
+
+  /** Read one [len][BlobHeader][Blob] unit: (blobType, decompressed
+    * payload, bytes consumed), or None at clean EOF. */
+  private[sources] def readBlobUnit(in: DataInputStream)
+  : Option[(String, Array[Byte], Long)] = {
     val headerLen =
       try in.readInt()
-      catch { case _: java.io.EOFException => return false }
+      catch { case _: java.io.EOFException => return None }
     val headerBytes = new Array[Byte](headerLen)
     in.readFully(headerBytes)
     var blobType = ""
@@ -205,7 +266,6 @@ object OsmPbfCodec {
     }
     val blobBytes = new Array[Byte](datasize)
     in.readFully(blobBytes)
-    if (blobType != "OSMData") return true // header blob: skip
 
     var raw: Array[Byte] = null
     var rawSize = -1
@@ -222,11 +282,10 @@ object OsmPbfCodec {
       else if (zlibData != null) inflate(zlibData, rawSize)
       else throw new IllegalStateException(
         "unsupported blob compression (only raw/zlib)")
-    parseBlock(payload, onNode, onWay, onRelation)
-    true
+    Some((blobType, payload, 4L + headerLen + datasize))
   }
 
-  private def parseBlock(payload: Array[Byte], onNode: RawNode => Unit,
+  private[sources] def parseBlock(payload: Array[Byte], onNode: RawNode => Unit,
                          onWay: RawWay => Unit,
                          onRelation: RawRelation => Unit): Unit = {
     val strings = mutable.ArrayBuffer[String]()
@@ -251,9 +310,11 @@ object OsmPbfCodec {
       case (_, w) => blk.skip(w)
     }
     def s(i: Long): String = strings(i.toInt)
-    // nanodeg -> 1e7 fixed point
+    // nanodeg -> 1e7 fixed point; floorDiv so negative coordinates from
+    // writers with non-multiple-of-100 granularity/offset floor the same
+    // way libosmium's fixed-point conversion does
     def toE7(raw: Long, off: Long): Int =
-      ((off + granularity * raw) / 100L).toInt
+      Math.floorDiv(off + granularity * raw, 100L).toInt
     def tsSec(t: Long): Long = t * dateGran / 1000L
 
     groups.foreach { gb =>

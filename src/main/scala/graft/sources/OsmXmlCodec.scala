@@ -134,44 +134,71 @@ object OsmXmlCodec {
                        onWay: (RawWay, String) => Unit,
                        onRelation: (RawRelation, String) => Unit)
   : Unit = {
+    val it = new OsmElementIterator(in)
+    try while (it.hasNext) it.next() match {
+      case (n: RawNode, a) => onNode(n, a)
+      case (w: RawWay, a) => onWay(w, a)
+      case (r: RawRelation, a) => onRelation(r, a)
+      case _ =>
+    } finally it.close()
+  }
+}
+
+/** Pull-based streaming cursor over one `.osm`/`.osc` document: yields
+  * each element as it completes, holding only the element under
+  * construction — CONSTANT memory regardless of file size (the
+  * DataSource reader serves rows straight off this iterator; no
+  * per-file buffering). The second tuple slot is the enclosing
+  * OsmChange action, or null outside change blocks. */
+final class OsmElementIterator(in: java.io.InputStream)
+  extends Iterator[(AnyRef, String)] with AutoCloseable {
+  import OsmXmlCodec._
+
+  private val r: XMLStreamReader = {
     val f = XMLInputFactory.newInstance()
     f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
     f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
-    val r = f.createXMLStreamReader(in)
+    f.createXMLStreamReader(in)
+  }
 
-    def attr(name: String, default: String = ""): String = {
-      val v = r.getAttributeValue(null, name)
-      if (v == null) default else v
-    }
+  private def attr(name: String, default: String = ""): String = {
+    val v = r.getAttributeValue(null, name)
+    if (v == null) default else v
+  }
 
-    var id = 0L; var lon = 0; var lat = 0; var version = 0
-    var ts = 0L; var cs = 0L; var uid = 0L; var user = ""
-    var kind = ""
-    var action: String = null
-    val tags = mutable.ArrayBuffer[(String, String)]()
-    val nds = mutable.ArrayBuffer[Long]()
-    val members = mutable.ArrayBuffer[(Long, String, String)]()
+  private var id = 0L; private var lon = 0; private var lat = 0
+  private var version = 0
+  private var ts = 0L; private var cs = 0L; private var uid = 0L
+  private var user = ""
+  private var action: String = null
+  private val tags = mutable.ArrayBuffer[(String, String)]()
+  private val nds = mutable.ArrayBuffer[Long]()
+  private val members = mutable.ArrayBuffer[(Long, String, String)]()
 
-    def readCommon(): Unit = {
-      id = attr("id", "0").toLong
-      version = attr("version", "0").toInt
-      ts = isoToTs(attr("timestamp", "0"))
-      cs = attr("changeset", "0").toLong
-      uid = attr("uid", "0").toLong
-      user = attr("user")
-      tags.clear(); nds.clear(); members.clear()
-    }
+  private var pending: (AnyRef, String) = null
+  private var done = false
 
-    while (r.hasNext) {
+  private def readCommon(): Unit = {
+    id = attr("id", "0").toLong
+    version = attr("version", "0").toInt
+    ts = isoToTs(attr("timestamp", "0"))
+    cs = attr("changeset", "0").toLong
+    uid = attr("uid", "0").toLong
+    user = attr("user")
+    tags.clear(); nds.clear(); members.clear()
+  }
+
+  private def advance(): Unit = {
+    while (pending == null && r.hasNext) {
       r.next() match {
         case XMLStreamConstants.START_ELEMENT =>
           r.getLocalName match {
             case "node" =>
-              kind = "node"; readCommon()
+              readCommon()
               lat = degToE7(attr("lat", "0"))
               lon = degToE7(attr("lon", "0"))
-            case "way" => kind = "way"; readCommon()
-            case "relation" => kind = "relation"; readCommon()
+            case "way" => readCommon()
+            case "relation" => readCommon()
             case "tag" => tags += ((attr("k"), attr("v")))
             case "nd" => nds += attr("ref", "0").toLong
             case "member" =>
@@ -183,13 +210,13 @@ object OsmXmlCodec {
         case XMLStreamConstants.END_ELEMENT =>
           r.getLocalName match {
             case "node" =>
-              onNode(RawNode(id, lon, lat, version, ts, cs, uid, user,
-                tags.toSeq), action)
+              pending = (RawNode(id, lon, lat, version, ts, cs, uid,
+                user, tags.toSeq), action)
             case "way" =>
-              onWay(RawWay(id, version, ts, cs, uid, user, tags.toSeq,
-                nds.toSeq), action)
+              pending = (RawWay(id, version, ts, cs, uid, user,
+                tags.toSeq, nds.toSeq), action)
             case "relation" =>
-              onRelation(RawRelation(id, version, ts, cs, uid, user,
+              pending = (RawRelation(id, version, ts, cs, uid, user,
                 tags.toSeq, members.toSeq), action)
             case "create" | "modify" | "delete" => action = null
             case _ =>
@@ -197,6 +224,20 @@ object OsmXmlCodec {
         case _ =>
       }
     }
-    r.close()
+    if (pending == null && !done) { done = true; r.close() }
   }
+
+  override def hasNext: Boolean = {
+    if (pending == null && !done) advance()
+    pending != null
+  }
+
+  override def next(): (AnyRef, String) = {
+    if (!hasNext) throw new NoSuchElementException("end of document")
+    val e = pending
+    pending = null
+    e
+  }
+
+  override def close(): Unit = r.close()
 }

@@ -122,6 +122,48 @@ object OsmXmlSource {
       else Seq(p)
     }.sorted
   }
+
+  /** Target compressed bytes per PBF input partition. Planet blobs are
+    * a few MB each, so the default groups a handful of blobs per task —
+    * override with `.option("pbf.split.bytes", n)`. */
+  val DefaultPbfSplitBytes: Long = 32L * 1024 * 1024
+
+  /** Plan-time blob-range split of one `.osm.pbf` file: scan the blob
+    * index (headers only, payloads skipped) and group contiguous blobs
+    * into ~targetBytes ranges — one InputPartition each. A single
+    * multi-blob planet file parallelizes across the cluster. */
+  def pbfRangePartitions(file: String, targetBytes: Long)
+  : Seq[InputPartition] = {
+    val hp = new Path(file)
+    val fs = hp.getFileSystem(new Configuration())
+    val in = fs.open(hp)
+    val blobs =
+      try OsmPbfCodec.scanBlobs(in)
+      finally in.close()
+    val parts = ArrayBuffer[InputPartition]()
+    var rangeStart = -1L
+    var rangeEnd = -1L
+    var size = 0L
+    def flush(): Unit = if (rangeStart >= 0) {
+      parts += OsmPbfRangePartition(file, rangeStart, rangeEnd)
+      rangeStart = -1L; rangeEnd = -1L; size = 0L
+    }
+    blobs.foreach { b =>
+      if (b.blobType != "OSMData") flush() // header/unknown: no range
+      else if (rangeStart < 0) {
+        rangeStart = b.offset; rangeEnd = b.offset + b.length
+        size = b.length
+      } else if (size + b.length > targetBytes) {
+        flush()
+        rangeStart = b.offset; rangeEnd = b.offset + b.length
+        size = b.length
+      } else {
+        rangeEnd = b.offset + b.length; size += b.length
+      }
+    }
+    flush()
+    parts.toSeq
+  }
 }
 
 final class OsmXmlTable(tableSchema: StructType,
@@ -170,7 +212,17 @@ final class OsmXmlScanBuilder(entity: String, changes: Boolean,
       val anyNamed = files.exists(
         _.matches(".*part-(node|way|relation)-\\d+\\.osm(\\.pbf)?$"))
       val mine = if (anyNamed) named else files
-      mine.map(f => OsmXmlFilePartition(f): InputPartition).toArray
+      val splitBytes = options.get("pbf.split.bytes").map(_.toLong)
+        .getOrElse(OsmXmlSource.DefaultPbfSplitBytes)
+      mine.flatMap { f =>
+        // PBF is blob-delimited: a single planet-scale file splits into
+        // many blob-range partitions (the reference's parallel block
+        // decode, `src/expand.cpp:273-295`). XML has no delimiters — one
+        // partition per file, streamed.
+        if (f.endsWith(".pbf"))
+          OsmXmlSource.pbfRangePartitions(f, splitBytes)
+        else Seq(OsmXmlFilePartition(f): InputPartition)
+      }.toArray
     }
 
     override def createReaderFactory(): PartitionReaderFactory =
@@ -180,83 +232,140 @@ final class OsmXmlScanBuilder(entity: String, changes: Boolean,
 
 final case class OsmXmlFilePartition(path: String) extends InputPartition
 
+/** A contiguous range of whole blobs in one `.osm.pbf` file. */
+final case class OsmPbfRangePartition(path: String, start: Long,
+                                      end: Long) extends InputPartition
+
 final class OsmXmlReaderFactory(entity: String, changes: Boolean,
                                 columns: Array[String])
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
-  : PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[OsmXmlFilePartition].path
-    new PartitionReader[InternalRow] {
-      import OsmXmlCodec._
-      // one file = one block: parsed streaming, buffered per block
-      // (mirrors per-PBF-block decode memory, not per-planet)
-      private val rows = ArrayBuffer[InternalRow]()
-      locally {
-        val hp = new Path(file)
-        val in = hp.getFileSystem(new Configuration()).open(hp)
-        // change mode keeps only elements inside an action block
-        def act(a: String): Map[String, Any] =
-          if (a == null) Map("action" -> null)
-          else Map("action" -> UTF8String.fromString(a))
-        def keep(a: String): Boolean = !changes || a != null
-        try {
-          if (file.endsWith(".pbf")) {
-            require(!changes, "osc change mode is XML-only")
-            OsmPbfCodec.parse(in,
-              n => if (entity == "node") rows += toRow(nodeValues(n)),
-              w => if (entity == "way") rows += toRow(wayValues(w)),
-              r => if (entity == "relation") rows += toRow(relValues(r)))
-          } else parseWithActions(in,
-            (n, a) => if (entity == "node" && keep(a))
-              rows += toRow(nodeValues(n) ++ act(a)),
-            (w, a) => if (entity == "way" && keep(a))
-              rows += toRow(wayValues(w) ++ act(a)),
-            (r, a) => if (entity == "relation" && keep(a))
-              rows += toRow(relValues(r) ++ act(a)))
-        } finally in.close()
-      }
-      private var i = -1
+  : PartitionReader[InternalRow] = partition match {
+    case OsmXmlFilePartition(file) =>
+      new XmlPartitionReader(file, entity, changes, columns)
+    case OsmPbfRangePartition(file, start, end) =>
+      require(!changes, "osc change mode is XML-only")
+      new PbfRangePartitionReader(file, start, end, entity, columns)
+  }
+}
 
-      private def tagsMap(tags: Seq[(String, String)]) =
-        new ArrayBasedMapData(
-          new GenericArrayData(
-            tags.map(t => UTF8String.fromString(t._1)).toArray[Any]),
-          new GenericArrayData(
-            tags.map(t => UTF8String.fromString(t._2)).toArray[Any]))
+/** Raw element -> pruned InternalRow (column pruning happens here:
+  * only the requested fields are built). */
+private[sources] final class RawToRow(columns: Array[String])
+  extends Serializable {
+  import OsmXmlCodec._
 
-      private def nodeValues(n: RawNode): Map[String, Any] = Map(
-        "id" -> n.id, "lon" -> n.lon, "lat" -> n.lat,
-        "version" -> n.version, "timestamp" -> n.timestamp,
-        "changeset" -> n.changeset, "uid" -> n.uid,
-        "user" -> UTF8String.fromString(n.user),
-        "tags" -> tagsMap(n.tags))
+  private def tagsMap(tags: Seq[(String, String)]) =
+    new ArrayBasedMapData(
+      new GenericArrayData(
+        tags.map(t => UTF8String.fromString(t._1)).toArray[Any]),
+      new GenericArrayData(
+        tags.map(t => UTF8String.fromString(t._2)).toArray[Any]))
 
-      private def wayValues(w: RawWay): Map[String, Any] = Map(
-        "id" -> w.id, "version" -> w.version, "timestamp" -> w.timestamp,
-        "changeset" -> w.changeset, "uid" -> w.uid,
-        "user" -> UTF8String.fromString(w.user),
-        "tags" -> tagsMap(w.tags),
-        "nodes" -> new GenericArrayData(w.nodes.toArray[Any]))
+  private def act(a: String): Map[String, Any] =
+    if (a == null) Map("action" -> null)
+    else Map("action" -> UTF8String.fromString(a))
 
-      private def relValues(r: RawRelation): Map[String, Any] = Map(
-        "id" -> r.id, "version" -> r.version, "timestamp" -> r.timestamp,
-        "changeset" -> r.changeset, "uid" -> r.uid,
-        "user" -> UTF8String.fromString(r.user),
-        "tags" -> tagsMap(r.tags),
-        "members" -> new GenericArrayData(r.members.map { case (ref, t, role) =>
+  def node(n: RawNode, action: String = null): InternalRow =
+    toRow(Map(
+      "id" -> n.id, "lon" -> n.lon, "lat" -> n.lat,
+      "version" -> n.version, "timestamp" -> n.timestamp,
+      "changeset" -> n.changeset, "uid" -> n.uid,
+      "user" -> UTF8String.fromString(n.user),
+      "tags" -> tagsMap(n.tags)) ++ act(action))
+
+  def way(w: RawWay, action: String = null): InternalRow =
+    toRow(Map(
+      "id" -> w.id, "version" -> w.version, "timestamp" -> w.timestamp,
+      "changeset" -> w.changeset, "uid" -> w.uid,
+      "user" -> UTF8String.fromString(w.user),
+      "tags" -> tagsMap(w.tags),
+      "nodes" -> new GenericArrayData(w.nodes.toArray[Any])) ++
+      act(action))
+
+  def relation(r: RawRelation, action: String = null): InternalRow =
+    toRow(Map(
+      "id" -> r.id, "version" -> r.version, "timestamp" -> r.timestamp,
+      "changeset" -> r.changeset, "uid" -> r.uid,
+      "user" -> UTF8String.fromString(r.user),
+      "tags" -> tagsMap(r.tags),
+      "members" -> new GenericArrayData(r.members.map {
+        case (ref, t, role) =>
           new GenericInternalRow(Array[Any](ref,
             UTF8String.fromString(t), UTF8String.fromString(role)))
-        }.toArray[Any]))
+      }.toArray[Any])) ++ act(action))
 
-      /** column pruning: build only the requested fields */
-      private def toRow(values: Map[String, Any]): InternalRow =
-        new GenericInternalRow(columns.map(values(_)))
+  private def toRow(values: Map[String, Any]): InternalRow =
+    new GenericInternalRow(columns.map(values(_)))
+}
 
-      override def next(): Boolean = { i += 1; i < rows.length }
-      override def get(): InternalRow = rows(i)
-      override def close(): Unit = ()
-    }
+/** Streaming XML reader: rows come straight off [[OsmElementIterator]]
+  * — memory is ONE element under construction, not the file. */
+final class XmlPartitionReader(file: String, entity: String,
+                               changes: Boolean, columns: Array[String])
+  extends PartitionReader[InternalRow] {
+  import OsmXmlCodec._
+  private val conv = new RawToRow(columns)
+  private val in = {
+    val hp = new Path(file)
+    hp.getFileSystem(new Configuration()).open(hp)
   }
+  private val elems = new OsmElementIterator(in)
+  // change mode keeps only elements inside an action block
+  private def keep(a: String): Boolean = !changes || a != null
+  private val rows: Iterator[InternalRow] = elems.collect {
+    case (n: RawNode, a) if entity == "node" && keep(a) =>
+      conv.node(n, a)
+    case (w: RawWay, a) if entity == "way" && keep(a) =>
+      conv.way(w, a)
+    case (r: RawRelation, a) if entity == "relation" && keep(a) =>
+      conv.relation(r, a)
+  }
+  private var cur: InternalRow = _
+
+  override def next(): Boolean =
+    if (rows.hasNext) { cur = rows.next(); true } else false
+  override def get(): InternalRow = cur
+  override def close(): Unit = { elems.close(); in.close() }
+}
+
+/** Blob-range PBF reader: seeks to the range start and decodes one blob
+  * at a time — memory is ONE decompressed block (~8k elements), the
+  * reference's per-block decode shape, regardless of file size. */
+final class PbfRangePartitionReader(file: String, start: Long, end: Long,
+                                   entity: String, columns: Array[String])
+  extends PartitionReader[InternalRow] {
+  private val conv = new RawToRow(columns)
+  private val in = {
+    val hp = new Path(file)
+    val s = hp.getFileSystem(new Configuration()).open(hp)
+    s.seek(start)
+    s
+  }
+  private val din = new java.io.DataInputStream(in)
+  private var consumed = 0L
+  private val pending = new java.util.ArrayDeque[InternalRow]()
+  private var cur: InternalRow = _
+
+  @annotation.tailrec
+  private def fill(): Boolean =
+    if (!pending.isEmpty) true
+    else if (consumed >= end - start) false
+    else OsmPbfCodec.readBlobUnit(din) match {
+      case None => false
+      case Some((blobType, payload, sz)) =>
+        consumed += sz
+        if (blobType == "OSMData") OsmPbfCodec.parseBlock(payload,
+          n => if (entity == "node") pending.add(conv.node(n)),
+          w => if (entity == "way") pending.add(conv.way(w)),
+          r => if (entity == "relation") pending.add(conv.relation(r)))
+        fill()
+    }
+
+  override def next(): Boolean =
+    if (fill()) { cur = pending.poll(); true } else false
+  override def get(): InternalRow = cur
+  override def close(): Unit = din.close()
 }
 
 final class OsmXmlWriteBuilder(entity: String,
@@ -276,7 +385,26 @@ final class OsmXmlWriteBuilder(entity: String,
       : DataWriterFactory = new OsmXmlWriterFactory(entity, dir, idx,
         options.get("format").exists(_.equalsIgnoreCase("pbf")))
 
-      override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+      /** Genuine overwrite semantics for THIS entity: a prior write with
+        * more shards than this one would otherwise leave stale
+        * part-<entity>-NNNNN files that read back as live rows. Other
+        * entities' files in the same directory are preserved (the
+        * extract sink writes all three entities into one dir). */
+      override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        val written = messages.collect {
+          case OsmXmlCommit(p) => new Path(p).getName
+        }.toSet
+        val dirPath = new Path(dir)
+        val fs = dirPath.getFileSystem(new Configuration())
+        if (fs.getFileStatus(dirPath).isDirectory) {
+          fs.listStatus(dirPath).toSeq.filter(_.isFile)
+            .map(_.getPath)
+            .filter(_.getName.matches(
+              s"part-$entity-\\d+\\.osm(\\.pbf)?"))
+            .filterNot(p => written.contains(p.getName))
+            .foreach(p => fs.delete(p, false))
+        }
+      }
       override def abort(messages: Array[WriterCommitMessage]): Unit = ()
     }
   }

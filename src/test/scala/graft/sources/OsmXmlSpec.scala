@@ -192,6 +192,75 @@ class OsmXmlSpec extends AnyFunSuite {
     assert(nodes2.select($"id").as[Long].collect().toSet == Set(10L))
   }
 
+  test("a single multi-blob .osm.pbf splits into blob-range partitions") {
+    import OsmXmlCodec._
+    // one FILE, many blobs (chunk=50 over 1000 nodes -> 20 data blobs):
+    // the canonical planet.osm.pbf shape
+    val nodes = (1 to 1000).map(i => RawNode(i.toLong, i * 1000, -i * 500,
+      1, 1600000000L + i, 7L, 9L, s"u${i % 13}",
+      if (i % 3 == 0) Seq("k" -> s"v$i") else Seq.empty))
+    val dir = Files.createTempDirectory("graft-split").toString
+    val f = new java.io.File(dir, "planet.osm.pbf")
+    val out = new java.io.FileOutputStream(f)
+    try OsmPbfCodec.write(out, nodes.iterator, Iterator.empty,
+      Iterator.empty, chunk = 50)
+    finally out.close()
+
+    // blob index sees 1 header + 20 data blobs
+    val blobs = {
+      val in = new java.io.FileInputStream(f)
+      try OsmPbfCodec.scanBlobs(in) finally in.close()
+    }
+    assert(blobs.count(_.blobType == "OSMData") == 20)
+    assert(blobs.head.blobType == "OSMHeader")
+    // byte ranges tile the file exactly
+    assert(blobs.map(_.length).sum == f.length())
+
+    // a small split target => many partitions from ONE file
+    val df = spark.read.format("osmxml").option("entity", "node")
+      .option("pbf.split.bytes", "1").load(f.toString)
+    assert(df.rdd.getNumPartitions == 20,
+      s"expected 20 blob partitions, got ${df.rdd.getNumPartitions}")
+    assert(df.count() == 1000)
+    // rows identical to the default (single-partition-range) read
+    val dfWide = spark.read.format("osmxml").option("entity", "node")
+      .load(f.toString)
+    assert(dfWide.rdd.getNumPartitions == 1)
+    def cmp(d: DataFrame) = d.withColumn("tags_s",
+      graft.osm.Extract.tagsToString(col("tags"))).drop("tags")
+    assert(cmp(df).exceptAll(cmp(dfWide)).isEmpty &&
+      cmp(dfWide).exceptAll(cmp(df)).isEmpty)
+    // ids survive exactly
+    assert(df.agg(sum($"id")).head().getLong(0) == 500500L)
+  }
+
+  test("XML element iterator streams incrementally (constant memory)") {
+    import OsmXmlCodec._
+    val body = (1 to 5000).map(i => renderNode(RawNode(i.toLong, i, i, 1,
+      1600000000L, 7L, 9L, "u", Seq("name" -> ("x" * 50)))))
+    val doc = (header +: body :+ footer).mkString("\n")
+    val bytes = doc.getBytes("UTF-8")
+    assert(bytes.length > 400000) // big enough that buffering would show
+    var maxRead = 0
+    val counting = new java.io.ByteArrayInputStream(bytes) {
+      private var n = 0
+      override def read(): Int = { n += 1; maxRead = math.max(maxRead, n); super.read() }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        val r = super.read(b, off, len)
+        if (r > 0) { n += r; maxRead = math.max(maxRead, n) }
+        r
+      }
+    }
+    val it = new OsmElementIterator(counting)
+    // pulling the first 10 elements must NOT read the whole document
+    val first10 = it.take(10).toList
+    assert(first10.size == 10)
+    assert(maxRead < bytes.length / 4,
+      s"reader consumed $maxRead of ${bytes.length} bytes for 10 of " +
+        "5000 elements — not streaming")
+    it.close()
+  }
+
   test("expand -> extract -> re-expand: topology-complete round trip") {
     val (nodes, ways, rels) = world()
     val xmlDir = Files.createTempDirectory("graft-xml2").toString
