@@ -11,12 +11,80 @@ import org.apache.spark.sql.functions._
   * falls out of recomputing the changed parents' rows wholesale —
   * cheaper on a cluster than the per-row diff, same result).
   *
+  * Every table's transform is exposed as a closure in [[delta]] so the
+  * SAME logic drives both the whole-table batch form (applyNodeChanges
+  * etc., used by q33/q37) and the copy-on-write streaming form, where
+  * `old` is only the changed buckets' rows
+  * ([[VersionedTable.Delta]] / [[graft.streaming.Replication]]).
+  *
   * These functions are pure (no writes): atomic visibility is the
   * manifest layer's job ([[VersionedTable]]), which also supplies the
   * reference's dry-run semantics (compute, don't commit,
   * `src/update.cpp:280-291`).
   */
 object Changeset {
+
+  /** Per-table delta closures. `changes` carries the OsmChange rows for
+    * ONE element type; each closure maps that table's old rows (all of
+    * them, or just the changed buckets' — the transforms only ever
+    * delete rows keyed by a changed id, so restricting `old` to the
+    * buckets containing those keys is exact) to their replacements. */
+  object delta {
+    private def ids(changes: DataFrame): DataFrame =
+      changes.select(col("id")).distinct()
+
+    /** U1a: the coordinate store — every visible node, keyed by id. */
+    def locations(changes: DataFrame): DataFrame => DataFrame = old =>
+      old.join(ids(changes), Seq("id"), "left_anti")
+        .unionByName(changes.where(col("visible"))
+          .select(col("id"), col("lon"), col("lat"), col("version")))
+
+    /** U1b: node blobs — visible AND tagged (`update.cpp:50-60`:
+      * a visible change without tags deletes any existing blob). */
+    def nodeBlobs(changes: DataFrame): DataFrame => DataFrame = old =>
+      old.join(ids(changes), Seq("id"), "left_anti")
+        .unionByName(changes
+          .where(col("visible") && size(col("tags")) > 0)
+          .select(col("id"), col("tags"), col("meta")))
+
+    /** U2a: way table upsert. */
+    def ways(changes: DataFrame): DataFrame => DataFrame = old =>
+      old.join(ids(changes), Seq("id"), "left_anti")
+        .unionByName(changes.where(col("visible"))
+          .select(col("id"), col("nodes"), col("tags"), col("meta")))
+
+    /** U3a: relation table upsert. */
+    def relations(changes: DataFrame): DataFrame => DataFrame = old =>
+      old.join(ids(changes), Seq("id"), "left_anti")
+        .unionByName(changes.where(col("visible"))
+          .select(col("id"), col("members"), col("tags"), col("meta")))
+
+    /** U2b: node->way reverse adjacency — delete-then-insert by
+      * parent id, re-derived from the new node lists. */
+    def nodeWay(changes: DataFrame): DataFrame => DataFrame = old =>
+      old.join(ids(changes).withColumnRenamed("id", "parent_id"),
+          Seq("parent_id"), "left_anti")
+        .unionByName(changes.where(col("visible"))
+          .select(explode(col("nodes")).as("member_id"),
+            col("id").as("parent_id"))
+          .distinct()
+          .select(col("parent_id"), col("member_id")))
+        .select(col("member_id"), col("parent_id"))
+
+    /** U3b: member->relation reverse adjacency for one member type. */
+    def relAdj(changes: DataFrame, mtype: String)
+    : DataFrame => DataFrame = old =>
+      old.join(ids(changes).withColumnRenamed("id", "parent_id"),
+          Seq("parent_id"), "left_anti")
+        .unionByName(changes.where(col("visible"))
+          .select(explode(col("members")).as("m"),
+            col("id").as("parent_id"))
+          .where(col("m.mtype") === mtype)
+          .select(col("m.ref").as("member_id"), col("parent_id"))
+          .distinct()
+          .select(col("parent_id"), col("member_id")))
+        .select(col("member_id"), col("parent_id"))
+  }
 
   /** U1. `changes` schema: id, visible (bool), lon, lat, version, tags
     * (MAP, empty/null = untagged), meta (nullable struct like
@@ -25,60 +93,24 @@ object Changeset {
     * blob (`update.cpp:50-60`); invisible deletes both
     * (`update.cpp:33-48`). */
   def applyNodeChanges(locations: DataFrame, nodes: DataFrame,
-                       changes: DataFrame): (DataFrame, DataFrame) = {
-    val ids = changes.select(col("id")).distinct()
-    val loc2 = locations.join(ids, Seq("id"), "left_anti")
-      .unionByName(changes.where(col("visible"))
-        .select(col("id"), col("lon"), col("lat"), col("version")))
-    val nodes2 = nodes.join(ids, Seq("id"), "left_anti")
-      .unionByName(changes
-        .where(col("visible") && size(col("tags")) > 0)
-        .select(col("id"), col("tags"), col("meta")))
-    (loc2, nodes2)
-  }
+                       changes: DataFrame): (DataFrame, DataFrame) =
+    (delta.locations(changes)(locations), delta.nodeBlobs(changes)(nodes))
 
   /** U2. `changes` schema: id, visible, nodes (ARRAY<LONG>), tags, meta.
     * Returns (ways', node_way'): changed parents' adjacency rows are
     * dropped and re-derived from the new node lists. */
   def applyWayChanges(ways: DataFrame, nodeWay: DataFrame,
-                      changes: DataFrame): (DataFrame, DataFrame) = {
-    val ids = changes.select(col("id")).distinct()
-    val ways2 = ways.join(ids, Seq("id"), "left_anti")
-      .unionByName(changes.where(col("visible"))
-        .select(col("id"), col("nodes"), col("tags"), col("meta")))
-    val nodeWay2 = nodeWay
-      .join(ids.withColumnRenamed("id", "parent_id"), Seq("parent_id"),
-        "left_anti")
-      .unionByName(changes.where(col("visible"))
-        .select(explode(col("nodes")).as("member_id"),
-          col("id").as("parent_id"))
-        .distinct()
-        .select(col("parent_id"), col("member_id")))
-      .select(col("member_id"), col("parent_id"))
-    (ways2, nodeWay2)
-  }
+                      changes: DataFrame): (DataFrame, DataFrame) =
+    (delta.ways(changes)(ways), delta.nodeWay(changes)(nodeWay))
 
   /** U3. `changes` schema: id, visible, members, tags, meta. Returns
     * (relations', node_relation', way_relation', relation_relation'). */
   def applyRelationChanges(relations: DataFrame, nodeRelation: DataFrame,
                            wayRelation: DataFrame,
                            relationRelation: DataFrame, changes: DataFrame)
-  : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val ids = changes.select(col("id")).distinct()
-    val rel2 = relations.join(ids, Seq("id"), "left_anti")
-      .unionByName(changes.where(col("visible"))
-        .select(col("id"), col("members"), col("tags"), col("meta")))
-    def adj(old: DataFrame, mtype: String): DataFrame = old
-      .join(ids.withColumnRenamed("id", "parent_id"), Seq("parent_id"),
-        "left_anti")
-      .unionByName(changes.where(col("visible"))
-        .select(explode(col("members")).as("m"), col("id").as("parent_id"))
-        .where(col("m.mtype") === mtype)
-        .select(col("m.ref").as("member_id"), col("parent_id"))
-        .distinct()
-        .select(col("parent_id"), col("member_id")))
-      .select(col("member_id"), col("parent_id"))
-    (rel2, adj(nodeRelation, "node"), adj(wayRelation, "way"),
-      adj(relationRelation, "relation"))
-  }
+  : (DataFrame, DataFrame, DataFrame, DataFrame) =
+    (delta.relations(changes)(relations),
+      delta.relAdj(changes, "node")(nodeRelation),
+      delta.relAdj(changes, "way")(wayRelation),
+      delta.relAdj(changes, "relation")(relationRelation))
 }

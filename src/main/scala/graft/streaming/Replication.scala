@@ -1,6 +1,8 @@
 package graft.streaming
 
 import graft.osm.{Changeset, VersionedTable}
+import graft.osm.VersionedTable.Delta
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -36,21 +38,36 @@ object Replication {
     ans
   }
 
-  /** Node-change schema consumed by the stream (a parquet-encoded
-    * OsmChange batch: S3's role, with `visible=false` for deletes). */
+  /** Full-element change schema consumed by the stream (a
+    * parquet-encoded OsmChange batch: S3's role). One row per changed
+    * element; `etype` selects node|way|relation, `visible=false` is a
+    * delete; the payload columns not applicable to the etype are null
+    * (`nodes` for ways, `members` for relations). */
   def changeSchema: StructType = StructType.fromDDL(
-    "id BIGINT, visible BOOLEAN, lon INT, lat INT, version INT, " +
+    "id BIGINT, etype STRING, visible BOOLEAN, lon INT, lat INT, " +
+      "version INT, nodes ARRAY<BIGINT>, " +
+      "members ARRAY<STRUCT<ref:BIGINT,mtype:STRING,role:STRING>>, " +
       "tags MAP<STRING,STRING>, " +
       "meta STRUCT<version:INT,timestamp:BIGINT,changeset:BIGINT," +
       "uid:BIGINT,user:STRING>, seqnum BIGINT")
 
-  /** U5: continuous replication catch-up. Watches `changesDir` for new
-    * change files; every micro-batch applies U1 (node upsert/delete)
-    * against the CURRENT committed version of `tableRoot` and commits
-    * exactly one new version with the max applied seqnum recorded in
-    * the manifest meta (U4's atomic advance). The streaming checkpoint
-    * makes delivery exactly-once: a restarted query re-reads no applied
-    * batch, and an aborted batch never swapped the manifest.
+  private val SeqKey = "osmosis_replication_sequence_number"
+  private val BatchIdKey = "streaming_batch_id"
+
+  /** U5: continuous replication catch-up over a BUCKETED copy-on-write
+    * store ([[VersionedTable.commitBucketed]]). Watches `changesDir`
+    * for new change files; every micro-batch applies U1/U2/U3 (node,
+    * way AND relation changes with adjacency recompute) and commits ONE
+    * new version whose manifest rewrites only the buckets containing
+    * changed keys — the reference's O(changes) LMDB update
+    * (`utils/osmx-update:15-48`, `src/update.cpp:17-226`), not a
+    * full-table rewrite. The max applied seqnum lands in the manifest
+    * meta atomically with the data (U4).
+    *
+    * Delivery is idempotent at-least-once: foreachBatch may re-deliver
+    * a batch whose manifest commit already landed (crash between the
+    * manifest swap and the checkpoint commit), so the manifest records
+    * the applied streaming batch id and a replayed batch is a no-op.
     *
     * Watermarks/session windows are deliberately absent: OSM replication
     * is ordered, complete batches — late data cannot occur by
@@ -62,23 +79,91 @@ object Replication {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val pinned = VersionedTable.current(tableRoot)
-          val loc = VersionedTable.read(spark, tableRoot, "locations",
-            pinned)
-          val nodes = VersionedTable.read(spark, tableRoot, "nodes",
-            pinned)
-          val changes = batch.drop("seqnum")
-          val (loc2, nodes2) =
-            Changeset.applyNodeChanges(loc, nodes, changes)
-          val maxSeq = batch.agg(org.apache.spark.sql.functions
-            .max("seqnum")).head().getLong(0)
-          VersionedTable.commit(tableRoot,
-            Map("locations" -> loc2, "nodes" -> nodes2),
-            Map("osmosis_replication_sequence_number" -> maxSeq.toString))
-          ()
-        }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(spark, tableRoot, batch, batchId)
       }
       .start()
+
+  /** Apply one change micro-batch as a single copy-on-write commit.
+    * Tables absent from the store's manifest are skipped, so a
+    * node-only store and the full 8-table store both work. */
+  def applyBatch(spark: SparkSession, root: String, batch: DataFrame,
+                 batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val prev = VersionedTable.current(root).getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    if (prev.meta.get(BatchIdKey).contains(batchId.toString)) return
+    val bk = prev.buckets
+    require(bk.nonEmpty,
+      s"catch-up needs a bucketed store at $root (commitBucketed)")
+    val changes = batch.persist()
+    try {
+      val nodeCh = changes.where(col("etype") === "node")
+      val wayCh = changes.where(col("etype") === "way")
+      val relCh = changes.where(col("etype") === "relation")
+      val nodeIds = nodeCh.select(col("id")).distinct()
+      val wayIds = wayCh.select(col("id")).distinct()
+      val relIds = relCh.select(col("id")).distinct()
+
+      val deltas = scala.collection.mutable.Map[String, Delta]()
+      def byId(table: String, keys: DataFrame,
+               transform: DataFrame => DataFrame): Unit =
+        bk.get(table).foreach { spec =>
+          deltas += table -> Delta(
+            VersionedTable.bucketsOf(keys, spec.key, spec.nBuckets),
+            transform)
+        }
+
+      // U1 — coordinate store + tagged-node blobs
+      byId("locations", nodeIds, Changeset.delta.locations(nodeCh))
+      byId("nodes", nodeIds, Changeset.delta.nodeBlobs(nodeCh))
+      // U2a / U3a — way and relation element tables
+      byId("ways", wayIds, Changeset.delta.ways(wayCh))
+      byId("relations", relIds, Changeset.delta.relations(relCh))
+
+      // U2b/U3b — reverse adjacency. The buckets to rewrite are the
+      // ones holding the changed parents' OLD member rows plus the NEW
+      // member rows; the old member ids come from the changed parents'
+      // own element rows (read partition-pruned from the pinned
+      // version — O(changes), the reference's per-way reverse lookup
+      // at `update.cpp:78-126`).
+      def adjDelta(adjTable: String, elemTable: String, elemIds: DataFrame,
+                   oldMembers: DataFrame => DataFrame,
+                   newMembers: DataFrame,
+                   transform: DataFrame => DataFrame): Unit =
+        for (spec <- bk.get(adjTable); elemSpec <- bk.get(elemTable)) {
+          val parentBuckets = VersionedTable.bucketsOf(
+            elemIds, elemSpec.key, elemSpec.nBuckets)
+          val oldParents = VersionedTable.readBuckets(spark, root,
+            elemTable, parentBuckets, Some(prev))
+            .join(elemIds, Seq("id"))
+          val memberIds = oldMembers(oldParents)
+            .unionByName(newMembers).distinct()
+          deltas += adjTable -> Delta(
+            VersionedTable.bucketsOf(memberIds, spec.key, spec.nBuckets),
+            transform)
+        }
+
+      adjDelta("node_way", "ways", wayIds,
+        old => old.select(explode(col("nodes")).as("member_id")),
+        wayCh.where(col("visible"))
+          .select(explode(col("nodes")).as("member_id")),
+        Changeset.delta.nodeWay(wayCh))
+      def relMembers(df: DataFrame, mtype: String): DataFrame = df
+        .select(explode(col("members")).as("m"))
+        .where(col("m.mtype") === mtype)
+        .select(col("m.ref").as("member_id"))
+      for (mtype <- Seq("node", "way", "relation"))
+        adjDelta(s"${mtype}_relation", "relations", relIds,
+          old => relMembers(old, mtype),
+          relMembers(relCh.where(col("visible")), mtype),
+          Changeset.delta.relAdj(relCh, mtype))
+
+      val maxSeq = changes.agg(max("seqnum")).head().getLong(0)
+      VersionedTable.commitDelta(spark, root, deltas.toMap, Map(
+        SeqKey -> maxSeq.toString,
+        BatchIdKey -> batchId.toString))
+      ()
+    } finally { changes.unpersist(blocking = false); () }
+  }
 }

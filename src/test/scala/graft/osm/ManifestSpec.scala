@@ -68,6 +68,100 @@ class ManifestSpec extends AnyFunSuite {
     assert(live == Set((1L, "a")))
   }
 
+  test("copy-on-write delta commit rewrites only changed buckets") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft-cow").toString
+    val n = 8
+    val df = (1L to 1000L).map(i => (i, s"v$i")).toDF("id", "v")
+    val v1 = VersionedTable.commitBucketed(root,
+      Map("t" -> (df, "id")), n,
+      Map("osmosis_replication_sequence_number" -> "5"))
+    assert(v1 == 1L)
+    val m1 = VersionedTable.current(root).get
+    assert(m1.buckets("t").versions == Vector.fill(n)(1L))
+
+    // snapshot every bucket file (path -> bytes) before the delta
+    def bucketFiles(): Map[String, Array[Byte]] = {
+      val base = java.nio.file.Paths.get(root)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => p.toString -> java.nio.file.Files.readAllBytes(p))
+        .toMap
+    }
+    val before = bucketFiles()
+
+    // change two ids: delete 7, upsert 13 -> at most 2 changed buckets
+    val changedIds = Seq(7L, 13L).toDF("id")
+    val changed = VersionedTable.bucketsOf(changedIds, "id", n)
+    assert(changed.nonEmpty && changed.size <= 2)
+    val v2 = VersionedTable.commitDelta(spark, root, Map(
+      "t" -> VersionedTable.Delta(changed, old =>
+        old.join(changedIds, Seq("id"), "left_anti")
+          .unionByName(Seq((13L, "CHANGED")).toDF("id", "v")))),
+      Map("osmosis_replication_sequence_number" -> "6"))
+    assert(v2 == 2L)
+
+    // manifest: only the changed buckets advanced to v2
+    val m2 = VersionedTable.current(root).get
+    val vs = m2.buckets("t").versions
+    assert(vs.zipWithIndex.forall { case (v, b) =>
+      if (changed.contains(b)) v == 2L else v == 1L })
+    assert(m2.meta("osmosis_replication_sequence_number") == "6")
+
+    // unchanged buckets: the SAME files, byte-identical (linked, not
+    // rewritten)
+    val after = bucketFiles()
+    val keptDirs = (0 until n).filterNot(changed.contains)
+      .map(b => s"$root/v=1/t/__bucket=$b")
+    keptDirs.foreach { d =>
+      val files = before.keys.filter(_.startsWith(d))
+      assert(files.nonEmpty)
+      files.foreach { f =>
+        assert(after.contains(f), s"$f disappeared")
+        assert(java.util.Arrays.equals(before(f), after(f)),
+          s"$f was rewritten")
+      }
+    }
+
+    // data correctness: full read = original minus 7, with 13 changed
+    val now = VersionedTable.read(spark, root, "t")
+      .as[(Long, String)].collect().toMap
+    assert(!now.contains(7L))
+    assert(now(13L) == "CHANGED")
+    assert(now.size == 999)
+    assert(now(999L) == "v999")
+
+    // pinned read at v1 still sees the original content
+    val pinned = VersionedTable.read(spark, root, "t", Some(m1))
+      .as[(Long, String)].collect().toMap
+    assert(pinned(7L) == "v7" && pinned(13L) == "v13")
+    assert(pinned.size == 1000)
+
+    // partition-pruned bucket read touches only the asked buckets
+    val onlyChanged = VersionedTable.readBuckets(spark, root, "t", changed)
+    assert(onlyChanged.where($"id" === 13L).count() == 1)
+  }
+
+  test("plain commit carries untouched tables forward by link") {
+    val root = Files.createTempDirectory("graft-link").toString
+    VersionedTable.commit(root, Map(
+      "a" -> Seq((1L, "x")).toDF("id", "v"),
+      "b" -> Seq((2L, "y")).toDF("id", "v")))
+    // second commit rewrites only `a`; `b` must remain readable (linked
+    // to v=1, not rewritten into v=2)
+    VersionedTable.commit(root, Map("a" -> Seq((1L, "x2")).toDF("id", "v")))
+    val m = VersionedTable.current(root).get
+    assert(m.version == 2L)
+    assert(m.versionOf("a") == 2L && m.versionOf("b") == 1L)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "v=2", "b")))
+    assert(VersionedTable.read(spark, root, "b")
+      .as[(Long, String)].collect().toSet == Set((2L, "y")))
+    assert(VersionedTable.read(spark, root, "a")
+      .as[(Long, String)].collect().toSet == Set((1L, "x2")))
+  }
+
   test("replication URL format is AAA/BBB/CCC zero-padded (F7)") {
     assert(Replication.url("https://x/replication/minute", 4397511) ==
       "https://x/replication/minute/004/397/511")

@@ -27,7 +27,22 @@ class StreamingSpec extends AnyFunSuite {
 
   private def chg(id: Long, visible: Boolean, lon: Int, lat: Int,
                   version: Int, seq: Long): Row =
-    Row(id, visible, lon, lat, version, null, null, seq)
+    Row(id, "node", visible, lon, lat, version, null, null, null, null,
+      seq)
+
+  private def wayChg(id: Long, visible: Boolean, nodes: Seq[Long],
+                     seq: Long): Row =
+    Row(id, "way", visible, null, null, null, nodes, null, null, null,
+      seq)
+
+  private def relChg(id: Long, visible: Boolean,
+                     members: Seq[(Long, String, String)], seq: Long)
+  : Row =
+    Row(id, "relation", visible, null, null, null, null,
+      members.map(m => Row(m._1, m._2, m._3)), null, null, seq)
+
+  private val metaT = "struct<version:int,timestamp:bigint," +
+    "changeset:bigint,uid:bigint,user:string>"
 
   test("watermarked tumbling-window aggregation over a file stream") {
     import org.apache.spark.sql.functions._
@@ -80,21 +95,19 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("catch-up applies ordered diffs and advances seqnum atomically") {
+    import org.apache.spark.sql.functions._
     val root = Files.createTempDirectory("graft-repl").toString
     val changesDir = Files.createTempDirectory("graft-osc").toString
     val ckpt = Files.createTempDirectory("graft-ckpt").toString
 
-    // base snapshot: 3 nodes
-    VersionedTable.commit(root, Map(
-      "locations" -> Seq((1L, 10, 10, 1), (2L, 20, 20, 1),
-        (3L, 30, 30, 1)).toDF("id", "lon", "lat", "version"),
-      "nodes" -> spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row],
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "id BIGINT, tags MAP<STRING,STRING>, " +
-            "meta STRUCT<version:INT,timestamp:BIGINT,changeset:BIGINT," +
-            "uid:BIGINT,user:STRING>"))),
-      Map("osmosis_replication_sequence_number" -> "0"))
+    // base snapshot: 3 nodes, in the bucketed copy-on-write layout
+    VersionedTable.commitBucketed(root, Map(
+      "locations" -> (Seq((1L, 10, 10, 1), (2L, 20, 20, 1),
+        (3L, 30, 30, 1)).toDF("id", "lon", "lat", "version"), "id"),
+      "nodes" -> (Seq((1L, Map("a" -> "b"))).toDF("id", "tags")
+        .withColumn("meta", lit(null).cast(metaT)), "id")),
+      nBuckets = 4,
+      meta = Map("osmosis_replication_sequence_number" -> "0"))
 
     // diff 1: move node 1, delete node 2; diff 2: create node 4
     writeChanges(changesDir, "b1", Seq(
@@ -112,11 +125,98 @@ class StreamingSpec extends AnyFunSuite {
       s"got $loc")
     assert(VersionedTable.metadata(root,
       "osmosis_replication_sequence_number").contains("2"))
+    // node 1's blob died with the untagged modify
+    assert(VersionedTable.read(spark, root, "nodes").count() == 0)
     val committed = VersionedTable.current(root).get.version
 
     // exactly-once: rerunning with the same checkpoint applies nothing
     val q2 = Replication.catchUp(spark, changesDir, root, ckpt)
     q2.awaitTermination()
     assert(VersionedTable.current(root).get.version == committed)
+
+    // at-least-once replay guard: re-delivering the LAST batch id (the
+    // crash-between-manifest-swap-and-checkpoint case) is a no-op
+    val replay = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        chg(4L, visible = true, 40, 40, 1, 2L))),
+      Replication.changeSchema)
+    val lastBatchId = VersionedTable.current(root).get
+      .meta("streaming_batch_id").toLong
+    Replication.applyBatch(spark, root, replay, lastBatchId)
+    assert(VersionedTable.current(root).get.version == committed)
+  }
+
+  test("mixed node+way+relation diff applies U1/U2/U3 copy-on-write") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft-repl-full").toString
+    val changesDir = Files.createTempDirectory("graft-osc-full").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt-full").toString
+
+    // full 8-table base: 6 nodes, 2 ways, 2 relations (201 nests 200)
+    val rels = Seq(
+      (200L, Seq((100L, "way", "outer"))),
+      (201L, Seq((5L, "node", "label"), (200L, "relation", "sub"))))
+      .toDF("id", "members")
+      .withColumn("members", expr("transform(members, m -> " +
+        "named_struct('ref', m._1, 'mtype', m._2, 'role', m._3))"))
+      .withColumn("tags", lit(null).cast("map<string,string>"))
+      .withColumn("meta", lit(null).cast(metaT))
+    VersionedTable.commitBucketed(root, Map(
+      "locations" -> ((1 to 6).map(i =>
+        (i.toLong, i * 10, i * 10, 1)).toDF("id", "lon", "lat", "version"),
+        "id"),
+      "nodes" -> (Seq((1L, Map("a" -> "b"))).toDF("id", "tags")
+        .withColumn("meta", lit(null).cast(metaT)), "id"),
+      "ways" -> (Seq((100L, Seq(1L, 2L)), (101L, Seq(3L)))
+        .toDF("id", "nodes")
+        .withColumn("tags", lit(null).cast("map<string,string>"))
+        .withColumn("meta", lit(null).cast(metaT)), "id"),
+      "relations" -> (rels, "id"),
+      "node_way" -> (Seq((1L, 100L), (2L, 100L), (3L, 101L))
+        .toDF("member_id", "parent_id"), "member_id"),
+      "node_relation" -> (Seq((5L, 201L)).toDF("member_id", "parent_id"),
+        "member_id"),
+      "way_relation" -> (Seq((100L, 200L)).toDF("member_id", "parent_id"),
+        "member_id"),
+      "relation_relation" -> (Seq((200L, 201L))
+        .toDF("member_id", "parent_id"), "member_id")),
+      nBuckets = 4,
+      meta = Map("osmosis_replication_sequence_number" -> "0"))
+
+    // one batch: move node 1 (blob dies), delete node 2, rewrite way
+    // 100 to [1,4], rewrite relation 200 to [way 101, node 6], delete
+    // relation 201
+    writeChanges(changesDir, "b1", Seq(
+      chg(1L, visible = true, 11, 11, 2, 1L),
+      chg(2L, visible = false, 0, 0, 2, 1L),
+      wayChg(100L, visible = true, Seq(1L, 4L), 1L),
+      relChg(200L, visible = true,
+        Seq((101L, "way", "outer"), (6L, "node", "label")), 1L),
+      relChg(201L, visible = false, Seq.empty, 1L)))
+
+    val q = Replication.catchUp(spark, changesDir, root, ckpt)
+    q.awaitTermination()
+
+    def pairs(t: String): Set[(Long, Long)] =
+      VersionedTable.read(spark, root, t)
+        .select($"member_id", $"parent_id")
+        .as[(Long, Long)].collect().toSet
+    val loc = VersionedTable.read(spark, root, "locations")
+      .as[(Long, Int, Int, Int)].collect().toSet
+    assert(loc == Set((1L, 11, 11, 2), (3L, 30, 30, 1), (4L, 40, 40, 1),
+      (5L, 50, 50, 1), (6L, 60, 60, 1)), s"got $loc")
+    assert(VersionedTable.read(spark, root, "ways")
+      .where($"id" === 100L).select($"nodes").as[Seq[Long]].head()
+      == Seq(1L, 4L))
+    assert(pairs("node_way") == Set((1L, 100L), (4L, 100L), (3L, 101L)))
+    assert(pairs("node_relation") == Set((6L, 200L)))
+    assert(pairs("way_relation") == Set((101L, 200L)))
+    assert(pairs("relation_relation") == Set.empty)
+    assert(VersionedTable.read(spark, root, "relations")
+      .select($"id").as[Long].collect().toSet == Set(200L))
+    assert(VersionedTable.metadata(root,
+      "osmosis_replication_sequence_number").contains("1"))
+    // single atomic version advance for the whole mixed batch
+    assert(VersionedTable.current(root).get.version == 2L)
   }
 }
