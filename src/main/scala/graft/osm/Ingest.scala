@@ -105,14 +105,36 @@ object Ingest {
       t("relation_relation"))
   }
 
+  /** PBF OSMHeader options for an extract over `region`
+    * (`src/extract.cpp:280-299`): generator + replication timestamp,
+    * and the region's bbox in nanodegrees — omitted when the region
+    * crosses the antimeridian, where a flat min/max box is
+    * meaningless (`src/extract.cpp:292-294`). */
+  def pbfHeaderOptions(region: Option[graft.spatial.Region],
+                       replicationTs: Option[Long] = None,
+                       seqnum: Option[Long] = None)
+  : Map[String, String] = {
+    def nano(deg: Double): Long = Math.round(deg * 1e9)
+    val bbox = region.filterNot(_.crossesAntimeridian).map { rg =>
+      val (latLo, latHi, lngLo, lngHi) = rg.bounds
+      s"${nano(lngLo)},${nano(lngHi)},${nano(latHi)},${nano(latLo)}"
+    }
+    Map("header.generator" -> "graft") ++
+      bbox.map("header.bbox" -> _) ++
+      replicationTs.map(t => "header.timestamp" -> t.toString) ++
+      seqnum.map(s => "header.seqnum" -> s.toString)
+  }
+
   /** Write an extract back out as OSM XML or binary PBF (S2): one
     * document per entity, elements in reference order. `includeUserData
     * = false` is `--noUserData` (`src/extract.cpp:324-328`); `format`
     * is the DataSource name ("osmxml" or "osmpbf" — the reference's
-    * extract emits PBF, `src/extract.cpp:295`). */
+    * extract emits PBF, `src/extract.cpp:295`); `headerOpts` (PBF only)
+    * from [[pbfHeaderOptions]]. */
   def writeExtract(t: SyntheticOsm.Tables, sel: Extract.Selected,
                    dir: String, includeUserData: Boolean = true,
-                   shards: Int = 1, format: String = "osmxml")
+                   shards: Int = 1, format: String = "osmxml",
+                   headerOpts: Map[String, String] = Map.empty)
   : Unit = {
     val noUser = lit("").as("user")
     val nodesOut = sel.nodeIds
@@ -131,7 +153,8 @@ object Ingest {
           map().cast("map<string,string>")).as("tags"))
       .orderBy(col("id"))
     nodesOut.coalesce(shards).write.format(format)
-      .option("entity", "node").mode("overwrite").save(dir)
+      .option("entity", "node").options(headerOpts)
+      .mode("overwrite").save(dir)
 
     def entityOut(ids: DataFrame, table: DataFrame, extra: String)
     : DataFrame = ids.join(table, Seq("id"))
@@ -146,11 +169,11 @@ object Ingest {
       .orderBy(col("id"))
 
     entityOut(sel.wayIds, t.ways, "nodes").coalesce(shards)
-      .write.format(format).option("entity", "way")
+      .write.format(format).option("entity", "way").options(headerOpts)
       .mode("overwrite").save(dir)
     entityOut(sel.relationIds, t.relations, "members").coalesce(shards)
       .write.format(format).option("entity", "relation")
-      .mode("overwrite").save(dir)
+      .options(headerOpts).mode("overwrite").save(dir)
   }
 
   /** Back-compat alias for the XML flavor. */

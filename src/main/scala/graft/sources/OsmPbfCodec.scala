@@ -146,15 +146,36 @@ object OsmPbfCodec {
     out.toBytes
   }
 
+  /** OSMHeader metadata (HeaderBlock fields of the public spec). The
+    * reference writes generator, bbox and replication timestamp into
+    * extract output headers (`src/extract.cpp:280-299`); the bbox is
+    * omitted for antimeridian-crossing regions (`:292-294`).
+    * `bbox` = (left, right, top, bottom) in NANOdegrees. */
+  final case class PbfHeader(
+      bbox: Option[(Long, Long, Long, Long)] = None,
+      writingProgram: String = "graft",
+      replicationTimestamp: Option[Long] = None,
+      replicationSeqnum: Option[Long] = None)
+
   /** Write a complete .osm.pbf stream: OSMHeader + chunked OSMData. */
   def write(os: OutputStream, nodes: Iterator[RawNode],
             ways: Iterator[RawWay], relations: Iterator[RawRelation],
-            chunk: Int = 8000): Unit = {
+            chunk: Int = 8000, meta: PbfHeader = PbfHeader()): Unit = {
     val out = new DataOutputStream(os)
     val header = new Pbf.Out
+    meta.bbox.foreach { case (left, right, top, bottom) =>
+      val bb = new Pbf.Out // HeaderBBox, sint64 nanodegrees
+      bb.sintField(1, left)
+      bb.sintField(2, right)
+      bb.sintField(3, top)
+      bb.sintField(4, bottom)
+      header.messageField(1, bb)
+    }
     header.stringField(4, "OsmSchema-V0.6") // required_features
     header.stringField(4, "DenseNodes")
-    header.stringField(16, "graft") // writingprogram
+    header.stringField(16, meta.writingProgram)
+    meta.replicationTimestamp.foreach(header.varintField(32, _))
+    meta.replicationSeqnum.foreach(header.varintField(33, _))
     writeBlob(out, "OSMHeader", header.toBytes)
     nodes.grouped(chunk).foreach(ns =>
       writeBlob(out, "OSMData", primitiveBlock(ns, Nil, Nil)))
@@ -200,6 +221,58 @@ object OsmPbfCodec {
           parseBlock(payload, onNode, onWay, onRelation)
       case None => more = false
     }
+  }
+
+  /** DataSource `.option("header.*", ...)` keys -> [[PbfHeader]]:
+    * `header.bbox` = "left,right,top,bottom" nanodegrees,
+    * `header.generator`, `header.timestamp` (epoch s), `header.seqnum`.
+    */
+  def headerFromOptions(options: Map[String, String]): PbfHeader =
+    PbfHeader(
+      options.get("header.bbox").map { s =>
+        val Array(l, r, t, b) = s.split(",").map(_.trim.toLong)
+        (l, r, t, b)
+      },
+      options.getOrElse("header.generator", "graft"),
+      options.get("header.timestamp").map(_.toLong),
+      options.get("header.seqnum").map(_.toLong))
+
+  /** Parse the OSMHeader blob of a .osm.pbf stream (stops at the first
+    * OSMData blob). None when the stream has no header blob. */
+  def readHeader(is: InputStream): Option[PbfHeader] = {
+    val in = new DataInputStream(is)
+    var result: Option[PbfHeader] = None
+    var more = true
+    while (more) readBlobUnit(in) match {
+      case Some(("OSMHeader", payload, _)) =>
+        var bbox: Option[(Long, Long, Long, Long)] = None
+        var prog = ""
+        var ts: Option[Long] = None
+        var seq: Option[Long] = None
+        val h = new Pbf.In(payload)
+        while (h.hasMore) h.readTag() match {
+          case (1, 2) =>
+            val bb = h.readLen()
+            var l = 0L; var r = 0L; var t = 0L; var b = 0L
+            while (bb.hasMore) bb.readTag() match {
+              case (1, 0) => l = bb.readSint()
+              case (2, 0) => r = bb.readSint()
+              case (3, 0) => t = bb.readSint()
+              case (4, 0) => b = bb.readSint()
+              case (_, w) => bb.skip(w)
+            }
+            bbox = Some((l, r, t, b))
+          case (16, 2) => prog = new String(h.readLenBytes(), "UTF-8")
+          case (32, 0) => ts = Some(h.readVarint())
+          case (33, 0) => seq = Some(h.readVarint())
+          case (_, w) => h.skip(w)
+        }
+        result = Some(PbfHeader(bbox, prog, ts, seq))
+        more = false
+      case Some(_) => more = false // OSMData before any header
+      case None => more = false
+    }
+    result
   }
 
   /** One blob's position in a .osm.pbf file. The format is

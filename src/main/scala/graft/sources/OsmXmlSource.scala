@@ -383,7 +383,8 @@ final class OsmXmlWriteBuilder(entity: String,
 
       override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory = new OsmXmlWriterFactory(entity, dir, idx,
-        options.get("format").exists(_.equalsIgnoreCase("pbf")))
+        options.get("format").exists(_.equalsIgnoreCase("pbf")),
+        options.filter(_._1.startsWith("header.")))
 
       /** Genuine overwrite semantics for THIS entity: a prior write with
         * more shards than this one would otherwise leave stale
@@ -413,11 +414,13 @@ final class OsmXmlWriteBuilder(entity: String,
 final case class OsmXmlCommit(path: String) extends WriterCommitMessage
 
 final class OsmXmlWriterFactory(entity: String, dir: String,
-                                idx: Map[String, Int], pbf: Boolean)
+                                idx: Map[String, Int], pbf: Boolean,
+                                headerOpts: Map[String, String] = Map.empty)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
   : DataWriter[InternalRow] =
-    if (pbf) new OsmPbfDataWriter(entity, dir, idx, partitionId)
+    if (pbf) new OsmPbfDataWriter(entity, dir, idx, partitionId,
+      headerOpts)
     else new DataWriter[InternalRow] {
     import OsmXmlCodec._
     private val path =
@@ -516,7 +519,8 @@ private[sources] final class RowToRaw(idx: Map[String, Int]) {
   * commit. Memory is one partition's elements — size partitions
   * accordingly, as with any columnar writer. */
 final class OsmPbfDataWriter(entity: String, dir: String,
-                             idx: Map[String, Int], partitionId: Int)
+                             idx: Map[String, Int], partitionId: Int,
+                             headerOpts: Map[String, String] = Map.empty)
   extends DataWriter[InternalRow] {
   import OsmXmlCodec.{RawNode, RawRelation, RawWay}
   private val conv = new RowToRaw(idx)
@@ -535,7 +539,8 @@ final class OsmPbfDataWriter(entity: String, dir: String,
     val fs = path.getFileSystem(new Configuration())
     val out = fs.create(path, true)
     try OsmPbfCodec.write(out, nodes.iterator, ways.iterator,
-      relations.iterator)
+      relations.iterator,
+      meta = OsmPbfCodec.headerFromOptions(headerOpts))
     finally out.close()
     OsmXmlCommit(path.toString)
   }

@@ -98,7 +98,11 @@ object Pbf {
     def skip(wire: Int): Unit = wire match {
       case 0 => readVarint(); ()
       case 1 => pos += 8
-      case 2 => pos += readVarint().toInt
+      case 2 =>
+        // NB: must read the length BEFORE adding — `pos += readVarint()`
+        // captures the pre-varint pos on the left of the +=
+        val n = readVarint().toInt
+        pos += n
       case 5 => pos += 4
       case w => throw new IllegalStateException(s"wire $w")
     }

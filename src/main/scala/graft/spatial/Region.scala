@@ -279,6 +279,13 @@ final class Region(val members: Seq[SubRegion]) {
     (bs.map(_._1).min, bs.map(_._2).max, bs.map(_._3).min, bs.map(_._4).max)
   }
 
+  /** True when any member's longitude interval wraps the antimeridian
+    * (lngLo > lngHi as a circular interval) — the case where a flat
+    * min/max bbox is meaningless and the reference omits the output
+    * header bbox (`src/extract.cpp:292-294`). */
+  def crossesAntimeridian: Boolean =
+    members.exists { m => val b = m.bound; b._3 > b._4 }
+
   def mayIntersect(rect: (Double, Double, Double, Double)): Boolean =
     members.exists(_.mayIntersect(rect))
 

@@ -192,6 +192,40 @@ class OsmXmlSpec extends AnyFunSuite {
     assert(nodes2.select($"id").as[Long].collect().toSet == Set(10L))
   }
 
+  test("PBF OSMHeader round-trips bbox/generator/replication fields") {
+    import graft.spatial.{BboxRegion, PolyRegion, Region}
+    val (nodes, _, _) = world()
+    val dir = Files.createTempDirectory("graft-hdr").toString
+    val region = new Region(Seq(BboxRegion(10.0, 20.0, 30.0, 50.0)))
+    val opts = Ingest.pbfHeaderOptions(Some(region),
+      replicationTs = Some(1700000123L), seqnum = Some(4397511L))
+    nodes.coalesce(1).write.format("osmpbf").option("entity", "node")
+      .options(opts).mode("overwrite").save(dir)
+
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".osm.pbf")).head
+    val in = new java.io.FileInputStream(f)
+    val h = try OsmPbfCodec.readHeader(in).get finally in.close()
+    // bbox = (left,right,top,bottom) nanodeg of the lng/lat bounds
+    assert(h.bbox.contains((20000000000L, 50000000000L,
+      30000000000L, 10000000000L)), s"got ${h.bbox}")
+    assert(h.writingProgram == "graft")
+    assert(h.replicationTimestamp.contains(1700000123L))
+    assert(h.replicationSeqnum.contains(4397511L))
+    // the data still reads fine past the richer header
+    assert(spark.read.format("osmpbf").option("entity", "node")
+      .load(dir).count() == 6)
+
+    // antimeridian-crossing region: bbox omitted (extract.cpp:292-294)
+    val cross = new Region(Seq(PolyRegion(Seq(Array(
+      (170.0, -10.0), (-170.0, -10.0), (-170.0, 10.0), (170.0, 10.0),
+      (170.0, -10.0))))))
+    assert(cross.crossesAntimeridian)
+    val opts2 = Ingest.pbfHeaderOptions(Some(cross), Some(1L))
+    assert(!opts2.contains("header.bbox"))
+    assert(opts2("header.timestamp") == "1")
+  }
+
   test("a single multi-blob .osm.pbf splits into blob-range partitions") {
     import OsmXmlCodec._
     // one FILE, many blobs (chunk=50 over 1000 nodes -> 20 data blobs):
