@@ -457,6 +457,157 @@ object OsmQueries {
               |  SELECT 'relation', id FROM aff_rels)
               |ORDER BY etype, id""".stripMargin)),
 
+    // ---- q46: the S3 .osc round trip, oracle-gated — the SAME change
+    // set as q33 but routed through a real OsmChange document: change
+    // rows -> .osc sink (action blocks) -> .osc DataSource scan ->
+    // U1 apply. Any divergence in the osc encode/parse or the action
+    // mapping shows up against q33's pure-SQL oracle ----
+    Q("q46_osc_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        val t = SyntheticOsm.tables(s, d)
+        val metaT = "struct<version:int,timestamp:bigint," +
+          "changeset:bigint,uid:bigint,user:string>"
+        val changeDoc = t.locations.where($"id" % 17 <= 1).select(
+          $"id",
+          when($"id" % 17 === 0, "delete").otherwise("modify")
+            .as("action"),
+          ($"lon" + 1000).cast("int").as("lon"),
+          ($"lat" + 1000).cast("int").as("lat"),
+          ($"version" + 100).cast("int").as("version"),
+          lit(0L).as("timestamp"), lit(0L).as("changeset"),
+          lit(0L).as("uid"), lit("u").as("user"),
+          when($"id" % 2 === 0,
+            map(lit("status"), lit("X"), lit("urgent"), lit("1")))
+            .otherwise(map().cast("map<string,string>")).as("tags"))
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-q46-osc").toString
+        changeDoc.coalesce(1).write.format("osmxml")
+          .option("entity", "node").mode("overwrite").save(dir)
+        val parsed = s.read.format("osmxml").option("entity", "node")
+          .option("changes", "true").load(dir)
+        val ch = parsed.select($"id",
+          ($"action" =!= "delete").as("visible"),
+          $"lon", $"lat", $"version", $"tags",
+          lit(null).cast(metaT).as("meta"))
+        val (loc2, nodes2) =
+          Changeset.applyNodeChanges(t.locations, t.nodes, ch)
+        loc2.join(nodes2.select($"id",
+            Extract.tagsToString($"tags").as("tags_s")),
+          Seq("id"), "left_outer")
+          .select($"id", $"lon", $"lat", $"version", $"tags_s")
+          .orderBy($"id")
+      },
+      Some(s"""WITH $dOsmCtes,
+              |locations2 AS (
+              |  SELECT id, lon, lat, version FROM locations
+              |  WHERE id % 17 > 1
+              |  UNION ALL
+              |  SELECT id, CAST(lon + 1000 AS INTEGER),
+              |         CAST(lat + 1000 AS INTEGER),
+              |         CAST(version + 100 AS INTEGER)
+              |  FROM locations WHERE id % 17 = 1),
+              |nodes2 AS (
+              |  SELECT id, tags_s FROM onodes WHERE id % 17 > 1
+              |  UNION ALL
+              |  SELECT id, 'status=X;urgent=1' FROM locations
+              |  WHERE id % 17 = 1 AND id % 2 = 0)
+              |SELECT l.id, l.lon, l.lat, l.version, n.tags_s
+              |FROM locations2 l LEFT JOIN nodes2 n ON n.id = l.id
+              |ORDER BY l.id""".stripMargin)),
+
+    // ---- q47: buffered covering (G8, `--expand` / extract.cpp:138-143)
+    // end-to-end — the q32 extract with the covering EXPANDED one
+    // neighbor ring before the scan. The oracle is the unbuffered pure
+    // SQL: the exact residual filter makes the expansion invisible in
+    // the output, so this passes iff the buffered covering is still a
+    // superset of the region (conservativeness) and the range scan
+    // machinery handles the larger disjunct set ----
+    Q("q47_buffered_extract",
+      (s, d) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        val t = SyntheticOsm.tables(s, d)
+        val region = new graft.spatial.Region(Seq(
+          graft.spatial.BboxRegion(latLoE7 / 1e7, lonLoE7 / 1e7,
+            latHiE7 / 1e7, lonHiE7 / 1e7)))
+        val cells = graft.spatial.Coverer.covering(region)
+        val buffered = graft.spatial.Coverer
+          .expandCovering(cells, expandLevel = 12)
+        val ranges = buffered
+          .map(c => graft.spatial.S2.childRangeAt(c, 16)).sortBy(_._1)
+        val cell = graft.spatial.SpatialScan
+          .s2CellOfFixed($"lat", $"lon")
+        val seeds = t.locations
+          .where(graft.spatial.SpatialScan.cellInRanges(cell, ranges))
+          .where($"lat" >= latLoE7 && $"lat" <= latHiE7 &&
+            $"lon" >= lonLoE7 && $"lon" <= lonHiE7)
+          .select($"id")
+        val sel = Extract.complete(t, seeds)
+        Extract.materialize(t, sel)
+      },
+      Some(s"""WITH RECURSIVE $dOsmCtes,
+              |seeds AS (
+              |  SELECT id FROM locations
+              |  WHERE lat >= $latLoE7 AND lat <= $latHiE7
+              |    AND lon >= $lonLoE7 AND lon <= $lonHiE7),
+              |wids0 AS (
+              |  SELECT DISTINCT parent_id AS id
+              |  FROM node_way JOIN seeds ON member_id = seeds.id),
+              |rel0 AS (
+              |  SELECT DISTINCT id FROM (
+              |    SELECT parent_id AS id
+              |    FROM node_relation JOIN seeds ON member_id = seeds.id
+              |    UNION ALL
+              |    SELECT parent_id
+              |    FROM way_relation JOIN wids0 ON member_id = wids0.id)
+              |    u),
+              |rclo AS (
+              |  SELECT id FROM rel0
+              |  UNION
+              |  SELECT rr.parent_id
+              |  FROM rclo JOIN relation_relation rr
+              |    ON rr.member_id = rclo.id),
+              |mpw AS (
+              |  SELECT DISTINCT m.ref AS id
+              |  FROM rel_members rm
+              |  JOIN rclo ON rclo.id = rm.parent_id
+              |  JOIN orelations r ON r.id = rm.parent_id
+              |  WHERE r.rtype = 'multipolygon' AND rm.m.mtype = 'way'
+              |    AND rm.m.ref IN (SELECT id FROM oways)),
+              |wids AS (SELECT DISTINCT id FROM (
+              |  SELECT id FROM wids0 UNION ALL SELECT id FROM mpw) u),
+              |wnodes AS (
+              |  SELECT DISTINCT unnest(w.nodes) AS id
+              |  FROM oways w JOIN wids ON w.id = wids.id),
+              |nids AS (SELECT DISTINCT id FROM (
+              |  SELECT id FROM seeds UNION ALL SELECT id FROM wnodes) u),
+              |nodes_out AS (
+              |  SELECT 0 AS trank, l.id, l.lon, l.lat, l.version,
+              |         n.ts, n.tags_s, CAST(NULL AS VARCHAR) AS refs_s,
+              |         n.user_s
+              |  FROM nids JOIN locations l ON l.id = nids.id
+              |  LEFT JOIN onodes n ON n.id = l.id),
+              |ways_out AS (
+              |  SELECT 1, w.id, CAST(NULL AS INTEGER),
+              |         CAST(NULL AS INTEGER), w.version,
+              |         CAST(1500000000 AS BIGINT), w.tags_s,
+              |         array_to_string(list_transform(w.nodes,
+              |           x -> CAST(x AS VARCHAR)), ','), w.user_s
+              |  FROM wids JOIN oways w ON w.id = wids.id),
+              |rels_out AS (
+              |  SELECT 2, r.id, CAST(NULL AS INTEGER),
+              |         CAST(NULL AS INTEGER), r.version, r.ts, r.tags_s,
+              |         array_to_string(list_transform(r.members,
+              |           m -> m.mtype || ':' || m.ref || ':' || m.role),
+              |           ','), r.user_s
+              |  FROM rclo JOIN orelations r ON r.id = rclo.id)
+              |SELECT * FROM (
+              |  SELECT * FROM nodes_out
+              |  UNION ALL SELECT * FROM ways_out
+              |  UNION ALL SELECT * FROM rels_out)
+              |ORDER BY trank, id""".stripMargin)),
+
     // ---- q35: tag-map operators (P7 MapType predicate, P8/F5 sorted
     // entries projection) over the relations table ----
     Q("q35_tag_filter",

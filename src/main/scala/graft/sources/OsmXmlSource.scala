@@ -208,9 +208,9 @@ final class OsmXmlScanBuilder(entity: String, changes: Boolean,
       // convention is present, prune other entities' files at plan time
       // (otherwise every entity scan re-parses the whole directory)
       val named = files.filter(
-        _.matches(s".*part-$entity-\\d+\\.osm(\\.pbf)?$$"))
-      val anyNamed = files.exists(
-        _.matches(".*part-(node|way|relation)-\\d+\\.osm(\\.pbf)?$"))
+        _.matches(s".*part-$entity-\\d+\\.(osm(\\.pbf)?|osc\\.xml)$$"))
+      val anyNamed = files.exists(_.matches(
+        ".*part-(node|way|relation)-\\d+\\.(osm(\\.pbf)?|osc\\.xml)$"))
       val mine = if (anyNamed) named else files
       val splitBytes = options.get("pbf.split.bytes").map(_.toLong)
         .getOrElse(OsmXmlSource.DefaultPbfSplitBytes)
@@ -401,7 +401,7 @@ final class OsmXmlWriteBuilder(entity: String,
           fs.listStatus(dirPath).toSeq.filter(_.isFile)
             .map(_.getPath)
             .filter(_.getName.matches(
-              s"part-$entity-\\d+\\.osm(\\.pbf)?"))
+              s"part-$entity-\\d+\\.(osm(\\.pbf)?|osc\\.xml)"))
             .filterNot(p => written.contains(p.getName))
             .foreach(p => fs.delete(p, false))
         }
@@ -423,13 +423,18 @@ final class OsmXmlWriterFactory(entity: String, dir: String,
       headerOpts)
     else new DataWriter[InternalRow] {
     import OsmXmlCodec._
-    private val path =
-      new Path(dir, f"part-$entity%s-$partitionId%05d.osm")
+    // a schema with an `action` column writes an OsmChange (.osc)
+    // document: each element wrapped in its create/modify/delete block
+    // (S3's sink side, `src/update.cpp:272-276`)
+    private val isChange = idx.contains("action")
+    private val path = new Path(dir,
+      f"part-$entity%s-$partitionId%05d." +
+        (if (isChange) "osc.xml" else "osm"))
     private val fs = path.getFileSystem(new Configuration())
     private val out = fs.create(path, true)
     private val w = new java.io.BufferedWriter(
       new java.io.OutputStreamWriter(out, "UTF-8"))
-    w.write(header); w.write("\n")
+    w.write(if (isChange) changeHeader else header); w.write("\n")
 
     private def tagsOf(row: InternalRow): Seq[(String, String)] = {
       val m = row.getMap(idx("tags"))
@@ -445,7 +450,7 @@ final class OsmXmlWriterFactory(entity: String, dir: String,
     override def write(row: InternalRow): Unit = {
       def L(n: String) = row.getLong(idx(n))
       def I(n: String) = row.getInt(idx(n))
-      val s = entity match {
+      val body = entity match {
         case "node" => renderNode(RawNode(L("id"), I("lon"), I("lat"),
           I("version"), L("timestamp"), L("changeset"), L("uid"),
           str(row, "user"), tagsOf(row)))
@@ -464,11 +469,19 @@ final class OsmXmlWriterFactory(entity: String, dir: String,
                 if (m.isNullAt(2)) "" else m.getUTF8String(2).toString)
             }))
       }
+      val s =
+        if (!isChange) body
+        else {
+          val a = if (row.isNullAt(idx("action"))) "modify"
+            else row.getUTF8String(idx("action")).toString
+          renderAction(a, body)
+        }
       w.write(s); w.write("\n")
     }
 
     override def commit(): WriterCommitMessage = {
-      w.write(footer); w.write("\n"); w.close()
+      w.write(if (isChange) changeFooter else footer)
+      w.write("\n"); w.close()
       OsmXmlCommit(path.toString)
     }
     override def abort(): Unit = { w.close(); fs.delete(path, false); () }
