@@ -608,6 +608,125 @@ object OsmQueries {
               |  UNION ALL SELECT * FROM rels_out)
               |ORDER BY trank, id""".stripMargin)),
 
+    // ---- q48: recursive relation geometry (web_server.py:50-68) —
+    // every relation rendered as a GeoJSON Feature whose geometry is
+    // the GeometryCollection of its members in DEPTH-FIRST member
+    // order: node members -> Point, way members -> LineString (with
+    // the J6 existence guard for dangling refs), relation members ->
+    // recurse. The recursion is a bounded iterative expansion (the J5
+    // shape) with zero-padded member-index paths carrying the
+    // depth-first order through the shuffle ----
+    Q("q48_relation_geometry",
+      (s, d) => {
+        import s.implicits._
+        val t = SyntheticOsm.tables(s, d)
+        val relm = t.relations
+          .select($"id".as("parent"), posexplode($"members"))
+          .select($"parent", format_string("%05d", $"pos").as("pstr"),
+            $"col.ref".as("mref"), $"col.mtype".as("mmtype"))
+        var frontier = relm.select($"parent".as("root"),
+          $"pstr".as("path"), $"mref", $"mmtype")
+        var leaves: org.apache.spark.sql.DataFrame = null
+        // synthetic nesting is 2 deep; guard at 4 (cycles would hang
+        // the reference's unbounded recursion too)
+        for (_ <- 0 until 4) {
+          val l = frontier.where($"mmtype" =!= "relation")
+          leaves = if (leaves == null) l else leaves.unionByName(l)
+          frontier = frontier.where($"mmtype" === "relation").as("f")
+            .join(relm.as("r"), col("f.mref") === col("r.parent"))
+            .select(col("f.root").as("root"),
+              concat(col("f.path"), lit("."), col("r.pstr")).as("path"),
+              col("r.mref").as("mref"), col("r.mmtype").as("mmtype"))
+        }
+        val ptLeaves = leaves.where($"mmtype" === "node")
+          .join(t.locations.select($"id".as("nid"), $"lon", $"lat"),
+            $"mref" === $"nid")
+          .select($"root", $"path", format_string(
+            "{\"type\":\"Point\",\"coordinates\":[%.7f,%.7f]}",
+            $"lon" / 1e7, $"lat" / 1e7).as("g"))
+        val wayPts = leaves.where($"mmtype" === "way")
+          .join(t.ways.select($"id".as("wid"), $"nodes"),
+            $"mref" === $"wid")
+          .select($"root", $"path", posexplode($"nodes"))
+          .join(t.locations.select($"id".as("nid"), $"lon", $"lat"),
+            $"col" === $"nid")
+          .select($"root", $"path", $"pos",
+            format_string("[%.7f,%.7f]", $"lon" / 1e7, $"lat" / 1e7)
+              .as("pt"))
+        val wayLeaves = wayPts.groupBy($"root", $"path")
+          .agg(concat(
+            lit("{\"type\":\"LineString\",\"coordinates\":["),
+            array_join(transform(
+              array_sort(collect_list(struct($"pos", $"pt"))),
+              e => e("pt")), ","),
+            lit("]}")).as("g"))
+        val geo = ptLeaves.unionByName(wayLeaves)
+          .groupBy($"root")
+          .agg(array_join(transform(
+            array_sort(collect_list(struct($"path", $"g"))),
+            e => e("g")), ",").as("geoms"))
+        t.relations.join(geo, $"id" === $"root", "left_outer")
+          .select($"id",
+            concat(lit("{\"type\":\"Feature\",\"id\":"), $"id",
+              lit(",\"properties\":{\"name\":\""),
+              element_at($"tags", "name"),
+              lit("\"},\"geometry\":{\"type\":\"GeometryCollection\"," +
+                "\"geometries\":["),
+              coalesce($"geoms", lit("")),
+              lit("]}}")).as("feature"))
+          .orderBy($"id")
+      },
+      Some(s"""WITH RECURSIVE $dOsmCtes,
+              |relm AS (
+              |  SELECT id AS parent, unnest(members) AS m,
+              |         generate_subscripts(members, 1) AS pos
+              |  FROM orelations),
+              |exp AS (
+              |  SELECT parent AS root, printf('%05d', pos) AS path,
+              |         m.ref AS ref, m.mtype AS mtype
+              |  FROM relm
+              |  UNION ALL
+              |  SELECT e.root, e.path || '.' || printf('%05d', rm.pos),
+              |         rm.m.ref, rm.m.mtype
+              |  FROM exp e JOIN relm rm ON rm.parent = e.ref
+              |  WHERE e.mtype = 'relation'),
+              |pt_leaves AS (
+              |  SELECT e.root, e.path,
+              |    printf('{"type":"Point","coordinates":[%.7f,%.7f]}',
+              |           l.lon/1e7, l.lat/1e7) AS g
+              |  FROM exp e JOIN locations l ON l.id = e.ref
+              |  WHERE e.mtype = 'node'),
+              |way_nodes AS (
+              |  SELECT id AS wid, unnest(nodes) AS nid,
+              |         generate_subscripts(nodes, 1) AS npos
+              |  FROM oways),
+              |way_pts AS (
+              |  SELECT e.root, e.path, wn.npos,
+              |    printf('[%.7f,%.7f]', l.lon/1e7, l.lat/1e7) AS pt
+              |  FROM exp e
+              |  JOIN way_nodes wn ON wn.wid = e.ref
+              |  JOIN locations l ON l.id = wn.nid
+              |  WHERE e.mtype = 'way'),
+              |way_leaves AS (
+              |  SELECT root, path,
+              |    '{"type":"LineString","coordinates":[' ||
+              |    string_agg(pt, ',' ORDER BY npos) || ']}' AS g
+              |  FROM way_pts GROUP BY root, path),
+              |leaves AS (
+              |  SELECT * FROM pt_leaves
+              |  UNION ALL SELECT * FROM way_leaves),
+              |geo AS (
+              |  SELECT root, string_agg(g, ',' ORDER BY path) AS geoms
+              |  FROM leaves GROUP BY root)
+              |SELECT r.id, '{"type":"Feature","id":' || r.id ||
+              |  ',"properties":{"name":"' ||
+              |  regexp_extract(r.tags_s, 'name=([^;]*)', 1) ||
+              |  '"},"geometry":{"type":"GeometryCollection",' ||
+              |  '"geometries":[' || coalesce(g.geoms, '') || ']}}'
+              |  AS feature
+              |FROM orelations r LEFT JOIN geo g ON g.root = r.id
+              |ORDER BY r.id""".stripMargin)),
+
     // ---- q35: tag-map operators (P7 MapType predicate, P8/F5 sorted
     // entries projection) over the relations table ----
     Q("q35_tag_filter",
