@@ -24,23 +24,30 @@ import org.apache.spark.sql.functions._
   */
 object Ingest {
 
-  /** Read one entity DataFrame from OSM XML via the osmxml DataSource. */
-  def readOsm(spark: SparkSession, path: String, entity: String)
+  /** Read one entity DataFrame from OSM XML/PBF via the osmxml
+    * DataSource. `readerOptions` passes through scan options like
+    * `pbf.split.bytes` (blob-range split sizing for single-file
+    * planet inputs). */
+  def readOsm(spark: SparkSession, path: String, entity: String,
+              readerOptions: Map[String, String] = Map.empty)
   : DataFrame =
-    spark.read.format("osmxml").option("entity", entity).load(path)
+    spark.read.format("osmxml").option("entity", entity)
+      .options(readerOptions).load(path)
 
   private def metaCol = struct(col("version"), col("timestamp"),
     col("changeset"), col("uid"), col("user"))
 
-  /** Full expand: XML path -> committed version in `root`. */
+  /** Full expand: XML/PBF path -> committed version in `root`. */
   def expand(spark: SparkSession, xmlPath: String, root: String,
-             numPartitions: Int = 8, dryRun: Boolean = false): Long = {
+             numPartitions: Int = 8, dryRun: Boolean = false,
+             readerOptions: Map[String, String] = Map.empty): Long = {
     GraftFunctions.register(spark)
     // nodes are read three ways (locations, tagged nodes, max-ts);
     // persist so the XML parse happens once per file
-    val nodesRaw = readOsm(spark, xmlPath, "node").persist()
-    val waysRaw = readOsm(spark, xmlPath, "way")
-    val relsRaw = readOsm(spark, xmlPath, "relation")
+    val nodesRaw = readOsm(spark, xmlPath, "node", readerOptions)
+      .persist()
+    val waysRaw = readOsm(spark, xmlPath, "way", readerOptions)
+    val relsRaw = readOsm(spark, xmlPath, "relation", readerOptions)
 
     // locations: every node, s2cell-sorted (the spatial index)
     val locations = nodesRaw
