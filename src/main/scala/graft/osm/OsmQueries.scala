@@ -110,7 +110,7 @@ object OsmQueries {
       (s, d) => {
         import s.implicits._
         graft.functions.GraftFunctions.register(s)
-        val t = SyntheticOsm.tables(s, d)
+        val t = SyntheticOsm.materialized(s, d)
         val region = new graft.spatial.Region(Seq(
           graft.spatial.BboxRegion(latLoE7 / 1e7, lonLoE7 / 1e7,
             latHiE7 / 1e7, lonHiE7 / 1e7)))
@@ -196,7 +196,7 @@ object OsmQueries {
     Q("q33_cdc_apply",
       (s, d) => {
         import s.implicits._
-        val t = SyntheticOsm.tables(s, d)
+        val t = SyntheticOsm.materialized(s, d)
         val metaT = "struct<version:int,timestamp:bigint," +
           "changeset:bigint,uid:bigint,user:string>"
         val changes = t.locations.where($"id" % 17 <= 1).select(
@@ -240,7 +240,7 @@ object OsmQueries {
     Q("q36_geojson",
       (s, d) => {
         import s.implicits._
-        val t = SyntheticOsm.tables(s, d)
+        val t = SyntheticOsm.materialized(s, d)
         val w = t.ways.where($"id" < SyntheticOsm.WayBase + 200)
         val pts = w.select($"id", posexplode($"nodes"))
           .join(t.locations.select($"id".as("nid"), $"lon", $"lat"),
@@ -285,7 +285,7 @@ object OsmQueries {
     Q("q37_cdc_adjacency",
       (s, d) => {
         import s.implicits._
-        val t = SyntheticOsm.tables(s, d)
+        val t = SyntheticOsm.materialized(s, d)
         val wayCh = t.ways
           .where(($"id" - SyntheticOsm.WayBase) % 13 === 0)
           .select($"id", lit(true).as("visible"),
@@ -362,7 +362,7 @@ object OsmQueries {
     Q("q38_ingest_roundtrip",
       (s, d) => {
         import s.implicits._
-        val t = SyntheticOsm.tables(s, d)
+        val t = SyntheticOsm.materialized(s, d)
         val all = Extract.Selected(
           t.locations.select($"id"), t.ways.select($"id"),
           t.relations.select($"id"))
@@ -386,7 +386,7 @@ object OsmQueries {
     Q("q39_way_wkt",
       (s, d) => {
         import s.implicits._
-        val t = SyntheticOsm.tables(s, d)
+        val t = SyntheticOsm.materialized(s, d)
         val w = t.ways.where($"id" < SyntheticOsm.WayBase + 100)
         val pts = w.select($"id", posexplode($"nodes"))
           .join(t.locations.select($"id".as("nid"), $"lon", $"lat"),
@@ -420,7 +420,7 @@ object OsmQueries {
     Q("q40_augmented_diff",
       (s, d) => {
         import s.implicits._
-        val t = SyntheticOsm.tables(s, d)
+        val t = SyntheticOsm.materialized(s, d)
         val chNodes = t.locations.where($"id" % 17 <= 1).select($"id")
         val chWays = t.ways
           .where(($"id" - SyntheticOsm.WayBase) % 13 === 0).select($"id")
@@ -465,7 +465,7 @@ object OsmQueries {
     Q("q46_osc_roundtrip",
       (s, d) => {
         import s.implicits._
-        val t = SyntheticOsm.tables(s, d)
+        val t = SyntheticOsm.materialized(s, d)
         val metaT = "struct<version:int,timestamp:bigint," +
           "changeset:bigint,uid:bigint,user:string>"
         val changeDoc = t.locations.where($"id" % 17 <= 1).select(
@@ -527,7 +527,7 @@ object OsmQueries {
       (s, d) => {
         import s.implicits._
         graft.functions.GraftFunctions.register(s)
-        val t = SyntheticOsm.tables(s, d)
+        val t = SyntheticOsm.materialized(s, d)
         val region = new graft.spatial.Region(Seq(
           graft.spatial.BboxRegion(latLoE7 / 1e7, lonLoE7 / 1e7,
             latHiE7 / 1e7, lonHiE7 / 1e7)))
@@ -619,7 +619,7 @@ object OsmQueries {
     Q("q48_relation_geometry",
       (s, d) => {
         import s.implicits._
-        val t = SyntheticOsm.tables(s, d)
+        val t = SyntheticOsm.materialized(s, d)
         val relm = t.relations
           .select($"id".as("parent"), posexplode($"members"))
           .select($"parent", format_string("%05d", $"pos").as("pstr"),
@@ -732,7 +732,7 @@ object OsmQueries {
     Q("q35_tag_filter",
       (s, d) => {
         import s.implicits._
-        val t = SyntheticOsm.tables(s, d)
+        val t = SyntheticOsm.materialized(s, d)
         t.relations
           .where(element_at($"tags", "type") === "multipolygon")
           .select($"id", Extract.tagsToString($"tags").as("tags_s"),

@@ -55,6 +55,39 @@ object SyntheticOsm {
   val RelBase = 2000000L
   val SuperRelBase = 3000000L
 
+  private val materializedDirs =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** The table bundle persisted to parquet ONCE per JVM per source dir,
+    * then read back — the shape real deployments have (the reference's
+    * queries run against an already-built .osmx database, not against
+    * the raw import). Composite queries reference ways/relations/
+    * adjacency several times inside one plan; without this each
+    * reference re-derives the table from the star schema (in-memory
+    * columnar caching of the map/array columns measured SLOWER than
+    * recompute — parquet materialization wins). Content is identical
+    * to [[tables]]: every derivation is deterministic. */
+  def materialized(s: SparkSession, dir: String): Tables = {
+    val base = materializedDirs.getOrElseUpdate(dir, {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-osm-mat").toString
+      val t = tables(s, dir)
+      Seq("locations" -> t.locations, "nodes" -> t.nodes,
+        "ways" -> t.ways, "relations" -> t.relations,
+        "node_way" -> t.nodeWay, "node_relation" -> t.nodeRelation,
+        "way_relation" -> t.wayRelation,
+        "relation_relation" -> t.relationRelation)
+        .foreach { case (n, df) =>
+          df.write.mode("overwrite").parquet(s"$tmp/$n")
+        }
+      tmp
+    })
+    def r(n: String) = s.read.parquet(s"$base/$n")
+    Tables(r("locations"), r("nodes"), r("ways"), r("relations"),
+      r("node_way"), r("node_relation"), r("way_relation"),
+      r("relation_relation"))
+  }
+
   def tables(s: SparkSession, dir: String): Tables = {
     import s.implicits._
     val orders = T(s, dir, "orders")
