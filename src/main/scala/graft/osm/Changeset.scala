@@ -33,11 +33,23 @@ object Changeset {
     private def ids(changes: DataFrame): DataFrame =
       changes.select(col("id")).distinct()
 
-    /** U1a: the coordinate store — every visible node, keyed by id. */
-    def locations(changes: DataFrame): DataFrame => DataFrame = old =>
+    /** U1a: the coordinate store — every visible node, keyed by id.
+      * When the store carries the materialized `s2cell` index column
+      * (the expand layouts), upserts recompute it from the new coords —
+      * the reference's cell_node index maintenance
+      * (`src/update.cpp:62-76`). Requires
+      * [[graft.functions.GraftFunctions.register]] in that case. */
+    def locations(changes: DataFrame): DataFrame => DataFrame = old => {
+      val upserts0 = changes.where(col("visible"))
+        .select(col("id"), col("lon"), col("lat"), col("version"))
+      val upserts =
+        if (old.columns.contains("s2cell"))
+          upserts0.withColumn("s2cell", graft.spatial.SpatialScan
+            .s2CellOfFixed(col("lat"), col("lon")))
+        else upserts0
       old.join(ids(changes), Seq("id"), "left_anti")
-        .unionByName(changes.where(col("visible"))
-          .select(col("id"), col("lon"), col("lat"), col("version")))
+        .unionByName(upserts)
+    }
 
     /** U1b: node blobs — visible AND tagged (`update.cpp:50-60`:
       * a visible change without tags deletes any existing blob). */

@@ -37,49 +37,44 @@ object Ingest {
   private def metaCol = struct(col("version"), col("timestamp"),
     col("changeset"), col("uid"), col("user"))
 
-  /** Full expand: XML/PBF path -> committed version in `root`. */
-  def expand(spark: SparkSession, xmlPath: String, root: String,
-             numPartitions: Int = 8, dryRun: Boolean = false,
-             readerOptions: Map[String, String] = Map.empty): Long = {
-    GraftFunctions.register(spark)
-    // every raw entity frame is referenced by several downstream writes
-    // (nodes: locations + tagged + max-ts; ways: way table + node_way,
-    // each with a range-sampling pass; relations: table + 3 adjacency
-    // indexes) — persist so each input file parses ONCE
-    val nodesRaw = readOsm(spark, xmlPath, "node", readerOptions)
-      .persist()
-    val waysRaw = readOsm(spark, xmlPath, "way", readerOptions)
-      .persist()
-    val relsRaw = readOsm(spark, xmlPath, "relation", readerOptions)
-      .persist()
+  /** The 8 derived tables of one import + the replication-timestamp
+    * meta, shared by both commit layouts. Caller must run inside
+    * [[withRaws]] so each input file parses once. */
+  private def derive(nodesRaw: DataFrame, waysRaw: DataFrame,
+                     relsRaw: DataFrame, numPartitions: Int,
+                     sorted: Boolean)
+  : Map[String, DataFrame] = {
+    def sortById(df: DataFrame): DataFrame =
+      if (!sorted) df
+      else df.repartitionByRange(numPartitions, col("id"))
+        .sortWithinPartitions(col("id"))
 
-    // locations: every node, s2cell-sorted (the spatial index)
-    val locations = nodesRaw
+    // locations: every node, with the materialized s2cell index column
+    // (range-sorted by it in the analytic layout - covering scans
+    // become row-group pruning)
+    val locations0 = nodesRaw
       .select(col("id"), col("lon"), col("lat"), col("version"),
         SpatialScan.s2CellOfFixed(col("lat"), col("lon")).as("s2cell"))
-      .repartitionByRange(numPartitions, col("s2cell"))
-      .sortWithinPartitions(col("s2cell"), col("id"))
+    val locations =
+      if (!sorted) locations0
+      else locations0.repartitionByRange(numPartitions, col("s2cell"))
+        .sortWithinPartitions(col("s2cell"), col("id"))
 
     // tagged nodes only (`src/expand.cpp:156`)
-    val nodes = nodesRaw.where(size(col("tags")) > 0)
-      .select(col("id"), col("tags"), metaCol.as("meta"))
-      .repartitionByRange(numPartitions, col("id"))
-      .sortWithinPartitions(col("id"))
+    val nodes = sortById(nodesRaw.where(size(col("tags")) > 0)
+      .select(col("id"), col("tags"), metaCol.as("meta")))
+    val ways = sortById(waysRaw
+      .select(col("id"), col("nodes"), col("tags"), metaCol.as("meta")))
+    val relations = sortById(relsRaw
+      .select(col("id"), col("members"), col("tags"),
+        metaCol.as("meta")))
 
-    val ways = waysRaw
-      .select(col("id"), col("nodes"), col("tags"), metaCol.as("meta"))
-      .repartitionByRange(numPartitions, col("id"))
-      .sortWithinPartitions(col("id"))
-
-    val relations = relsRaw
-      .select(col("id"), col("members"), col("tags"), metaCol.as("meta"))
-      .repartitionByRange(numPartitions, col("id"))
-      .sortWithinPartitions(col("id"))
-
-    def sortedAdj(df: DataFrame): DataFrame = df.distinct()
-      .repartitionByRange(numPartitions, col("member_id"))
-      .sortWithinPartitions(col("member_id"), col("parent_id"))
-
+    def sortedAdj(df: DataFrame): DataFrame = {
+      val d = df.distinct()
+      if (!sorted) d
+      else d.repartitionByRange(numPartitions, col("member_id"))
+        .sortWithinPartitions(col("member_id"), col("parent_id"))
+    }
     val nodeWay = sortedAdj(waysRaw.select(
       explode(col("nodes")).as("member_id"), col("id").as("parent_id")))
     def relAdj(mtype: String): DataFrame = sortedAdj(relsRaw
@@ -87,27 +82,78 @@ object Ingest {
       .where(col("m.mtype") === mtype)
       .select(col("m.ref").as("member_id"), col("parent_id")))
 
-    // empty input (zero nodes) => null max; default the replication ts
-    val maxTsRow = nodesRaw.agg(max("timestamp")).head()
-    val maxTs = if (maxTsRow.isNullAt(0)) 0L else maxTsRow.getLong(0)
-    try VersionedTable.commit(root, Map(
-      "locations" -> locations,
-      "nodes" -> nodes,
-      "ways" -> ways,
-      "relations" -> relations,
-      "node_way" -> nodeWay,
+    Map("locations" -> locations, "nodes" -> nodes, "ways" -> ways,
+      "relations" -> relations, "node_way" -> nodeWay,
       "node_relation" -> relAdj("node"),
       "way_relation" -> relAdj("way"),
-      "relation_relation" -> relAdj("relation")),
-      Map("import_filename" -> xmlPath,
-        "osmosis_replication_timestamp" -> maxTs.toString),
-      dryRun = dryRun)
+      "relation_relation" -> relAdj("relation"))
+  }
+
+  /** Read + persist the three raw entity frames for the duration of
+    * `body`: every frame is referenced by several downstream writes
+    * (nodes: locations + tagged + max-ts; ways: way table + node_way,
+    * each with a range-sampling pass; relations: table + 3 adjacency
+    * indexes), so each input file must parse ONCE. */
+  private def withRaws[T](spark: SparkSession, path: String,
+                          readerOptions: Map[String, String])
+                         (body: (DataFrame, DataFrame, DataFrame) => T)
+  : T = {
+    GraftFunctions.register(spark)
+    val nodesRaw = readOsm(spark, path, "node", readerOptions).persist()
+    val waysRaw = readOsm(spark, path, "way", readerOptions).persist()
+    val relsRaw = readOsm(spark, path, "relation", readerOptions)
+      .persist()
+    try body(nodesRaw, waysRaw, relsRaw)
     finally {
       nodesRaw.unpersist(blocking = false)
       waysRaw.unpersist(blocking = false)
       relsRaw.unpersist(blocking = false)
     }
   }
+
+  private def importMeta(path: String, nodesRaw: DataFrame)
+  : Map[String, String] = {
+    // empty input (zero nodes) => null max; default the replication ts
+    val maxTsRow = nodesRaw.agg(max("timestamp")).head()
+    val maxTs = if (maxTsRow.isNullAt(0)) 0L else maxTsRow.getLong(0)
+    Map("import_filename" -> path,
+      "osmosis_replication_timestamp" -> maxTs.toString)
+  }
+
+  /** Full expand: XML/PBF path -> committed version in `root`
+    * (analytic layout: range-sorted tables, full rewrite per commit). */
+  def expand(spark: SparkSession, xmlPath: String, root: String,
+             numPartitions: Int = 8, dryRun: Boolean = false,
+             readerOptions: Map[String, String] = Map.empty): Long =
+    withRaws(spark, xmlPath, readerOptions) { (n, w, r) =>
+      VersionedTable.commit(root,
+        derive(n, w, r, numPartitions, sorted = true),
+        importMeta(xmlPath, n), dryRun = dryRun)
+    }
+
+  /** Expand into the BUCKETED copy-on-write layout — the store
+    * [[graft.streaming.Replication.catchUp]] consumes: subsequent
+    * OsmChange commits rewrite only the buckets containing changed
+    * keys (the reference's O(changes) LMDB update). Element tables
+    * bucket on `id`, adjacency on `member_id`; rows sort by the bucket
+    * key within each bucket (point-lookup row-group pruning). The
+    * s2cell column is retained for spatial residual filters; a
+    * latency-critical spatial serving path should extract into the
+    * analytic layout instead. */
+  def expandBucketed(spark: SparkSession, xmlPath: String, root: String,
+                     nBuckets: Int = 64, dryRun: Boolean = false,
+                     readerOptions: Map[String, String] = Map.empty)
+  : Long =
+    withRaws(spark, xmlPath, readerOptions) { (n, w, r) =>
+      val tables = derive(n, w, r, numPartitions = nBuckets,
+        sorted = false)
+      VersionedTable.commitBucketed(root,
+        tables.map { case (name, df) =>
+          val key = if (name.endsWith("relation") || name == "node_way")
+            "member_id" else "id"
+          name -> ((df, key))
+        }, nBuckets, importMeta(xmlPath, n), dryRun = dryRun)
+    }
 
   /** Load the table bundle back from a committed version. */
   def readTables(spark: SparkSession, root: String,

@@ -96,6 +96,8 @@ object Replication {
     val bk = prev.buckets
     require(bk.nonEmpty,
       s"catch-up needs a bucketed store at $root (commitBucketed)")
+    // the locations upsert recomputes the s2cell index column
+    graft.functions.GraftFunctions.register(spark)
     val changes = batch.persist()
     try {
       val nodeCh = changes.where(col("etype") === "node")

@@ -146,6 +146,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(VersionedTable.current(root).get.version == committed)
   }
 
+  test("file ingest -> bucketed store -> streaming catch-up, end to end") {
+    import org.apache.spark.sql.functions._
+    import graft.osm.Ingest
+    // a small world as OSM XML files (the wire format), expanded into
+    // the bucketed CoW layout, then caught up with a mixed diff — the
+    // full `osmx expand` + `osmx-update` pipeline
+    val xmlDir = Files.createTempDirectory("graft-e2e-xml").toString
+    (1 to 6).map(i => (i.toLong, i * 10, i * 10, 1, 1600000000L + i,
+      1L, 1L, "u", if (i == 1) Map("a" -> "b")
+      else Map.empty[String, String]))
+      .toDF("id", "lon", "lat", "version", "timestamp", "changeset",
+        "uid", "user", "tags")
+      .coalesce(1).write.format("osmxml").option("entity", "node")
+      .mode("overwrite").save(xmlDir)
+    Seq((100L, 1, 1600000001L, 1L, 1L, "u",
+      Map.empty[String, String], Seq(1L, 2L)),
+      (101L, 1, 1600000002L, 1L, 1L, "u",
+        Map.empty[String, String], Seq(3L)))
+      .toDF("id", "version", "timestamp", "changeset", "uid", "user",
+        "tags", "nodes")
+      .coalesce(1).write.format("osmxml").option("entity", "way")
+      .mode("overwrite").save(xmlDir)
+    Seq((200L, 1, 1600000003L, 1L, 1L, "u",
+      Map.empty[String, String], Seq((100L, "way", "outer"))))
+      .toDF("id", "version", "timestamp", "changeset", "uid", "user",
+        "tags", "members")
+      .coalesce(1).write.format("osmxml").option("entity", "relation")
+      .mode("overwrite").save(xmlDir)
+
+    val root = Files.createTempDirectory("graft-e2e-db").toString
+    Ingest.expandBucketed(spark, xmlDir, root, nBuckets = 4)
+    val m1 = VersionedTable.current(root).get
+    assert(m1.buckets.keySet == Set("locations", "nodes", "ways",
+      "relations", "node_way", "node_relation", "way_relation",
+      "relation_relation"))
+    assert(VersionedTable.read(spark, root, "locations").count() == 6)
+
+    // mixed diff: move node 1, delete node 2, rewrite way 100 to [1,4]
+    val changesDir = Files.createTempDirectory("graft-e2e-osc").toString
+    val ckpt = Files.createTempDirectory("graft-e2e-ckpt").toString
+    writeChanges(changesDir, "b1", Seq(
+      chg(1L, visible = true, 11, 11, 2, 7L),
+      chg(2L, visible = false, 0, 0, 2, 7L),
+      wayChg(100L, visible = true, Seq(1L, 4L), 7L)))
+    Replication.catchUp(spark, changesDir, root, ckpt)
+      .awaitTermination()
+
+    val loc = VersionedTable.read(spark, root, "locations")
+      .select($"id", $"lon", $"lat").as[(Long, Int, Int)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(loc(1L) == ((11, 11)) && !loc.contains(2L) && loc.size == 5)
+    assert(VersionedTable.read(spark, root, "node_way")
+      .select($"member_id", $"parent_id").as[(Long, Long)]
+      .collect().toSet == Set((1L, 100L), (4L, 100L), (3L, 101L)))
+    assert(VersionedTable.metadata(root,
+      "osmosis_replication_sequence_number").contains("7"))
+    // import metadata survived the streaming commit
+    assert(VersionedTable.metadata(root, "import_filename")
+      .contains(xmlDir))
+  }
+
   test("mixed node+way+relation diff applies U1/U2/U3 copy-on-write") {
     import org.apache.spark.sql.functions._
     val root = Files.createTempDirectory("graft-repl-full").toString
