@@ -357,6 +357,79 @@ object LlmQueries {
       },
       bench = true),
 
+    // ---- IVF-flat ANN: the coarse-quantizer scale path next to q34's
+    // hyperplane index. Deterministic centroids (every 37th vector),
+    // map-side literal-matrix assignment (no shuffle), driver-side
+    // nprobe=4 probe with identical fold arithmetic, exact rescore of
+    // only the probed centroids' lists. Stored partitionBy(centroid),
+    // a probe is an nprobe-partition pruned scan ----
+    Q("q49_ivf_ann",
+      (s, d) => {
+        import s.implicits._
+        val emb = T(s, d, "embeddings")
+        val query = emb.where($"vec_id" === 0L)
+          .select($"embedding".cast("array<double>")).head()
+          .getSeq[Double](0)
+        val cents = Similarity.ivfCentroids(emb, "embedding", "vec_id",
+          every = 37)
+        val assigned = Similarity.ivfAssign(emb, "embedding", "vec_id",
+          cents)
+        Similarity.ivfTopK(assigned, query, cents, k = 20, nprobe = 4)
+      },
+      Some("""WITH cents AS (
+             |  SELECT row_number() OVER (ORDER BY vec_id) AS cidx,
+             |         CAST(embedding AS DOUBLE[]) AS cv
+             |  FROM embeddings WHERE vec_id % 37 = 0),
+             |pairs AS (
+             |  SELECT e.vec_id, e.embedding, c.cidx,
+             |    list_sum(list_transform(generate_series(1, 64), j ->
+             |      c.cv[CAST(j AS INT)]
+             |      * CAST(e.embedding[CAST(j AS INT)] AS DOUBLE))) AS dt,
+             |    sqrt(list_sum(list_transform(c.cv, x -> x * x))) AS nc,
+             |    sqrt(list_sum(list_transform(e.embedding, x ->
+             |      CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS ne
+             |  FROM embeddings e, cents c),
+             |assign AS (
+             |  SELECT vec_id, embedding, cidx,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY
+             |      (CASE WHEN nc = 0 OR ne = 0 THEN 0
+             |            ELSE dt / (nc * ne) END) DESC, cidx ASC) AS rk
+             |  FROM pairs),
+             |a1 AS (
+             |  SELECT vec_id, embedding, cidx FROM assign WHERE rk = 1),
+             |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+             |      FROM embeddings WHERE vec_id = 0),
+             |probe AS (
+             |  SELECT cidx, row_number() OVER (ORDER BY
+             |    (CASE WHEN nc = 0 OR nq = 0 THEN 0
+             |          ELSE dt / (nc * nq) END) DESC, cidx ASC) AS rk
+             |  FROM (
+             |    SELECT c.cidx,
+             |      list_sum(list_transform(generate_series(1, 64), j ->
+             |        c.cv[CAST(j AS INT)] * qv[CAST(j AS INT)])) AS dt,
+             |      sqrt(list_sum(list_transform(c.cv, x -> x * x)))
+             |        AS nc,
+             |      sqrt(list_sum(list_transform(qv, x -> x * x))) AS nq
+             |    FROM cents c, q) p),
+             |probed AS (SELECT cidx FROM probe WHERE rk <= 4),
+             |cand AS (
+             |  SELECT a1.vec_id, a1.embedding
+             |  FROM a1 JOIN probed USING (cidx)),
+             |sc AS (
+             |  SELECT vec_id,
+             |    list_sum(list_transform(generate_series(1, 64), j ->
+             |      CAST(embedding[CAST(j AS INT)] AS DOUBLE)
+             |      * qv[CAST(j AS INT)])) AS dt,
+             |    sqrt(list_sum(list_transform(embedding, x ->
+             |      CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nv,
+             |    sqrt(list_sum(list_transform(qv, x -> x * x))) AS nq
+             |  FROM cand, q)
+             |SELECT vec_id,
+             |  round(CASE WHEN nv = 0 OR nq = 0 THEN 0
+             |        ELSE dt / (nv * nq) END, 6) AS score
+             |FROM sc ORDER BY score DESC, vec_id LIMIT 20""".stripMargin),
+      bench = true),
+
     // ---- embedding-cosine near-dup pairs: signature-bucket candidates
     // -> exact cosine verify (the vector flavor of minhash dedup). The
     // testdata has no true near-dups (max pairwise cosine ~0.51), so

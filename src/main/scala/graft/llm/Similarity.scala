@@ -116,6 +116,67 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF coarse centroids: every `every`-th vector by id, in id order —
+    * a deterministic coarse quantizer (no k-means iterations, so the
+    * index is reproducible across engines and re-builds; the classic
+    * IVF recall/speed trade is governed by `every` and `nprobe`).
+    * Driver-side: O(#centroids * dim) doubles, like the query vector. */
+  def ivfCentroids(embeddings: DataFrame, vecCol: String, idCol: String,
+                   every: Int): Seq[Seq[Double]] =
+    embeddings.where(col(idCol) % every === 0).orderBy(col(idCol))
+      .select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0)).toSeq
+
+  /** IVF-flat assignment: each vector joins its nearest centroid
+    * (1-based index; first-wins on exact ties) by cosine against the
+    * LITERAL centroid matrix — a pure map-side projection, no shuffle
+    * of the big side. Persist with `.write.partitionBy("centroid")`
+    * and a probe reads only `nprobe` partitions (the same pruned-scan
+    * shape AnnIndexSpec proves for the signature index). */
+  def ivfAssign(embeddings: DataFrame, vecCol: String, idCol: String,
+                centroids: Seq[Seq[Double]]): DataFrame = {
+    val cents = typedlit(centroids)
+    val e = col(vecCol).cast("array<double>")
+    embeddings
+      .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
+        transform(cents, c => cosine(c, e)).as("scores"))
+      .select(col("vec_id"), col("embedding"),
+        array_position(col("scores"), array_max(col("scores")))
+          .cast("int").as("centroid"))
+  }
+
+  /** The `nprobe` nearest centroid indices (1-based) for a query —
+    * driver-side, with the SAME sequential-fold arithmetic as the
+    * distributed side, so probe decisions are engine-portable. */
+  def ivfProbe(query: Seq[Double], centroids: Seq[Seq[Double]],
+               nprobe: Int): Seq[Int] = {
+    def dotD(a: Seq[Double], b: Seq[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    def normD(a: Seq[Double]): Double = math.sqrt(dotD(a, a))
+    val nq = normD(query)
+    centroids.zipWithIndex.map { case (c, i) =>
+      val nc = normD(c)
+      val s = if (nc == 0.0 || nq == 0.0) 0.0 else dotD(c, query) / (nc * nq)
+      (s, i + 1)
+    }.sortBy { case (s, i) => (-s, i) }.take(nprobe).map(_._2)
+  }
+
+  /** IVF-flat top-k: filter to the probed centroids' lists (partition-
+    * pruned when stored partitionBy(centroid)), exact cosine rescore,
+    * deterministic tiebreak. */
+  def ivfTopK(assigned: DataFrame, query: Seq[Double],
+              centroids: Seq[Seq[Double]], k: Int, nprobe: Int)
+  : DataFrame = {
+    val probed = ivfProbe(query, centroids, nprobe)
+    val q = typedlit(query)
+    assigned.where(col("centroid").isin(probed.map(Integer.valueOf): _*))
+      .select(col("vec_id"),
+        round(cosine(col("embedding").cast("array<double>"), q), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: candidates share an exact
     * hyperplane-signature bucket (ONE shuffle on the signature — never
     * all-pairs), verified by exact cosine >= threshold. The same

@@ -51,4 +51,43 @@ class AnnIndexSpec extends AnyFunSuite {
       .as[(Long, Double)].collect()
     assert(brute.head._1 == got.head._1)
   }
+
+  test("IVF: probing all lists equals brute force; partitions prune") {
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val rows = (0L until 400L).map { i =>
+      val v = if (i == 321L) base.map(x => x * 1.02f)
+      else Array.fill(16)(rnd.nextGaussian().toFloat)
+      (i, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = Similarity.ivfCentroids(df, "embedding", "vec_id",
+      every = 29) // 14 centroids
+    assert(cents.size == 14)
+
+    // store the assignment partitioned by centroid: the probe filter
+    // must prune partitions at plan time (a real inverted file)
+    val dir = Files.createTempDirectory("graft-ivf").toString
+    Similarity.ivfAssign(df, "embedding", "vec_id", cents)
+      .write.partitionBy("centroid").mode("overwrite").parquet(dir)
+    val assigned = spark.read.parquet(dir)
+
+    val q = base.map(_.toDouble).toSeq
+    val probed = Similarity.ivfTopK(assigned, q, cents, 5, nprobe = 3)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[centroid#\\d+ IN.*"),
+      s"probe filter did not become a partition filter:\n$plan")
+    assert(plan.contains("DataFilters: []"),
+      s"probe filter leaked into row-level filtering:\n$plan")
+    // recall with a small nprobe finds the planted near-duplicate
+    val got = probed.as[(Long, Double)].collect()
+    assert(got.head._1 == 321L && got.head._2 > 0.999)
+
+    // nprobe = #centroids degrades to EXACT brute force (recall 1.0)
+    val all = Similarity.ivfTopK(assigned, q, cents, 5,
+      nprobe = cents.size).as[(Long, Double)].collect().toSeq
+    val brute = Similarity.cosineTopK(df, "embedding", "vec_id", q, 5)
+      .as[(Long, Double)].collect().toSeq
+    assert(all == brute)
+  }
 }
