@@ -132,14 +132,29 @@ object Similarity {
     * LITERAL centroid matrix — a pure map-side projection, no shuffle
     * of the big side. Persist with `.write.partitionBy("centroid")`
     * and a probe reads only `nprobe` partitions (the same pruned-scan
-    * shape AnnIndexSpec proves for the signature index). */
+    * shape AnnIndexSpec proves for the signature index).
+    *
+    * Cost note: the per-centroid dot runs through interpreted
+    * higher-order functions (zip_with/aggregate don't codegen); the
+    * shape is already one parallel map pass, and if index BUILD time
+    * ever dominates, the next lever is a native `Expression` computing
+    * the whole argmax in one codegen'd loop (the TextHash.scala
+    * precedent: 10-50x on exactly this pattern). */
   def ivfAssign(embeddings: DataFrame, vecCol: String, idCol: String,
                 centroids: Seq[Seq[Double]]): DataFrame = {
     val cents = typedlit(centroids)
     val e = col(vecCol).cast("array<double>")
+    // hoist the row's norm out of the per-centroid lambda (same value,
+    // same downstream arithmetic — computed once instead of |C| times);
+    // centroid norms fold to constants (literal children)
     embeddings
       .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
-        transform(cents, c => cosine(c, e)).as("scores"))
+        norm(e).as("__ne"))
+      .select(col("vec_id"), col("embedding"),
+        transform(cents, c =>
+          when(norm(c) === 0.0 || col("__ne") === 0.0, 0.0)
+            .otherwise(dot(c, col("embedding").cast("array<double>"))
+              / (norm(c) * col("__ne")))).as("scores"))
       .select(col("vec_id"), col("embedding"),
         array_position(col("scores"), array_max(col("scores")))
           .cast("int").as("centroid"))
