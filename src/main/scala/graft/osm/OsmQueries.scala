@@ -457,6 +457,68 @@ object OsmQueries {
               |  SELECT 'relation', id FROM aff_rels)
               |ORDER BY etype, id""".stripMargin)),
 
+    // ---- q50: the BUCKETED store round trip — q38's shape through the
+    // copy-on-write layout: tables -> XML sink -> expandBucketed (hash
+    // buckets + per-bucket manifest) -> CoW DELTA commit (the q33
+    // change set, only changed buckets rewritten) -> read back. The
+    // oracle is q33's post-state SQL: any divergence in bucketing,
+    // manifest linking, or the delta path shows up ----
+    Q("q50_bucketed_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        val t = SyntheticOsm.materialized(s, d)
+        val all = Extract.Selected(
+          t.locations.select($"id"), t.ways.select($"id"),
+          t.relations.select($"id"))
+        val xmlDir = java.nio.file.Files
+          .createTempDirectory("graft-q50-xml").toString
+        Ingest.writeExtractXml(t, all, xmlDir, shards = 8)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-q50-db").toString
+        Ingest.expandBucketed(s, xmlDir, root, nBuckets = 16)
+        val loc = VersionedTable.read(s, root, "locations")
+        val metaT = "struct<version:int,timestamp:bigint," +
+          "changeset:bigint,uid:bigint,user:string>"
+        val changes = loc.where($"id" % 17 <= 1).select(
+          $"id", lit("node").as("etype"), ($"id" % 17 === 1).as("visible"),
+          ($"lon" + 1000).cast("int").as("lon"),
+          ($"lat" + 1000).cast("int").as("lat"),
+          ($"version" + 100).cast("int").as("version"),
+          lit(null).cast("array<bigint>").as("nodes"),
+          lit(null).cast(
+            "array<struct<ref:bigint,mtype:string,role:string>>")
+            .as("members"),
+          when($"id" % 2 === 0,
+            map(lit("status"), lit("X"), lit("urgent"), lit("1")))
+            .otherwise(map().cast("map<string,string>")).as("tags"),
+          lit(null).cast(metaT).as("meta"), lit(1L).as("seqnum"))
+        graft.streaming.Replication.applyBatch(s, root, changes,
+          batchId = 0L)
+        VersionedTable.read(s, root, "locations")
+          .join(VersionedTable.read(s, root, "nodes").select($"id",
+            Extract.tagsToString($"tags").as("tags_s")),
+            Seq("id"), "left_outer")
+          .select($"id", $"lon", $"lat", $"version", $"tags_s")
+          .orderBy($"id")
+      },
+      Some(s"""WITH $dOsmCtes,
+              |locations2 AS (
+              |  SELECT id, lon, lat, version FROM locations
+              |  WHERE id % 17 > 1
+              |  UNION ALL
+              |  SELECT id, CAST(lon + 1000 AS INTEGER),
+              |         CAST(lat + 1000 AS INTEGER),
+              |         CAST(version + 100 AS INTEGER)
+              |  FROM locations WHERE id % 17 = 1),
+              |nodes2 AS (
+              |  SELECT id, tags_s FROM onodes WHERE id % 17 > 1
+              |  UNION ALL
+              |  SELECT id, 'status=X;urgent=1' FROM locations
+              |  WHERE id % 17 = 1 AND id % 2 = 0)
+              |SELECT l.id, l.lon, l.lat, l.version, n.tags_s
+              |FROM locations2 l LEFT JOIN nodes2 n ON n.id = l.id
+              |ORDER BY l.id""".stripMargin)),
+
     // ---- q46: the S3 .osc round trip, oracle-gated — the SAME change
     // set as q33 but routed through a real OsmChange document: change
     // rows -> .osc sink (action blocks) -> .osc DataSource scan ->

@@ -255,6 +255,56 @@ object VersionedTable {
     next
   }
 
+  /** Garbage-collect data directories the CURRENT manifest does not
+    * reference: dry-run leftovers and tables/buckets superseded by
+    * later commits. Safe only when no reader still pins an older
+    * manifest (the reference's one-writer/many-current-readers
+    * contract, `docs/MANUAL.md:126` — LMDB reclaims old pages the same
+    * way once the last reader moves on). Returns the deleted paths. */
+  def vacuum(root: String): Seq[String] = current(root) match {
+    case None => Seq.empty
+    case Some(m) =>
+      val referenced = scala.collection.mutable.Set[String]()
+      m.tables.foreach { t =>
+        m.buckets.get(t) match {
+          case Some(spec) => spec.versions.zipWithIndex.foreach {
+            case (v, b) => referenced += s"v=$v/$t/__bucket=$b"
+          }
+          case None => referenced += s"v=${m.versionOf(t)}/$t"
+        }
+      }
+      val deleted = scala.collection.mutable.ArrayBuffer[String]()
+      def rmTree(p: java.nio.file.Path): Unit = {
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => { Files.delete(q); () })
+        deleted += p.toString
+      }
+      val rootP = Paths.get(root)
+      if (Files.isDirectory(rootP)) {
+        val vdirs = Files.list(rootP).iterator().asScala.toSeq
+          .filter(p => p.getFileName.toString.startsWith("v="))
+        vdirs.foreach { vdir =>
+          val vn = vdir.getFileName.toString
+          Files.list(vdir).iterator().asScala.toSeq.foreach { tdir =>
+            val tn = tdir.getFileName.toString
+            if (m.buckets.contains(tn)) {
+              Files.list(tdir).iterator().asScala.toSeq
+                .filter(_.getFileName.toString.startsWith("__bucket="))
+                .foreach { bdir =>
+                  if (!referenced.contains(
+                    s"$vn/$tn/${bdir.getFileName}")) rmTree(bdir)
+                }
+              if (!Files.list(tdir).iterator().asScala
+                .exists(_.getFileName.toString.startsWith("__bucket=")))
+                rmTree(tdir)
+            } else if (!referenced.contains(s"$vn/$tn")) rmTree(tdir)
+          }
+          if (!Files.list(vdir).iterator().hasNext) rmTree(vdir)
+        }
+      }
+      deleted.toSeq
+  }
+
   /** COPY-ON-WRITE delta commit: for each table, read ONLY its changed
     * buckets' old rows, apply the delta transform, and write ONLY those
     * buckets under `v=next`; every unchanged bucket's manifest entry

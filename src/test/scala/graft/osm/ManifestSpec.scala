@@ -143,6 +143,36 @@ class ManifestSpec extends AnyFunSuite {
     assert(onlyChanged.where($"id" === 13L).count() == 1)
   }
 
+  test("vacuum removes superseded and dry-run dirs, keeps live ones") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft-vac").toString
+    val n = 4
+    val df = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+    VersionedTable.commitBucketed(root, Map("t" -> (df, "id")), n)
+    // a delta supersedes the changed buckets' v1 dirs
+    val changedIds = Seq(7L).toDF("id")
+    val changed = VersionedTable.bucketsOf(changedIds, "id", n)
+    VersionedTable.commitDelta(spark, root, Map(
+      "t" -> VersionedTable.Delta(changed, old =>
+        old.join(changedIds, Seq("id"), "left_anti"))))
+    // a dry-run writes v=3 data but never publishes: pure garbage
+    VersionedTable.commitBucketed(root,
+      Map("t" -> (Seq((999L, "x")).toDF("id", "v"), "id")), n,
+      dryRun = true)
+
+    val deleted = VersionedTable.vacuum(root)
+    // dry-run version dir gone; superseded v1 bucket dirs gone
+    assert(deleted.exists(_.contains("v=3")), s"deleted: $deleted")
+    assert(changed.forall(b => deleted.exists(
+      _.endsWith(s"v=1/t/__bucket=$b"))), s"deleted: $deleted")
+    // live data intact and complete
+    val now = VersionedTable.read(spark, root, "t")
+      .as[(Long, String)].collect().toMap
+    assert(now.size == 99 && !now.contains(7L) && now(42L) == "v42")
+    // idempotent: nothing left to collect
+    assert(VersionedTable.vacuum(root).isEmpty)
+  }
+
   test("plain commit carries untouched tables forward by link") {
     val root = Files.createTempDirectory("graft-link").toString
     VersionedTable.commit(root, Map(
