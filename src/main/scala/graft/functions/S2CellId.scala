@@ -78,6 +78,8 @@ object GraftFunctions {
       ((args: Seq[Expression]) => NgramHash48(args(0), args(1))),
     "cell_in_ranges" ->
       ((args: Seq[Expression]) => CellInRanges(args(0), args(1), args(2))),
+    "ivf_assign" ->
+      ((args: Seq[Expression]) => IvfAssign(args(0), args(1))),
     "st_within_region" ->
       ((args: Seq[Expression]) =>
         StWithinRegion(args(0), args(1), args(2), args(3))))

@@ -142,22 +142,11 @@ object Similarity {
     * precedent: 10-50x on exactly this pattern). */
   def ivfAssign(embeddings: DataFrame, vecCol: String, idCol: String,
                 centroids: Seq[Seq[Double]]): DataFrame = {
-    val cents = typedlit(centroids)
-    val e = col(vecCol).cast("array<double>")
-    // hoist the row's norm out of the per-centroid lambda (same value,
-    // same downstream arithmetic — computed once instead of |C| times);
-    // centroid norms fold to constants (literal children)
-    embeddings
-      .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
-        norm(e).as("__ne"))
-      .select(col("vec_id"), col("embedding"),
-        transform(cents, c =>
-          when(norm(c) === 0.0 || col("__ne") === 0.0, 0.0)
-            .otherwise(dot(c, col("embedding").cast("array<double>"))
-              / (norm(c) * col("__ne")))).as("scores"))
-      .select(col("vec_id"), col("embedding"),
-        array_position(col("scores"), array_max(col("scores")))
-          .cast("int").as("centroid"))
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    embeddings.select(col(idCol).as("vec_id"),
+      col(vecCol).as("embedding"),
+      call_function("ivf_assign", col(vecCol).cast("array<double>"),
+        typedlit(centroids)).as("centroid"))
   }
 
   /** The `nprobe` nearest centroid indices (1-based) for a query —

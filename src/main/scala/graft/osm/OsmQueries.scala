@@ -457,25 +457,26 @@ object OsmQueries {
               |  SELECT 'relation', id FROM aff_rels)
               |ORDER BY etype, id""".stripMargin)),
 
-    // ---- q50: the BUCKETED store round trip — q38's shape through the
-    // copy-on-write layout: tables -> XML sink -> expandBucketed (hash
-    // buckets + per-bucket manifest) -> CoW DELTA commit (the q33
-    // change set, only changed buckets rewritten) -> read back. The
-    // oracle is q33's post-state SQL: any divergence in bucketing,
-    // manifest linking, or the delta path shows up ----
+    // ---- q50: the BUCKETED copy-on-write store, oracle-gated: hash-
+    // bucketed commit (with the s2cell index column) -> CoW DELTA
+    // commit (the q33 change set through the streaming batch path —
+    // only changed buckets rewritten, s2cell recomputed on upsert) ->
+    // read back. The oracle is q33's post-state SQL: any divergence in
+    // bucketing, manifest linking, or the delta path shows up. (The
+    // file-format round trip is q38's job; the expand->catch-up
+    // pipeline over files is StreamingSpec's.) ----
     Q("q50_bucketed_roundtrip",
       (s, d) => {
         import s.implicits._
+        graft.functions.GraftFunctions.register(s)
         val t = SyntheticOsm.materialized(s, d)
-        val all = Extract.Selected(
-          t.locations.select($"id"), t.ways.select($"id"),
-          t.relations.select($"id"))
-        val xmlDir = java.nio.file.Files
-          .createTempDirectory("graft-q50-xml").toString
-        Ingest.writeExtractXml(t, all, xmlDir, shards = 8)
         val root = java.nio.file.Files
           .createTempDirectory("graft-q50-db").toString
-        Ingest.expandBucketed(s, xmlDir, root, nBuckets = 16)
+        VersionedTable.commitBucketed(root, Map(
+          "locations" -> ((t.locations.withColumn("s2cell",
+            graft.spatial.SpatialScan.s2CellOfFixed($"lat", $"lon")),
+            "id")),
+          "nodes" -> ((t.nodes, "id"))), nBuckets = 16)
         val loc = VersionedTable.read(s, root, "locations")
         val metaT = "struct<version:int,timestamp:bigint," +
           "changeset:bigint,uid:bigint,user:string>"
