@@ -50,6 +50,90 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("PBF codec round-trips randomized elements exactly") {
+    import graft.sources.OsmPbfCodec
+    import graft.sources.OsmXmlCodec.{RawNode, RawRelation, RawWay}
+    val rnd = new Random(4)
+    def str(): String = {
+      // exercise unicode, quotes, xml-escapes, empties
+      val pool = Seq("", "a", "Ente & <Gans>", "café", "日本語",
+        "line\nbreak?", "\"quoted\"", "x" * 50)
+      pool(rnd.nextInt(pool.size)) + rnd.nextInt(1000)
+    }
+    def tags(): Seq[(String, String)] =
+      (0 until rnd.nextInt(4)).map(_ => (str(), str()))
+    val nodes = (1 to 500).map { i =>
+      RawNode(rnd.nextLong().abs % (1L << 50) + i,
+        (rnd.nextLong().abs % 3600000001L - 1800000000L).toInt,
+        (rnd.nextLong().abs % 1800000001L - 900000000L).toInt,
+        rnd.nextInt(1000), rnd.nextLong().abs % 4102444800L,
+        rnd.nextLong().abs % (1L << 40), rnd.nextLong().abs % (1L << 30),
+        str(), tags())
+    }
+    val ways = (1 to 100).map { i =>
+      RawWay(2000000L + i, rnd.nextInt(100), rnd.nextLong().abs % 4e9.toLong,
+        rnd.nextLong().abs % (1L << 40), rnd.nextLong().abs % (1L << 30),
+        str(), tags(),
+        (0 until 1 + rnd.nextInt(10)).map(_ => rnd.nextLong().abs % (1L << 50)))
+    }
+    val rels = (1 to 50).map { i =>
+      RawRelation(3000000L + i, rnd.nextInt(100),
+        rnd.nextLong().abs % 4e9.toLong, rnd.nextLong().abs % (1L << 40),
+        rnd.nextLong().abs % (1L << 30), str(), tags(),
+        (0 until rnd.nextInt(6)).map(_ => (rnd.nextLong().abs % (1L << 50),
+          Seq("node", "way", "relation")(rnd.nextInt(3)), str())))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    OsmPbfCodec.write(bos, nodes.iterator, ways.iterator, rels.iterator,
+      chunk = 64)
+    val gotN = scala.collection.mutable.ArrayBuffer[RawNode]()
+    val gotW = scala.collection.mutable.ArrayBuffer[RawWay]()
+    val gotR = scala.collection.mutable.ArrayBuffer[RawRelation]()
+    OsmPbfCodec.parse(new java.io.ByteArrayInputStream(bos.toByteArray),
+      gotN += _, gotW += _, gotR += _)
+    assert(gotN.toSeq == nodes)
+    assert(gotW.toSeq == ways)
+    assert(gotR.toSeq == rels)
+  }
+
+  test("foreign-granularity PBF coords floor like libosmium") {
+    // granularity 1000 nanodeg (not a multiple of 100 after offset),
+    // negative raw values: (off + g*raw) floorDiv 100 must floor toward
+    // -inf, not truncate toward zero
+    import graft.sources.{OsmPbfCodec, Pbf}
+    val out = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(out)
+    // hand-build one PrimitiveBlock with granularity=1000, offset=50,
+    // one dense node at raw lat/lon = -3 => (50 + 1000*-3)/100 floor
+    // = floor(-29.5) = -30
+    val st = new Pbf.Out; st.bytesField(1, "".getBytes)
+    val dense = new Pbf.Out
+    dense.packedSintDeltas(1, Seq(7L)) // id
+    dense.packedSintDeltas(8, Seq(-3L)) // lat raw
+    dense.packedSintDeltas(9, Seq(-3L)) // lon raw
+    val g = new Pbf.Out; g.messageField(2, dense)
+    val blk = new Pbf.Out
+    blk.messageField(1, st)
+    blk.messageField(2, g)
+    blk.varintField(17, 1000L) // granularity
+    blk.varintField(19, 50L)   // lat_offset
+    blk.varintField(20, 50L)   // lon_offset
+    val payload = blk.toBytes
+    val blob = new Pbf.Out
+    blob.varintField(2, payload.length.toLong)
+    blob.bytesField(1, payload) // raw (uncompressed)
+    val blobBytes = blob.toBytes
+    val hdr = new Pbf.Out
+    hdr.stringField(1, "OSMData")
+    hdr.varintField(3, blobBytes.length.toLong)
+    val hdrBytes = hdr.toBytes
+    dos.writeInt(hdrBytes.length); dos.write(hdrBytes); dos.write(blobBytes)
+    var got: Option[(Int, Int)] = None
+    OsmPbfCodec.parse(new java.io.ByteArrayInputStream(out.toByteArray),
+      n => got = Some((n.lat, n.lon)), _ => (), _ => ())
+    assert(got.contains((-30, -30)), s"got $got")
+  }
+
   test("minhash coefficients stay in range for any n") {
     (0 until 256).foreach { i =>
       val a = graft.functions.TextHashImpl.coeffA(i)
