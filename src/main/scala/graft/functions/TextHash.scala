@@ -181,6 +181,63 @@ object TextHashImpl {
       if (w == m) hs else java.util.Arrays.copyOf(hs, w))
   }
 
+  /** Winnowing document fingerprint (the MOSS k-gram algorithm,
+    * Schleimer/Wilkerson/Aiken 2003): the POSITIONAL char n-gram
+    * 48-bit hash sequence, then the minimum hash VALUE of every
+    * w-length window, selected set sorted + deduped. Any substring
+    * match of length >= w + n - 1 between two documents is guaranteed
+    * to share at least one fingerprint. Fewer than w hashes -> one
+    * window over the whole sequence; fewer than n chars -> empty. */
+  def winnowFingerprint(text: UTF8String, n: Int, w: Int): ArrayData = {
+    val bytes = text.getBytes
+    val starts = new Array[Int](bytes.length + 1)
+    var nc = 0
+    var off = 0
+    while (off < bytes.length) {
+      if ((bytes(off) & 0xc0) != 0x80) { starts(nc) = off; nc += 1 }
+      off += 1
+    }
+    starts(nc) = bytes.length
+    if (nc < n) return new GenericArrayData(Array.emptyLongArray)
+    val m = nc - n + 1
+    val hs = new Array[Long](m)
+    val digest = md5Local.get()
+    var i = 0
+    while (i < m) {
+      digest.reset()
+      digest.update(bytes, starts(i), starts(i + n) - starts(i))
+      val d = digest.digest()
+      hs(i) = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
+        ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
+        ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+      i += 1
+    }
+    val nw = math.max(m - w + 1, 1)
+    val sel = new Array[Long](nw)
+    var j = 0
+    while (j < nw) {
+      var mn = hs(j)
+      var o = 1
+      val lim = math.min(w, m - j)
+      while (o < lim) {
+        val v = hs(j + o)
+        if (v < mn) mn = v
+        o += 1
+      }
+      sel(j) = mn
+      j += 1
+    }
+    java.util.Arrays.sort(sel)
+    var d2 = 0
+    var r = 0
+    while (r < nw) {
+      if (d2 == 0 || sel(d2 - 1) != sel(r)) { sel(d2) = sel(r); d2 += 1 }
+      r += 1
+    }
+    new GenericArrayData(
+      if (d2 == nw) sel else java.util.Arrays.copyOf(sel, d2))
+  }
+
   /** Jaccard over two SORTED, DISTINCT long arrays by linear merge —
     * reads elements in place (no array copy per pair). */
   def jaccardSortedLong(a: ArrayData, b: ArrayData): Double = {
@@ -385,6 +442,59 @@ case class NgramHash48(text: Expression, n: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(text = newLeft, n = newRight)
+}
+
+/** `winnow_fingerprint(text, n, w) -> ARRAY<LONG>`: the winnowed
+  * document fingerprint (sorted distinct window-min char-n-gram
+  * hashes). Native so the rolling scan + window minima run as one JVM
+  * pass inside whole-stage codegen. */
+case class WinnowFingerprint(text: Expression, n: Expression,
+                             w: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def first: Expression = text
+  override def second: Expression = n
+  override def third: Expression = w
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprint"
+
+  private lazy val nVal: Int = n.eval().asInstanceOf[Int]
+  private lazy val wVal: Int = w.eval().asInstanceOf[Int]
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (text.dataType == StringType &&
+      n.foldable && n.dataType == IntegerType &&
+      w.foldable && w.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "winnow_fingerprint expects (STRING, literal INT, literal INT)")
+
+  override def eval(input: InternalRow): Any = {
+    val t = text.eval(input)
+    if (t == null) null
+    else TextHashImpl.winnowFingerprint(
+      t.asInstanceOf[UTF8String], nVal, wVal)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val textGen = text.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${textGen.code}
+        boolean ${ev.isNull} = ${textGen.isNull};
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.functions.TextHashImpl.winnowFingerprint(
+            ${textGen.value}, $nVal, $wVal);
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression)
+  : Expression = copy(text = newFirst, n = newSecond, w = newThird)
 }
 
 /** `hash48_sort_dedup(ARRAY<STRING>) -> ARRAY<LONG>`: md5-48bit hash of

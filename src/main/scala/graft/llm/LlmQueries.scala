@@ -117,6 +117,49 @@ object LlmQueries {
              |FROM documents GROUP BY 1
              |ORDER BY fingerprint""".stripMargin)),
 
+    // ---- winnowing fingerprint (the MOSS rolling-hash algorithm):
+    // positional char-8-gram hashes, window-4 minima, sorted distinct.
+    // Native one-pass expression; oracle recomputes the identical
+    // selection with list lambdas over the same md5-48bit hashes ----
+    Q("q51_winnow_fingerprint",
+      (s, d) => {
+        import s.implicits._
+        T(s, d, "documents").select($"doc_id",
+          call_function("winnow_fingerprint",
+            TextFunctions.normalize($"text"), lit(8), lit(4)).as("fps"))
+          .select($"doc_id", $"fps",
+            size($"fps").cast("long").as("n_fp"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH norm AS (
+             |  SELECT doc_id,
+             |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+             |  FROM documents),
+             |seqs AS (
+             |  SELECT doc_id,
+             |    CASE WHEN length(t) < 8 THEN CAST([] AS BIGINT[])
+             |    ELSE list_transform(generate_series(1, length(t) - 7),
+             |      i -> CAST(concat('0x',
+             |        substr(md5(substr(t, CAST(i AS INT), 8)), 1, 12))
+             |        AS BIGINT))
+             |    END AS seq
+             |  FROM norm),
+             |wins AS (
+             |  SELECT doc_id,
+             |    CASE WHEN len(seq) = 0 THEN CAST([] AS BIGINT[])
+             |    ELSE list_transform(
+             |      generate_series(1, greatest(len(seq) - 3, 1)), j ->
+             |        list_min(list_filter(
+             |          list_transform(generate_series(0, 3), o ->
+             |            seq[CAST(j + o AS INT)]),
+             |          x -> x IS NOT NULL)))
+             |    END AS mins
+             |  FROM seqs)
+             |SELECT doc_id, list_sort(list_distinct(mins)) AS fps,
+             |       len(list_distinct(mins)) AS n_fp
+             |FROM wins ORDER BY doc_id""".stripMargin),
+      bench = true),
+
     // ---- token counting: whitespace + BPE-ish regex ----
     Q("q21_token_counts",
       (s, d) => {

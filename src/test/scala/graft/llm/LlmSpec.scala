@@ -186,6 +186,36 @@ class LlmSpec extends AnyFunSuite {
     assert(m(8) == Seq(2.0, 3.0))
   }
 
+  test("winnowing: shared substrings >= w+n-1 share a fingerprint") {
+    import graft.functions.TextHashImpl.winnowFingerprint
+    import org.apache.spark.unsafe.types.UTF8String
+    def fp(s: String): Set[Long] = {
+      val a = winnowFingerprint(UTF8String.fromString(s), 8, 4)
+      (0 until a.numElements()).map(a.getLong).toSet
+    }
+    // the guarantee: any shared substring of length >= w + n - 1 = 11
+    // contributes at least one common selected hash
+    val shared = "the quick brown fox jumps over it"
+    val d1 = s"AAAA $shared BBBB"
+    val d2 = s"xxxxxxxx $shared yyyy zz"
+    assert(fp(d1).intersect(fp(d2)).nonEmpty)
+    // disjoint texts: no common fingerprints
+    assert(fp("abcdefghijklmnopqrstuvwxyz")
+      .intersect(fp("0123456789012345678901234567")).isEmpty)
+    // edges: shorter than n -> empty; between n and n+w-1 -> one window
+    assert(fp("1234567").isEmpty)
+    assert(fp("12345678").size == 1)
+    // determinism
+    assert(fp(d1) == fp(d1))
+    // selected set is a subset of all n-gram hashes
+    val all = {
+      val a = graft.functions.TextHashImpl
+        .ngramHash48(UTF8String.fromString(d1), 8)
+      (0 until a.numElements()).map(a.getLong).toSet
+    }
+    assert(fp(d1).subsetOf(all))
+  }
+
   test("multimodal: typed feature extraction and frame sampling") {
     import Multimodal._
     val assets = Seq(
