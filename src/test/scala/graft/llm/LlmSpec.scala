@@ -238,5 +238,15 @@ class LlmSpec extends AnyFunSuite {
     assert(frames.length == 4)
     assert(new String(frames.head) == "0123")
     assert(new String(frames(2)) == "89ab")
+
+    // resize stub: 16-byte "image" downsampled to 2x4 = 8 bytes of
+    // evenly spaced probes; empty input stays empty; deterministic
+    val resized = Seq((1L, "0123456789abcdef".getBytes),
+      (2L, Array.emptyByteArray))
+      .toDF("id", "bytes")
+      .select($"id", resizeStub($"bytes", 2, 4).as("r"))
+      .as[(Long, Array[Byte])].collect().toMap
+    assert(new String(resized(1L)) == "02468ace")
+    assert(resized(2L).isEmpty)
   }
 }
