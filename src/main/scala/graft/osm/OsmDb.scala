@@ -22,24 +22,36 @@ final class OsmDb(spark: SparkSession, root: String) {
   private def table(name: String): DataFrame =
     VersionedTable.read(spark, root, name, Some(snapshot))
 
+  /** Key-pruned scan: on a bucketed (copy-on-write) store the lookup
+    * reads ONE bucket directory (the driver computes the key's bucket
+    * with the same hash the layout used); on the analytic layout it's
+    * the plain id-sorted scan with row-group pruning. */
+  private def keyed(name: String, keyCol: String, key: Long): DataFrame =
+    (snapshot.buckets.get(name) match {
+      case Some(spec) => VersionedTable.readBuckets(spark, root, name,
+        Seq(VersionedTable.bucketOfValue(key, spec.nBuckets)),
+        Some(snapshot))
+      case None => table(name)
+    }).where(col(keyCol) === key)
+
   /** P1: location lookup — (lon, lat, version) or None (a node's coords
     * exist even when its tags don't, `src/cmd.cpp:53-60`). */
   def location(id: Long): Option[(Int, Int, Int)] =
-    table("locations").where(col("id") === id)
+    keyed("locations", "id", id)
       .select(col("lon"), col("lat"), col("version"))
       .collect().headOption.map(r => (r.getInt(0), r.getInt(1),
         r.getInt(2)))
 
   /** P2/P3: tagged-node lookup (tags + metadata). */
   def node(id: Long): Option[(Map[String, String], Int)] =
-    table("nodes").where(col("id") === id)
+    keyed("nodes", "id", id)
       .select(col("tags"), col("meta.version"))
       .collect().headOption
       .map(r => (r.getMap[String, String](0).toMap, r.getInt(1)))
 
   /** P3: way lookup — ordered node refs + tags. */
   def way(id: Long): Option[(Seq[Long], Map[String, String])] =
-    table("ways").where(col("id") === id)
+    keyed("ways", "id", id)
       .select(col("nodes"), col("tags"))
       .collect().headOption
       .map(r => (r.getSeq[Long](0), r.getMap[String, String](1).toMap))
@@ -47,7 +59,7 @@ final class OsmDb(spark: SparkSession, root: String) {
   /** P3: relation lookup — members + tags. */
   def relation(id: Long)
   : Option[(Seq[(Long, String, String)], Map[String, String])] =
-    table("relations").where(col("id") === id)
+    keyed("relations", "id", id)
       .select(col("members"), col("tags"))
       .collect().headOption
       .map(r => (r.getSeq[org.apache.spark.sql.Row](0)
@@ -56,15 +68,15 @@ final class OsmDb(spark: SparkSession, root: String) {
 
   /** P2: existence tests. */
   def nodeExists(id: Long): Boolean =
-    !table("locations").where(col("id") === id).isEmpty
+    !keyed("locations", "id", id).isEmpty
   def wayExists(id: Long): Boolean =
-    !table("ways").where(col("id") === id).isEmpty
+    !keyed("ways", "id", id).isEmpty
   def relationExists(id: Long): Boolean =
-    !table("relations").where(col("id") === id).isEmpty
+    !keyed("relations", "id", id).isEmpty
 
   /** P4: reverse-index lookup (`python/osmx/osmx.py:41-46`). */
   def parents(adjTable: String, memberId: Long): Seq[Long] =
-    table(adjTable).where(col("member_id") === memberId)
+    keyed(adjTable, "member_id", memberId)
       .select(col("parent_id")).orderBy(col("parent_id"))
       .collect().map(_.getLong(0)).toSeq
 

@@ -79,6 +79,18 @@ object VersionedTable {
     keys.select(bucketExpr(key, nBuckets).as("b")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
 
+  /** Bucket of ONE long key, computed driver-side with the same
+    * expression [[bucketExpr]] evaluates distributed — lets a point
+    * lookup read a single bucket directory instead of the table
+    * (asserted in lockstep by ManifestSpec). */
+  def bucketOfValue(key: Long, nBuckets: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val h = XxHash64(Seq(Literal(key)), 42L) // 42 = xxhash64's SQL seed
+      .eval(null).asInstanceOf[Long]
+    val m = h % nBuckets
+    (if (m < 0) m + nBuckets else m).toInt
+  }
+
   /** Current committed manifest, if any. */
   def current(root: String): Option[Manifest] = {
     val p = manifestPath(root)

@@ -143,6 +143,52 @@ class ManifestSpec extends AnyFunSuite {
     assert(onlyChanged.where($"id" === 13L).count() == 1)
   }
 
+  test("driver-side bucketOfValue matches the distributed bucketExpr") {
+    // the single-bucket point-lookup pruning is only sound if both
+    // computations agree for every key
+    val n = 64
+    val ids = Seq(0L, 1L, -1L, 7L, 999L, Long.MaxValue, Long.MinValue,
+      1234567890123L) ++ (1L to 200L).map(_ * 2147483647L)
+    val distributed = ids.toDF("id")
+      .select($"id", VersionedTable.bucketExpr("id", n).as("b"))
+      .as[(Long, Int)].collect().toMap
+    ids.foreach { id =>
+      assert(VersionedTable.bucketOfValue(id, n) == distributed(id),
+        s"bucket mismatch for id=$id")
+    }
+  }
+
+  test("OsmDb point lookups on a bucketed store read one bucket") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft-db-bucketed").toString
+    val metaT = "struct<version:int,timestamp:bigint,changeset:bigint," +
+      "uid:bigint,user:string>"
+    VersionedTable.commitBucketed(root, Map(
+      "locations" -> ((1L to 500L).map(i =>
+        (i, i.toInt * 10, i.toInt * 10, 1))
+        .toDF("id", "lon", "lat", "version"), "id"),
+      "nodes" -> (Seq((3L, Map("k" -> "v"))).toDF("id", "tags")
+        .withColumn("meta", struct(lit(2).as("version"),
+          lit(0L).as("timestamp"), lit(0L).as("changeset"),
+          lit(0L).as("uid"), lit("u").as("user"))), "id"),
+      "node_way" -> (Seq((3L, 100L), (4L, 100L))
+        .toDF("member_id", "parent_id"), "member_id")), nBuckets = 8)
+
+    val db = new OsmDb(spark, root)
+    assert(db.location(3L).contains((30, 30, 1)))
+    assert(db.location(501L).isEmpty)
+    assert(db.node(3L).map(_._1).contains(Map("k" -> "v")))
+    assert(db.nodeExists(499L) && !db.nodeExists(0L))
+    assert(db.parents("node_way", 3L) == Seq(100L))
+    // the pruned scan touches exactly one bucket directory
+    val pruned = VersionedTable.readBuckets(spark, root, "locations",
+      Seq(VersionedTable.bucketOfValue(3L, 8)))
+    val plan = pruned.where($"id" === 3L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("1 paths"),
+      s"lookup did not prune to one bucket dir:\n$plan")
+  }
+
   test("vacuum removes superseded and dry-run dirs, keeps live ones") {
     import org.apache.spark.sql.functions._
     val root = Files.createTempDirectory("graft-vac").toString
