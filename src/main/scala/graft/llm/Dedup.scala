@@ -79,7 +79,8 @@ object Dedup {
   /** Near-duplicate pairs confirmed by n-gram Jaccard >= `threshold`
     * over LSH candidates (the standard candidate->verify pipeline). */
   def minhashNearDuplicates(docs: DataFrame, textCol: String, idCol: String,
-                            threshold: Double = 0.6, ngram: Int = 3)
+                            threshold: Double = 0.6, ngram: Int = 3,
+                            maxBroadcastBytes: Long = 64L << 20)
   : DataFrame = {
     val pairs = minhashCandidatePairs(docs, textCol, idCol)
     // hashed shingles: 8-byte sorted longs instead of string arrays —
@@ -89,13 +90,20 @@ object Dedup {
       TextFunctions.ngramShingleHashes(col(textCol), ngram).as("shingles"))
     // The candidate-pair side is the big one (quadratic in cluster size);
     // the per-doc shingle side is linear in corpus size. Broadcasting the
-    // doc side keeps the pair stream map-side (no shuffle of pairs); at
-    // scales where the doc side outgrows broadcast, drop the hint and
-    // AQE picks a shuffled hash join on the same plan.
+    // doc side keeps the pair stream map-side (no shuffle of pairs), but
+    // the table is linear in corpus size, so a hint MUST NOT be
+    // unconditional — at 100 TB it would OOM the executors instead of
+    // degrading to a shuffled join. Gate on the optimizer's driver-side
+    // size estimate (no job): under the cap, hint broadcast; over it,
+    // leave the join un-hinted so Spark plans a shuffled join (and AQE
+    // can still flip it back to broadcast from real runtime sizes).
+    val estBytes = sh.queryExecution.optimizedPlan.stats.sizeInBytes
+    val hinted: DataFrame => DataFrame =
+      if (estBytes <= maxBroadcastBytes) broadcast(_) else identity
     pairs
-      .join(broadcast(sh.withColumnRenamed("sid", "a")
+      .join(hinted(sh.withColumnRenamed("sid", "a")
         .withColumnRenamed("shingles", "sha")), Seq("a"))
-      .join(broadcast(sh.withColumnRenamed("sid", "b")
+      .join(hinted(sh.withColumnRenamed("sid", "b")
         .withColumnRenamed("shingles", "shb")), Seq("b"))
       .select(col("a"), col("b"),
         round(TextFunctions.jaccard(col("sha"), col("shb")), 6)
@@ -134,10 +142,11 @@ object Dedup {
     * cluster keeps at least its lowest id; chains collapse toward the
     * minimum). The standard curation step after exact dedup. */
   def nearDupSurvivors(docs: DataFrame, textCol: String, idCol: String,
-                       threshold: Double = 0.6, ngram: Int = 3)
+                       threshold: Double = 0.6, ngram: Int = 3,
+                       maxBroadcastBytes: Long = 64L << 20)
   : DataFrame = {
     val dropped = minhashNearDuplicates(docs, textCol, idCol, threshold,
-      ngram).select(col("b").as(idCol)).distinct()
+      ngram, maxBroadcastBytes).select(col("b").as(idCol)).distinct()
     docs.join(dropped, Seq(idCol), "left_anti")
   }
 

@@ -127,7 +127,11 @@ object LlmQueries {
         T(s, d, "documents").select($"doc_id",
           call_function("winnow_fingerprint",
             TextFunctions.normalize($"text"), lit(8), lit(4)).as("fps"))
-          .select($"doc_id", $"fps",
+          // The verify harness hash-compares rows in pandas, which cannot
+          // hash ndarray cells — emit the fingerprint set as a '|'-joined
+          // string on both engines (empty array -> "").
+          .select($"doc_id",
+            concat_ws("|", $"fps".cast("array<string>")).as("fps"),
             size($"fps").cast("long").as("n_fp"))
           .orderBy($"doc_id")
       },
@@ -155,8 +159,10 @@ object LlmQueries {
              |          x -> x IS NOT NULL)))
              |    END AS mins
              |  FROM seqs)
-             |SELECT doc_id, list_sort(list_distinct(mins)) AS fps,
-             |       len(list_distinct(mins)) AS n_fp
+             |SELECT doc_id,
+             |  coalesce(array_to_string(
+             |    list_sort(list_distinct(mins)), '|'), '') AS fps,
+             |  len(list_distinct(mins)) AS n_fp
              |FROM wins ORDER BY doc_id""".stripMargin),
       bench = true),
 

@@ -40,6 +40,35 @@ class LlmSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("near-dup join falls back to a shuffled join over the broadcast " +
+    "cap, broadcasts under it") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> (base + " extra"), 3L -> "unrelated doc")
+    def joins(maxBytes: Long): String =
+      Dedup.minhashNearDuplicates(d, "text", "doc_id", threshold = 0.1,
+        maxBroadcastBytes = maxBytes)
+        .queryExecution.executedPlan.toString
+    // disable Spark's own size-based auto-broadcast so the plan shape
+    // reflects ONLY our hint (test data is tiny and would always
+    // auto-broadcast otherwise)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      // cap = 0: the shingle side must NOT be hint-broadcast (the join on
+      // "a"/"b" resolves as sort-merge / shuffled hash instead)
+      assert(!joins(0L).contains("BroadcastHashJoin"))
+      // generous cap: the hint applies and the probe stays map-side
+      assert(joins(Long.MaxValue).contains("BroadcastHashJoin"))
+    } finally spark.conf.set(key, prev)
+    // and the answer is identical either way
+    val a = Dedup.minhashNearDuplicates(d, "text", "doc_id", threshold = 0.1,
+      maxBroadcastBytes = 0L).collect().toSet
+    val b = Dedup.minhashNearDuplicates(d, "text", "doc_id", threshold = 0.1)
+      .collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("simhash: identical docs collide, disjoint docs are distant") {
     val d = docs(1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta",
       3L -> "zz yy xx ww vv uu")

@@ -41,7 +41,7 @@ def approx(a, b, tol=1e-9):
         return len(a) == len(b) and all(approx(x, y, tol) for x, y in zip(a, b))
     return eq(a, b)
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -49,7 +49,7 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_ok = n_bad = 0
-    for name in sorted(oracle):
+    for name in sorted(only or oracle):
         sql = oracle[name]
         res_glob = os.path.join(out_dir, name, "*.parquet")
         if not glob.glob(res_glob):
@@ -95,4 +95,5 @@ def main(sf_dir, out_dir):
 if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
-    sys.exit(main(sf, out))
+    only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
+    sys.exit(main(sf, out, only))
