@@ -83,6 +83,8 @@ object GraftFunctions {
       ((args: Seq[Expression]) => CellInRanges(args(0), args(1), args(2))),
     "ivf_assign" ->
       ((args: Seq[Expression]) => IvfAssign(args(0), args(1))),
+    "binary_resample" ->
+      ((args: Seq[Expression]) => BinaryResample(args(0), args(1))),
     "st_within_region" ->
       ((args: Seq[Expression]) =>
         StWithinRegion(args(0), args(1), args(2), args(3))))

@@ -77,23 +77,13 @@ object Multimodal {
     * `outW*outH` evenly spaced byte offsets and emit the sampled bytes
     * as the resized payload (nearest-neighbor over the byte grid — a
     * real build swaps the sampler for a codec scale call; the
-    * Spark-side shape is what matters: pure Column ops over BINARY, new
-    * dimensions carried alongside, no UDF, no collect). */
+    * Spark-side shape is what matters: one native codegen'd gather
+    * over BINARY, no UDF, no collect, linear in output size).
+    * Requires [[graft.functions.GraftFunctions.register]] on the
+    * session (idempotent; every query entry point does it). */
   def resizeStub(bytes: org.apache.spark.sql.Column, outW: Int,
-                 outH: Int): org.apache.spark.sql.Column = {
-    val len = octet_length(bytes).cast("long")
-    val n = outW * outH
-    when(len === 0, bytes).otherwise(
-      // concat the 1-byte probes back into one BINARY payload
-      aggregate(
-        transform(sequence(lit(0), lit(n - 1)), i => {
-          val off = (floor(i.cast("double") * len.cast("double") / n)
-            .cast("int") + 1)
-          bytes.substr(off, lit(1))
-        }),
-        lit(Array.emptyByteArray),
-        (acc, b) => concat(acc, b)))
-  }
+                 outH: Int): org.apache.spark.sql.Column =
+    call_function("binary_resample", bytes, lit(outW * outH))
 
   /** Deterministic frame sampling: n evenly spaced `frameLen`-byte chunks
     * ("frames") sliced out of the binary — pure Column ops, no UDF

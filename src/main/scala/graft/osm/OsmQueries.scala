@@ -101,94 +101,112 @@ object OsmQueries {
   private val (latLoE7, latHiE7, lonLoE7, lonHiE7) =
     (100000000L, 300000000L, 200000000L, 500000000L)
 
+  /** q32's pure-SQL extract derivation, shared by q32 (full user data)
+    * and q53 (`--noUserData`: user columns nulled, extract.cpp:324-328).
+    * `user(col)` renders the user_s projection for a source alias. */
+  private def extractCompleteOracle(user: String => String): String =
+    s"""WITH RECURSIVE $dOsmCtes,
+       |seeds AS (
+       |  SELECT id FROM locations
+       |  WHERE lat >= $latLoE7 AND lat <= $latHiE7
+       |    AND lon >= $lonLoE7 AND lon <= $lonHiE7),
+       |wids0 AS (
+       |  SELECT DISTINCT parent_id AS id
+       |  FROM node_way JOIN seeds ON member_id = seeds.id),
+       |rel0 AS (
+       |  -- NOTE: inside WITH RECURSIVE, DuckDB does not dedup a
+       |  -- plain a-UNION-b CTE across branches; dedup explicitly
+       |  SELECT DISTINCT id FROM (
+       |    SELECT parent_id AS id
+       |    FROM node_relation JOIN seeds ON member_id = seeds.id
+       |    UNION ALL
+       |    SELECT parent_id
+       |    FROM way_relation JOIN wids0 ON member_id = wids0.id)
+       |    u),
+       |rclo AS (
+       |  SELECT id FROM rel0
+       |  UNION
+       |  SELECT rr.parent_id
+       |  FROM rclo JOIN relation_relation rr
+       |    ON rr.member_id = rclo.id),
+       |mpw AS (
+       |  SELECT DISTINCT m.ref AS id
+       |  FROM rel_members rm
+       |  JOIN rclo ON rclo.id = rm.parent_id
+       |  JOIN orelations r ON r.id = rm.parent_id
+       |  WHERE r.rtype = 'multipolygon' AND rm.m.mtype = 'way'
+       |    AND rm.m.ref IN (SELECT id FROM oways)),
+       |wids AS (SELECT DISTINCT id FROM (
+       |  SELECT id FROM wids0 UNION ALL SELECT id FROM mpw) u),
+       |wnodes AS (
+       |  SELECT DISTINCT unnest(w.nodes) AS id
+       |  FROM oways w JOIN wids ON w.id = wids.id),
+       |nids AS (SELECT DISTINCT id FROM (
+       |  SELECT id FROM seeds UNION ALL SELECT id FROM wnodes) u),
+       |nodes_out AS (
+       |  SELECT 0 AS trank, l.id, l.lon, l.lat, l.version,
+       |         n.ts, n.tags_s, CAST(NULL AS VARCHAR) AS refs_s,
+       |         ${user("n.user_s")} AS user_s
+       |  FROM nids JOIN locations l ON l.id = nids.id
+       |  LEFT JOIN onodes n ON n.id = l.id),
+       |ways_out AS (
+       |  SELECT 1, w.id, CAST(NULL AS INTEGER),
+       |         CAST(NULL AS INTEGER), w.version,
+       |         CAST(1500000000 AS BIGINT), w.tags_s,
+       |         array_to_string(list_transform(w.nodes,
+       |           x -> CAST(x AS VARCHAR)), ','), ${user("w.user_s")}
+       |  FROM wids JOIN oways w ON w.id = wids.id),
+       |rels_out AS (
+       |  SELECT 2, r.id, CAST(NULL AS INTEGER),
+       |         CAST(NULL AS INTEGER), r.version, r.ts, r.tags_s,
+       |         array_to_string(list_transform(r.members,
+       |           m -> m.mtype || ':' || m.ref || ':' || m.role),
+       |           ','), ${user("r.user_s")}
+       |  FROM rclo JOIN orelations r ON r.id = rclo.id)
+       |SELECT * FROM (
+       |  SELECT * FROM nodes_out
+       |  UNION ALL SELECT * FROM ways_out
+       |  UNION ALL SELECT * FROM rels_out)
+       |ORDER BY trank, id""".stripMargin
+
+  /** Shared Spark side of q32/q53: covering-pruned seed scan + full
+    * completion, materialized with or without user data. */
+  private def extractComplete(s: org.apache.spark.sql.SparkSession,
+                              d: String, includeUserData: Boolean)
+  : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val t = SyntheticOsm.materialized(s, d)
+    val region = new graft.spatial.Region(Seq(
+      graft.spatial.BboxRegion(latLoE7 / 1e7, lonLoE7 / 1e7,
+        latHiE7 / 1e7, lonHiE7 / 1e7)))
+    val ranges = graft.spatial.Coverer.coveringRanges(region)
+    val cell = graft.spatial.SpatialScan.s2CellOfFixed($"lat", $"lon")
+    val seeds = t.locations
+      .where(graft.spatial.SpatialScan.cellInRanges(cell, ranges))
+      .where($"lat" >= latLoE7 && $"lat" <= latHiE7 &&
+        $"lon" >= lonLoE7 && $"lon" <= lonHiE7)
+      .select($"id")
+    val sel = Extract.complete(t, seeds)
+    Extract.materialize(t, sel, includeUserData)
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- q32: the flagship extract verb end-to-end (G9 seed scan +
     // J2-J8 + A7). Spark runs covering-pruned scan + residual; the
     // oracle is pure SQL joins — any covering or join bug diverges. ----
     Q("q32_extract_complete",
-      (s, d) => {
-        import s.implicits._
-        graft.functions.GraftFunctions.register(s)
-        val t = SyntheticOsm.materialized(s, d)
-        val region = new graft.spatial.Region(Seq(
-          graft.spatial.BboxRegion(latLoE7 / 1e7, lonLoE7 / 1e7,
-            latHiE7 / 1e7, lonHiE7 / 1e7)))
-        val ranges = graft.spatial.Coverer.coveringRanges(region)
-        val cell = graft.spatial.SpatialScan
-          .s2CellOfFixed($"lat", $"lon")
-        val seeds = t.locations
-          .where(graft.spatial.SpatialScan.cellInRanges(cell, ranges))
-          .where($"lat" >= latLoE7 && $"lat" <= latHiE7 &&
-            $"lon" >= lonLoE7 && $"lon" <= lonHiE7)
-          .select($"id")
-        val sel = Extract.complete(t, seeds)
-        Extract.materialize(t, sel)
-      },
-      Some(s"""WITH RECURSIVE $dOsmCtes,
-              |seeds AS (
-              |  SELECT id FROM locations
-              |  WHERE lat >= $latLoE7 AND lat <= $latHiE7
-              |    AND lon >= $lonLoE7 AND lon <= $lonHiE7),
-              |wids0 AS (
-              |  SELECT DISTINCT parent_id AS id
-              |  FROM node_way JOIN seeds ON member_id = seeds.id),
-              |rel0 AS (
-              |  -- NOTE: inside WITH RECURSIVE, DuckDB does not dedup a
-              |  -- plain a-UNION-b CTE across branches; dedup explicitly
-              |  SELECT DISTINCT id FROM (
-              |    SELECT parent_id AS id
-              |    FROM node_relation JOIN seeds ON member_id = seeds.id
-              |    UNION ALL
-              |    SELECT parent_id
-              |    FROM way_relation JOIN wids0 ON member_id = wids0.id)
-              |    u),
-              |rclo AS (
-              |  SELECT id FROM rel0
-              |  UNION
-              |  SELECT rr.parent_id
-              |  FROM rclo JOIN relation_relation rr
-              |    ON rr.member_id = rclo.id),
-              |mpw AS (
-              |  SELECT DISTINCT m.ref AS id
-              |  FROM rel_members rm
-              |  JOIN rclo ON rclo.id = rm.parent_id
-              |  JOIN orelations r ON r.id = rm.parent_id
-              |  WHERE r.rtype = 'multipolygon' AND rm.m.mtype = 'way'
-              |    AND rm.m.ref IN (SELECT id FROM oways)),
-              |wids AS (SELECT DISTINCT id FROM (
-              |  SELECT id FROM wids0 UNION ALL SELECT id FROM mpw) u),
-              |wnodes AS (
-              |  SELECT DISTINCT unnest(w.nodes) AS id
-              |  FROM oways w JOIN wids ON w.id = wids.id),
-              |nids AS (SELECT DISTINCT id FROM (
-              |  SELECT id FROM seeds UNION ALL SELECT id FROM wnodes) u),
-              |nodes_out AS (
-              |  SELECT 0 AS trank, l.id, l.lon, l.lat, l.version,
-              |         n.ts, n.tags_s, CAST(NULL AS VARCHAR) AS refs_s,
-              |         n.user_s
-              |  FROM nids JOIN locations l ON l.id = nids.id
-              |  LEFT JOIN onodes n ON n.id = l.id),
-              |ways_out AS (
-              |  SELECT 1, w.id, CAST(NULL AS INTEGER),
-              |         CAST(NULL AS INTEGER), w.version,
-              |         CAST(1500000000 AS BIGINT), w.tags_s,
-              |         array_to_string(list_transform(w.nodes,
-              |           x -> CAST(x AS VARCHAR)), ','), w.user_s
-              |  FROM wids JOIN oways w ON w.id = wids.id),
-              |rels_out AS (
-              |  SELECT 2, r.id, CAST(NULL AS INTEGER),
-              |         CAST(NULL AS INTEGER), r.version, r.ts, r.tags_s,
-              |         array_to_string(list_transform(r.members,
-              |           m -> m.mtype || ':' || m.ref || ':' || m.role),
-              |           ','), r.user_s
-              |  FROM rclo JOIN orelations r ON r.id = rclo.id)
-              |SELECT * FROM (
-              |  SELECT * FROM nodes_out
-              |  UNION ALL SELECT * FROM ways_out
-              |  UNION ALL SELECT * FROM rels_out)
-              |ORDER BY trank, id""".stripMargin),
+      (s, d) => extractComplete(s, d, includeUserData = true),
+      Some(extractCompleteOracle(identity)),
       bench = true),
+
+    // ---- q53: the same extract with `--noUserData` GDPR stripping
+    // (extract.cpp:324-328) — user columns nulled, everything else
+    // byte-identical to q32 ----
+    Q("q53_nouserdata_extract",
+      (s, d) => extractComplete(s, d, includeUserData = false),
+      Some(extractCompleteOracle(_ => "CAST(NULL AS VARCHAR)"))),
 
     // ---- q33: CDC batch apply (U1) — node deletes + upserts with
     // tagged/untagged transitions; output is the full post-state of
@@ -379,6 +397,64 @@ object OsmQueries {
       Some(s"""WITH $dOsmCtes
               |SELECT id, lon, lat, version FROM locations
               |ORDER BY id""".stripMargin)),
+
+    // ---- q52: the BINARY PBF interop round trip — the reference's
+    // extract emits .osm.pbf (extract.cpp:280-299); this gates that
+    // sink end-to-end: all three entities -> binary PBF (S2, streamed
+    // blocks) -> blob-range SPLIT read (S1) -> versioned expand (A4) ->
+    // full materialize. The oracle derives the same flat output in
+    // pure SQL: any codec/varint/stringtable/member-enum bug, or any
+    // loss in the split reader, diverges ----
+    Q("q52_pbf_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        val t = SyntheticOsm.materialized(s, d)
+        val all = Extract.Selected(
+          t.locations.select($"id"), t.ways.select($"id"),
+          t.relations.select($"id"))
+        val pbfDir = java.nio.file.Files
+          .createTempDirectory("graft-q52-pbf").toString
+        Ingest.writeExtract(t, all, pbfDir, shards = 4,
+          format = "osmpbf",
+          headerOpts = Ingest.pbfHeaderOptions(None,
+            replicationTs = Some(1600000000L), seqnum = Some(42L)))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-q52-db").toString
+        // one partition per blob: the split reader, not a monolith scan
+        Ingest.expand(s, pbfDir, root,
+          readerOptions = Map("pbf.split.bytes" -> "1"))
+        val t2 = Ingest.readTables(s, root)
+        val all2 = Extract.Selected(
+          t2.locations.select($"id"), t2.ways.select($"id"),
+          t2.relations.select($"id"))
+        Extract.materialize(t2, all2)
+      },
+      Some(s"""WITH $dOsmCtes,
+              |nodes_out AS (
+              |  SELECT 0 AS trank, l.id, l.lon, l.lat, l.version,
+              |         n.ts, n.tags_s, CAST(NULL AS VARCHAR) AS refs_s,
+              |         n.user_s
+              |  FROM locations l LEFT JOIN onodes n ON n.id = l.id),
+              |ways_out AS (
+              |  SELECT 1, w.id, CAST(NULL AS INTEGER),
+              |         CAST(NULL AS INTEGER), w.version,
+              |         CAST(1500000000 AS BIGINT), w.tags_s,
+              |         array_to_string(list_transform(w.nodes,
+              |           x -> CAST(x AS VARCHAR)), ','), w.user_s
+              |  FROM oways w),
+              |rels_out AS (
+              |  SELECT 2, r.id, CAST(NULL AS INTEGER),
+              |         CAST(NULL AS INTEGER), r.version, r.ts, r.tags_s,
+              |         array_to_string(list_transform(r.members,
+              |           m -> m.mtype || ':' || m.ref || ':' || m.role),
+              |           ','), r.user_s
+              |  FROM orelations r)
+              |SELECT * FROM (
+              |  SELECT * FROM nodes_out
+              |  UNION ALL SELECT * FROM ways_out
+              |  UNION ALL SELECT * FROM rels_out)
+              |ORDER BY trank, id""".stripMargin),
+      bench = true),
 
     // ---- q39: way WKT (F3/J9) — the reference's flagship example
     // (`examples/way_wkt.cpp`, README's Empire State Building demo):
@@ -687,12 +763,18 @@ object OsmQueries {
           .select($"id".as("parent"), posexplode($"members"))
           .select($"parent", format_string("%05d", $"pos").as("pstr"),
             $"col.ref".as("mref"), $"col.mtype".as("mmtype"))
+        // iterative expansion with drain detection (the J5 novelty
+        // pattern): each round is eagerly checkpointed, so the
+        // emptiness probe is a cheap cached-partition scan, lineage
+        // stays flat, and the loop runs exactly nesting-depth joins —
+        // the hard guard only protects against member cycles (which
+        // would hang the reference's unbounded recursion too)
         var frontier = relm.select($"parent".as("root"),
           $"pstr".as("path"), $"mref", $"mmtype")
+          .localCheckpoint(eager = true)
         var leaves: org.apache.spark.sql.DataFrame = null
-        // synthetic nesting is 2 deep; guard at 4 (cycles would hang
-        // the reference's unbounded recursion too)
-        for (_ <- 0 until 4) {
+        var depth = 0
+        while (depth < 8 && !frontier.isEmpty) {
           val l = frontier.where($"mmtype" =!= "relation")
           leaves = if (leaves == null) l else leaves.unionByName(l)
           frontier = frontier.where($"mmtype" === "relation").as("f")
@@ -700,6 +782,8 @@ object OsmQueries {
             .select(col("f.root").as("root"),
               concat(col("f.path"), lit("."), col("r.pstr")).as("path"),
               col("r.mref").as("mref"), col("r.mmtype").as("mmtype"))
+            .localCheckpoint(eager = true)
+          depth += 1
         }
         val ptLeaves = leaves.where($"mmtype" === "node")
           .join(t.locations.select($"id".as("nid"), $"lon", $"lat"),

@@ -157,33 +157,49 @@ object OsmPbfCodec {
       replicationTimestamp: Option[Long] = None,
       replicationSeqnum: Option[Long] = None)
 
+  /** Incremental .osm.pbf writer: OSMHeader on construction, then one
+    * compressed OSMData blob per flush call — the caller controls chunk
+    * size, so writer memory is one chunk, never a whole partition
+    * (mirrors the reference's incremental block sink,
+    * /root/reference/src/extract.cpp:295-299). */
+  final class StreamingPbfWriter(os: OutputStream,
+                                 meta: PbfHeader = PbfHeader()) {
+    private val out = new DataOutputStream(os)
+    locally {
+      val header = new Pbf.Out
+      meta.bbox.foreach { case (left, right, top, bottom) =>
+        val bb = new Pbf.Out // HeaderBBox, sint64 nanodegrees
+        bb.sintField(1, left)
+        bb.sintField(2, right)
+        bb.sintField(3, top)
+        bb.sintField(4, bottom)
+        header.messageField(1, bb)
+      }
+      header.stringField(4, "OsmSchema-V0.6") // required_features
+      header.stringField(4, "DenseNodes")
+      header.stringField(16, meta.writingProgram)
+      meta.replicationTimestamp.foreach(header.varintField(32, _))
+      meta.replicationSeqnum.foreach(header.varintField(33, _))
+      writeBlob(out, "OSMHeader", header.toBytes)
+    }
+    def writeNodes(ns: Seq[RawNode]): Unit =
+      if (ns.nonEmpty) writeBlob(out, "OSMData", primitiveBlock(ns, Nil, Nil))
+    def writeWays(ws: Seq[RawWay]): Unit =
+      if (ws.nonEmpty) writeBlob(out, "OSMData", primitiveBlock(Nil, ws, Nil))
+    def writeRelations(rs: Seq[RawRelation]): Unit =
+      if (rs.nonEmpty) writeBlob(out, "OSMData", primitiveBlock(Nil, Nil, rs))
+    def finish(): Unit = out.flush()
+  }
+
   /** Write a complete .osm.pbf stream: OSMHeader + chunked OSMData. */
   def write(os: OutputStream, nodes: Iterator[RawNode],
             ways: Iterator[RawWay], relations: Iterator[RawRelation],
             chunk: Int = 8000, meta: PbfHeader = PbfHeader()): Unit = {
-    val out = new DataOutputStream(os)
-    val header = new Pbf.Out
-    meta.bbox.foreach { case (left, right, top, bottom) =>
-      val bb = new Pbf.Out // HeaderBBox, sint64 nanodegrees
-      bb.sintField(1, left)
-      bb.sintField(2, right)
-      bb.sintField(3, top)
-      bb.sintField(4, bottom)
-      header.messageField(1, bb)
-    }
-    header.stringField(4, "OsmSchema-V0.6") // required_features
-    header.stringField(4, "DenseNodes")
-    header.stringField(16, meta.writingProgram)
-    meta.replicationTimestamp.foreach(header.varintField(32, _))
-    meta.replicationSeqnum.foreach(header.varintField(33, _))
-    writeBlob(out, "OSMHeader", header.toBytes)
-    nodes.grouped(chunk).foreach(ns =>
-      writeBlob(out, "OSMData", primitiveBlock(ns, Nil, Nil)))
-    ways.grouped(chunk).foreach(ws =>
-      writeBlob(out, "OSMData", primitiveBlock(Nil, ws, Nil)))
-    relations.grouped(chunk).foreach(rs =>
-      writeBlob(out, "OSMData", primitiveBlock(Nil, Nil, rs)))
-    out.flush()
+    val w = new StreamingPbfWriter(os, meta)
+    nodes.grouped(chunk).foreach(ns => w.writeNodes(ns))
+    ways.grouped(chunk).foreach(ws => w.writeWays(ws))
+    relations.grouped(chunk).foreach(rs => w.writeRelations(rs))
+    w.finish()
   }
 
   // -------------------------------------------------------------- read

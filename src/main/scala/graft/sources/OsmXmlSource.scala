@@ -527,13 +527,15 @@ private[sources] final class RowToRaw(idx: Map[String, Int]) {
   }
 }
 
-/** Binary PBF partition writer: buffers the partition's elements and
-  * streams one `.osm.pbf` file (OSMHeader + chunked OSMData blobs) at
-  * commit. Memory is one partition's elements — size partitions
-  * accordingly, as with any columnar writer. */
+/** Binary PBF partition writer: streams one `.osm.pbf` file (OSMHeader
+  * up front, then one compressed OSMData blob per `chunk` elements) AS
+  * ROWS ARRIVE — writer memory is one chunk (8k elements), never the
+  * partition, matching the reference's incremental block sink
+  * (/root/reference/src/extract.cpp:295-299). */
 final class OsmPbfDataWriter(entity: String, dir: String,
                              idx: Map[String, Int], partitionId: Int,
-                             headerOpts: Map[String, String] = Map.empty)
+                             headerOpts: Map[String, String] = Map.empty,
+                             chunk: Int = 8000)
   extends DataWriter[InternalRow] {
   import OsmXmlCodec.{RawNode, RawRelation, RawWay}
   private val conv = new RowToRaw(idx)
@@ -541,28 +543,57 @@ final class OsmPbfDataWriter(entity: String, dir: String,
   private val ways = ArrayBuffer[RawWay]()
   private val relations = ArrayBuffer[RawRelation]()
   private val path = new Path(dir, f"part-$entity%s-$partitionId%05d.osm.pbf")
+  private var out: java.io.OutputStream = null
+  private var w: OsmPbfCodec.StreamingPbfWriter = null
 
-  override def write(row: InternalRow): Unit = entity match {
-    case "node" => nodes += conv.node(row)
-    case "way" => ways += conv.way(row)
-    case "relation" => relations += conv.relation(row)
+  /** Exposed for tests: buffered (not yet flushed) element count. */
+  private[sources] def bufferedElements: Int =
+    nodes.length + ways.length + relations.length
+
+  private def writer(): OsmPbfCodec.StreamingPbfWriter = {
+    if (w == null) {
+      val fs = path.getFileSystem(new Configuration())
+      out = fs.create(path, true)
+      w = new OsmPbfCodec.StreamingPbfWriter(out,
+        OsmPbfCodec.headerFromOptions(headerOpts))
+    }
+    w
+  }
+
+  private def flushFull(): Unit = {
+    if (nodes.length >= chunk) { writer().writeNodes(nodes.toSeq); nodes.clear() }
+    if (ways.length >= chunk) { writer().writeWays(ways.toSeq); ways.clear() }
+    if (relations.length >= chunk) {
+      writer().writeRelations(relations.toSeq); relations.clear()
+    }
+  }
+
+  override def write(row: InternalRow): Unit = {
+    entity match {
+      case "node" => nodes += conv.node(row)
+      case "way" => ways += conv.way(row)
+      case "relation" => relations += conv.relation(row)
+    }
+    flushFull()
   }
 
   override def commit(): WriterCommitMessage = {
-    val fs = path.getFileSystem(new Configuration())
-    val out = fs.create(path, true)
-    try OsmPbfCodec.write(out, nodes.iterator, ways.iterator,
-      relations.iterator,
-      meta = OsmPbfCodec.headerFromOptions(headerOpts))
-    finally out.close()
+    val wr = writer() // header even for an empty partition
+    wr.writeNodes(nodes.toSeq); nodes.clear()
+    wr.writeWays(ways.toSeq); ways.clear()
+    wr.writeRelations(relations.toSeq); relations.clear()
+    wr.finish()
+    out.close(); out = null; w = null
     OsmXmlCommit(path.toString)
   }
   override def abort(): Unit = {
+    if (out != null) { out.close(); out = null; w = null }
     val fs = path.getFileSystem(new Configuration())
     fs.delete(path, false)
     ()
   }
-  override def close(): Unit = ()
+  override def close(): Unit =
+    if (out != null) { out.close(); out = null; w = null }
 }
 
 /** `osmpbf` DataSource: same table surface as `osmxml` (reads

@@ -247,6 +247,7 @@ class LlmSpec extends AnyFunSuite {
 
   test("multimodal: typed feature extraction and frame sampling") {
     import Multimodal._
+    graft.functions.GraftFunctions.register(spark)
     val assets = Seq(
       Asset(1L, "image", "0123456789abcdef".getBytes, 64, 48, 1000L),
       Asset(2L, "audio", Array.emptyByteArray, 0, 0, 0L))

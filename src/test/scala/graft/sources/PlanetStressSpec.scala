@@ -51,6 +51,44 @@ class PlanetStressSpec extends AnyFunSuite {
     f.toString
   }
 
+  test("PBF partition writer streams blocks: buffered memory stays " +
+    "under one chunk for a 25k-row partition") {
+    import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("lon", IntegerType),
+      StructField("lat", IntegerType), StructField("version", IntegerType),
+      StructField("timestamp", LongType), StructField("changeset", LongType),
+      StructField("uid", LongType), StructField("user", StringType),
+      StructField("tags", MapType(StringType, StringType))))
+    val toCat = CatalystTypeConverters.createToCatalystConverter(schema)
+    val idx = schema.fieldNames.zipWithIndex.toMap
+    val dir = Files.createTempDirectory("graft-stream-writer").toString
+    val chunk = 2000
+    val n = 25000
+    val w = new OsmPbfDataWriter("node", dir, idx, partitionId = 0,
+      chunk = chunk)
+    var maxBuffered = 0
+    (1 to n).foreach { i =>
+      w.write(toCat(Row(i.toLong, lonE7(i), latE7(i), 1,
+        1600000000L + i, 1L, 1L, "u", Map("k" -> i.toString)))
+        .asInstanceOf[InternalRow])
+      maxBuffered = math.max(maxBuffered, w.bufferedElements)
+    }
+    assert(maxBuffered <= chunk,
+      s"writer buffered $maxBuffered elements (> chunk $chunk)")
+    w.commit(); w.close()
+    // the streamed file round-trips: all rows, correct values, many blobs
+    val back = Ingest.readOsm(spark, s"$dir/part-node-00000.osm.pbf",
+      "node", Map("pbf.split.bytes" -> "1"))
+    assert(back.rdd.getNumPartitions >= (n / chunk) / 2,
+      "streamed file must contain many independently-split blobs")
+    assert(back.count() == n)
+    assert(back.where($"id" === 7L).select($"lon").as[Int].head() ==
+      lonE7(7))
+  }
+
   test("single-file planet PBF: split ingest + extract end-to-end") {
     val planet = writePlanet()
     // 50k nodes / 2000-per-blob = 25 node blobs + 3 way + 1 rel blobs
