@@ -47,11 +47,18 @@ object Bench {
       // timed region: the reference's queries run against an
       // already-built .osmx database, so deriving the OSM model from
       // the star schema is setup, not query work. (Building the store
-      // itself IS measured — that's q38.)
-      graft.osm.SyntheticOsm.materialized(spark, sfDir)
+      // itself IS measured — that's q38.) Skippable for isolation
+      // benches of non-OSM queries.
+      if (!sys.env.contains("SPARK_GRAFT_BENCH_NO_OSM_WARMUP"))
+        graft.osm.SyntheticOsm.materialized(spark, sfDir)
     } catch { case _: Throwable => }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    // optional isolation filter (dev loop: bench one query per JVM)
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map {
       case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { run(fn); true } catch { case _: Throwable => false }
