@@ -85,6 +85,8 @@ object GraftFunctions {
       ((args: Seq[Expression]) => IvfAssign(args(0), args(1))),
     "binary_resample" ->
       ((args: Seq[Expression]) => BinaryResample(args(0), args(1))),
+    "lsh_first_band_pairs" ->
+      ((args: Seq[Expression]) => LshFirstBandPairs(args(0), args(1))),
     "st_within_region" ->
       ((args: Seq[Expression]) =>
         StWithinRegion(args(0), args(1), args(2), args(3))))

@@ -49,6 +49,7 @@ object Dedup {
   def minhashCandidatePairs(docs: DataFrame, textCol: String, idCol: String,
                             bands: Int = 4, rowsPerBand: Int = 4,
                             maxBucket: Int = 1000): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val n = bands * rowsPerBand
     val withBands = docs
       .select(col(idCol).as("doc_id"),
@@ -64,15 +65,11 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("doc_id"), col("bands"))))
         .as("ms"))
       .where(size(col("ms")).between(2, maxBucket))
+    // native per-bucket pair emission (the m^2 hot loop; interpreted
+    // HOFs don't codegen — see functions/LshPairs.scala)
     buckets
-      .select(explode(expr(
-        s"""flatten(transform(ms, (x, i) ->
-           |  transform(
-           |    filter(slice(ms, i + 2, size(ms)),
-           |      y -> NOT exists(sequence(0, ${bands - 1}),
-           |        j -> j < band AND x.bands[j] = y.bands[j])),
-           |    y -> struct(x.doc_id AS a, y.doc_id AS b))))""".stripMargin))
-        .as("p"))
+      .select(explode(call_function("lsh_first_band_pairs",
+        col("ms"), col("band"))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
   }
 
