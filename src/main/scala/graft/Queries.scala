@@ -470,6 +470,147 @@ object Queries {
              |  AND lng >= 100.0 AND lng <= 150.0
              |ORDER BY node_id""".stripMargin)),
 
+    // ---- G4+G6+G7 osmosis .poly region end to end: two independent
+    // outer loops (each an OR-region, `src/region.cpp:47-70,85-100`),
+    // parsed by Region, covering-pruned by RegionRewrite, exact JTS
+    // even-odd residual. The oracle is S2-blind AND JTS-blind: a pure
+    // SQL ray cast (per-loop even-odd crossing parity), so BOTH the
+    // covering's conservativeness for polygons and the point-in-polygon
+    // semantics are verified against an independent implementation. ----
+    Q("q54_poly_region",
+      (s, d) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        val polyText =
+          """test_region
+            |loop_a
+            |   12.41   18.37
+            |   48.93   21.06
+            |   52.17   44.52
+            |   9.28    39.64
+            |   12.41   18.37
+            |END
+            |loop_b
+            |   -97.35  -41.22
+            |   -61.48  -37.91
+            |   -73.26  -12.57
+            |END
+            |END""".stripMargin
+        T(s, d, "orders").select(
+          $"o_orderkey".as("node_id"),
+          ((($"o_orderkey" * 981451653L) % 1200000000L - 600000000L) /
+            lit(1e7)).as("lat"),
+          ((($"o_orderkey" * 2147483629L) % 3600000000L - 1800000000L) /
+            lit(1e7)).as("lng"))
+          .where(call_function("st_within_region",
+            $"lat", $"lng", lit(polyText), lit("poly")))
+          .orderBy($"node_id")
+      },
+      Some("""WITH loc AS (
+             |  SELECT o_orderkey AS node_id,
+             |    ((o_orderkey * 981451653) % 1200000000 - 600000000) / 1e7
+             |      AS lat,
+             |    ((o_orderkey * 2147483629) % 3600000000 - 1800000000) / 1e7
+             |      AS lng
+             |  FROM orders),
+             |edges(lp, x1, y1, x2, y2) AS (VALUES
+             |  (1, 12.41, 18.37, 48.93, 21.06),
+             |  (1, 48.93, 21.06, 52.17, 44.52),
+             |  (1, 52.17, 44.52, 9.28, 39.64),
+             |  (1, 9.28, 39.64, 12.41, 18.37),
+             |  (2, -97.35, -41.22, -61.48, -37.91),
+             |  (2, -61.48, -37.91, -73.26, -12.57),
+             |  (2, -73.26, -12.57, -97.35, -41.22)),
+             |hits AS (
+             |  SELECT node_id FROM loc, edges e
+             |  WHERE ((e.y1 > loc.lat) <> (e.y2 > loc.lat))
+             |    AND loc.lng <
+             |      (e.x2 - e.x1) * (loc.lat - e.y1) / (e.y2 - e.y1) + e.x1
+             |  GROUP BY node_id, e.lp
+             |  HAVING count(*) % 2 = 1)
+             |SELECT node_id, lat, lng FROM loc
+             |WHERE node_id IN (SELECT node_id FROM hits)
+             |ORDER BY node_id""".stripMargin),
+      bench = true),
+
+    // ---- G5+G6+G7 GeoJSON polygon WITH A HOLE (Feature wrapper), the
+    // reference's loop-normalization case (`src/region.cpp:16-45`,
+    // `test/test_region.cpp:52-75`): a point inside the hole is OUTSIDE
+    // the region. One even-odd parity over ALL ring edges (outer+hole)
+    // in the oracle mirrors PolyRegion's ring-parity semantics. ----
+    Q("q55_geojson_hole_region",
+      (s, d) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        val geojson = """{"type":"Feature","properties":{},""" +
+          """"geometry":{"type":"Polygon","coordinates":[""" +
+          """[[110.23,-35.41],[155.67,-33.18],[152.44,-8.77],""" +
+          """[107.19,-12.93],[110.23,-35.41]],""" +
+          """[[125.31,-28.64],[140.72,-27.55],[138.06,-16.42],""" +
+          """[127.85,-18.71],[125.31,-28.64]]]}}"""
+        T(s, d, "orders").select(
+          $"o_orderkey".as("node_id"),
+          ((($"o_orderkey" * 981451653L) % 1200000000L - 600000000L) /
+            lit(1e7)).as("lat"),
+          ((($"o_orderkey" * 2147483629L) % 3600000000L - 1800000000L) /
+            lit(1e7)).as("lng"))
+          .where(call_function("st_within_region",
+            $"lat", $"lng", lit(geojson), lit("geojson")))
+          .orderBy($"node_id")
+      },
+      Some("""WITH loc AS (
+             |  SELECT o_orderkey AS node_id,
+             |    ((o_orderkey * 981451653) % 1200000000 - 600000000) / 1e7
+             |      AS lat,
+             |    ((o_orderkey * 2147483629) % 3600000000 - 1800000000) / 1e7
+             |      AS lng
+             |  FROM orders),
+             |edges(x1, y1, x2, y2) AS (VALUES
+             |  (110.23, -35.41, 155.67, -33.18),
+             |  (155.67, -33.18, 152.44, -8.77),
+             |  (152.44, -8.77, 107.19, -12.93),
+             |  (107.19, -12.93, 110.23, -35.41),
+             |  (125.31, -28.64, 140.72, -27.55),
+             |  (140.72, -27.55, 138.06, -16.42),
+             |  (138.06, -16.42, 127.85, -18.71),
+             |  (127.85, -18.71, 125.31, -28.64)),
+             |hits AS (
+             |  SELECT node_id FROM loc, edges e
+             |  WHERE ((e.y1 > loc.lat) <> (e.y2 > loc.lat))
+             |    AND loc.lng <
+             |      (e.x2 - e.x1) * (loc.lat - e.y1) / (e.y2 - e.y1) + e.x1
+             |  GROUP BY node_id
+             |  HAVING count(*) % 2 = 1)
+             |SELECT node_id, lat, lng FROM loc
+             |WHERE node_id IN (SELECT node_id FROM hits)
+             |ORDER BY node_id""".stripMargin)),
+
+    // ---- A1 as the reference actually runs it: Roaring-style bitmap
+    // ID-set semi-join (`src/extract.cpp:149-151`, SURVEY §2.9). The
+    // small side aggregates into one compressed bitmap (bitmap_agg,
+    // canonical bytes); the big side filters map-side via the codegen'd
+    // bitmap_contains probe — zero shuffle of the big table. Oracle is
+    // the plain IN-subquery the construct must equal. ----
+    Q("q56_bitmap_semijoin",
+      (s, d) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        val buyers = T(s, d, "customer")
+          .where($"c_mktsegment" === "BUILDING")
+          .select($"c_custkey")
+        graft.ops.BitmapSemi
+          .filterIn(T(s, d, "orders"), $"o_custkey", buyers, "c_custkey")
+          .select($"o_orderkey".as("order_id"),
+            $"o_custkey".as("cust_id"))
+          .orderBy($"order_id")
+      },
+      Some("""SELECT o_orderkey AS order_id, o_custkey AS cust_id
+             |FROM orders
+             |WHERE o_custkey IN
+             |  (SELECT c_custkey FROM customer
+             |   WHERE c_mktsegment = 'BUILDING')
+             |ORDER BY order_id""".stripMargin)),
+
     // ---- tumbling event-time window (streaming agg shape, run batch) ----
     Q("q19_tumbling_window",
       (s, d) => {

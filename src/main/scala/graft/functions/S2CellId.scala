@@ -89,7 +89,12 @@ object GraftFunctions {
       ((args: Seq[Expression]) => LshFirstBandPairs(args(0), args(1))),
     "st_within_region" ->
       ((args: Seq[Expression]) =>
-        StWithinRegion(args(0), args(1), args(2), args(3))))
+        StWithinRegion(args(0), args(1), args(2), args(3))),
+    "bitmap_agg" -> ((args: Seq[Expression]) => BitmapAgg(args(0))),
+    "bitmap_contains" ->
+      ((args: Seq[Expression]) => BitmapContains(args(0), args(1))),
+    "bitmap_cardinality" ->
+      ((args: Seq[Expression]) => BitmapCardinality(args(0))))
 
   /** Idempotent per-session registration of every graft function, plus
     * the region-rewrite optimizer rule (plan-time spatial pruning). */
