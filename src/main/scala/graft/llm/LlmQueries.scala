@@ -606,6 +606,211 @@ object LlmQueries {
               |  AND e >= g AND e >= f AND e >= sp
               |ORDER BY doc_id""".stripMargin)),
 
+    // ---- near-dup CONNECTED COMPONENTS: pairs say "a~b"; curation
+    // needs the transitive cluster. Large-star/small-star (or driver
+    // union-find below the adaptive limit) labels every doc with the
+    // min doc_id of its duplicate cluster; oracle is a recursive CTE
+    // reachability fixpoint over the same verified pairs ----
+    Q("q57_dedup_components",
+      (s, d) => {
+        import s.implicits._
+        val docs = T(s, d, "documents")
+        val pairs = Dedup.minhashNearDuplicates(docs, "text", "doc_id",
+          threshold = 0.5, ngram = 3)
+        val comp = graft.ops.Components
+          .connectedComponents(pairs, "a", "b")
+          .withColumnRenamed("id", "doc_id")
+        val labels = docs.select($"doc_id")
+          .join(comp, Seq("doc_id"), "left")
+          .select($"doc_id",
+            coalesce($"component", $"doc_id").as("component"))
+        val sizes = labels.groupBy($"component")
+          .agg(count(lit(1)).as("n_members"))
+        labels.join(sizes, "component")
+          .select($"doc_id", $"component", $"n_members")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH RECURSIVE $dCandidateCtes,
+              |${dNearDupDropCtes("documents", 0.5)},
+              |edges AS (
+              |  SELECT a, b FROM scored
+              |  WHERE round(CASE WHEN un = 0 THEN 0.0
+              |        ELSE CAST(st - un AS DOUBLE) / un END, 6) >= 0.5),
+              |und AS (SELECT a, b FROM edges
+              |        UNION SELECT b AS a, a AS b FROM edges),
+              |reach AS (
+              |  SELECT doc_id AS src, doc_id AS node FROM documents
+              |  UNION
+              |  SELECT r.src, u.b AS node
+              |  FROM reach r JOIN und u ON u.a = r.node),
+              |comp AS (
+              |  SELECT src AS doc_id, min(node) AS component
+              |  FROM reach GROUP BY src),
+              |sizes AS (SELECT component, count(*) AS n_members
+              |          FROM comp GROUP BY component)
+              |SELECT c.doc_id, c.component, s.n_members
+              |FROM comp c JOIN sizes s USING (component)
+              |ORDER BY c.doc_id""".stripMargin)),
+
+    // ---- deterministic hash split/sampling: md5-bucket assignment is
+    // engine-portable and stable under recuration (randomSplit's
+    // per-partition RNG is neither) ----
+    Q("q58_split_assign",
+      (s, d) => {
+        import s.implicits._
+        T(s, d, "documents")
+          .select($"doc_id",
+            Curate.hashBucket($"doc_id").as("bucket"),
+            Curate.splitAssign($"doc_id",
+              Seq("train" -> 8000, "val" -> 1000, "test" -> 1000))
+              .as("split"),
+            (Curate.hashBucket($"doc_id", "sample") < 2000)
+              .as("in_sample"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH b AS (SELECT doc_id,
+             |  CAST(concat('0x', substr(md5(concat('graft',
+             |    CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 10000
+             |    AS bucket,
+             |  CAST(concat('0x', substr(md5(concat('sample',
+             |    CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 10000
+             |    AS sbucket
+             |  FROM documents)
+             |SELECT doc_id, bucket,
+             |  CASE WHEN bucket < 8000 THEN 'train'
+             |       WHEN bucket < 9000 THEN 'val'
+             |       ELSE 'test' END AS split,
+             |  sbucket < 2000 AS in_sample
+             |FROM b ORDER BY doc_id""".stripMargin)),
+
+    // ---- Gopher/MassiveText repetition signals: duplicate-line
+    // fractions are map-side array ops; the top word-bigram is ONE
+    // hash-agg + per-doc argmax window (deterministic tiebreak) ----
+    Q("q59_repetition_signals",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val docs = T(s, d, "documents")
+        val metrics = docs.select($"doc_id",
+          TextFunctions.dupLineFrac($"text").as("dup_line_frac"),
+          TextFunctions.dupLineCharFrac($"text").as("dup_char_frac"),
+          length(concat_ws(" ", TextFunctions.tokens($"text")))
+            .cast("double").as("tchars"))
+        val grams = docs
+          .select($"doc_id",
+            explode(TextFunctions.wordBigrams($"text")).as("g"))
+          .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+        val top = grams
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"doc_id").orderBy($"c".desc, $"g".asc)))
+          .where($"rn" === 1).drop("rn")
+        metrics.join(top, Seq("doc_id"), "left")
+          .select($"doc_id", $"dup_line_frac", $"dup_char_frac",
+            coalesce($"g", lit("")).as("top_bigram"),
+            round(coalesce($"c" * length($"g") / $"tchars", lit(0.0)), 6)
+              .as("top_bigram_frac"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH ls AS (SELECT doc_id,
+              |  list_filter(list_transform(string_split(text, chr(10)),
+              |    l -> trim(l)), l -> l != '') AS ls,
+              |  $dTokens AS t FROM documents),
+              |m AS (SELECT doc_id,
+              |  CASE WHEN len(ls) > 0 THEN round(
+              |    CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE)
+              |      / len(ls), 6) ELSE 0.0 END AS dup_line_frac,
+              |  CASE WHEN coalesce(list_sum(list_transform(ls,
+              |         l -> length(l))), 0) > 0 THEN round(
+              |    CAST(list_sum(list_transform(ls, l -> length(l)))
+              |       - list_sum(list_transform(list_distinct(ls),
+              |           l -> length(l))) AS DOUBLE)
+              |      / list_sum(list_transform(ls, l -> length(l))), 6)
+              |  ELSE 0.0 END AS dup_char_frac,
+              |  CAST(length(array_to_string(t, ' ')) AS DOUBLE) AS tchars,
+              |  t FROM ls),
+              |g AS (SELECT doc_id,
+              |  unnest(list_transform(generate_series(1, len(t) - 1),
+              |    i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1]))
+              |    AS g
+              |  FROM m WHERE len(t) >= 2),
+              |c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+              |top AS (SELECT doc_id, g, c FROM (
+              |  SELECT doc_id, g, c, row_number() OVER (
+              |    PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+              |  FROM c) WHERE rn = 1)
+              |SELECT m.doc_id, m.dup_line_frac, m.dup_char_frac,
+              |  coalesce(top.g, '') AS top_bigram,
+              |  round(coalesce(top.c * length(top.g) / m.tchars, 0.0), 6)
+              |    AS top_bigram_frac
+              |FROM m LEFT JOIN top USING (doc_id)
+              |ORDER BY m.doc_id""".stripMargin)),
+
+    // ---- int8 scalar quantization: the 4x memory lever for vector
+    // search at 100 TB. Map-side only; both engines do IEEE double
+    // division + half-away-from-zero rounding, so quantized codes are
+    // bit-identical. cos_keep certifies the retained fidelity ----
+    Q("q60_quantize_int8",
+      (s, d) => {
+        import s.implicits._
+        val emb = T(s, d, "embeddings")
+        val (scale, q) = Similarity.quantizeInt8($"embedding")
+        val deq = Similarity.dequantizeInt8(scale, q)
+        emb.select($"vec_id",
+            round(scale, 9).as("scale_r"),
+            aggregate(q, lit(0L), (a, x) => a + x).as("q_sum"),
+            aggregate(q, lit(0L), (a, x) => a + abs(x)).as("q_l1"),
+            round(Similarity.cosine($"embedding".cast("array<double>"),
+              deq), 6).as("cos_keep"))
+          .orderBy($"vec_id")
+      },
+      Some("""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |           FROM embeddings),
+             |s AS (SELECT vec_id, v,
+             |  list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+             |  FROM b),
+             |qq AS (SELECT vec_id, v, scale,
+             |  list_transform(v, x -> CASE WHEN scale > 0 THEN
+             |    CAST(greatest(-127.0, least(127.0,
+             |      round(x / scale, 0))) AS BIGINT)
+             |    ELSE 0 END) AS q
+             |  FROM s),
+             |dd AS (SELECT vec_id, v, scale, q,
+             |  list_transform(q, x -> CAST(x AS DOUBLE) * scale) AS deq
+             |  FROM qq),
+             |sc AS (SELECT vec_id, scale, q,
+             |  list_sum(list_transform(generate_series(1, 64), i ->
+             |    v[CAST(i AS INT)] * deq[CAST(i AS INT)])) AS dt,
+             |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nv,
+             |  sqrt(list_sum(list_transform(deq, x -> x * x))) AS nd
+             |  FROM dd)
+             |SELECT vec_id, round(scale, 9) AS scale_r,
+             |  CAST(coalesce(list_sum(q), 0) AS BIGINT) AS q_sum,
+             |  CAST(coalesce(list_sum(list_transform(q, x -> abs(x))), 0)
+             |    AS BIGINT) AS q_l1,
+             |  round(CASE WHEN nv = 0 OR nd = 0 THEN 0
+             |        ELSE dt / (nv * nd) END, 6) AS cos_keep
+             |FROM sc ORDER BY vec_id""".stripMargin)),
+
+    // ---- corpus token histogram: the basic corpus-stats operator
+    // (vocabulary head inspection). explode -> ONE hash-agg shuffle
+    // (map-side partial aggregation collapses the token stream before
+    // the exchange) -> TakeOrdered; deterministic tiebreak ----
+    Q("q61_token_histogram",
+      (s, d) => {
+        import s.implicits._
+        T(s, d, "documents")
+          .select(explode(TextFunctions.tokens($"text")).as("token"))
+          .groupBy($"token")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"token".asc)
+          .limit(50)
+      },
+      Some(s"""SELECT t AS token, count(*) AS n
+              |FROM (SELECT unnest($dTokens) AS t FROM documents)
+              |GROUP BY t
+              |ORDER BY n DESC, token ASC
+              |LIMIT 50""".stripMargin)),
+
     // ---- per-label embedding centroids (vector aggregation) ----
     Q("q29_centroids",
       (s, d) => {

@@ -228,4 +228,25 @@ object Similarity {
       .groupBy("label")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         e => round(e("m"), 6)).as("centroid"))
+
+  /** Symmetric per-vector int8 scalar quantization: scale = max|x|/127,
+    * q_i = clamp(round(x_i/scale), -127, 127). The standard 4x memory
+    * cut for vector search at scale (a 100 TB float corpus becomes 25 TB
+    * with ~1e-3 cosine loss); map-side only, engine-portable arithmetic
+    * (IEEE double division + half-away rounding on both engines).
+    * Returns (scale DOUBLE, q ARRAY<LONG>) columns. */
+  def quantizeInt8(vec: Column): (Column, Column) = {
+    val v = vec.cast("array<double>")
+    val scale = aggregate(v, lit(0.0),
+      (m, x) => greatest(m, abs(x))) / 127.0
+    val q = transform(v, x =>
+      when(scale > 0,
+        greatest(lit(-127.0), least(lit(127.0), round(x / scale, 0))))
+        .otherwise(lit(0.0)).cast("long"))
+    (scale, q)
+  }
+
+  /** Dequantized vector (q_i * scale). */
+  def dequantizeInt8(scale: Column, q: Column): Column =
+    transform(q, x => x.cast("double") * scale)
 }

@@ -168,4 +168,44 @@ object TextFunctions {
       case (acc, (l, s)) => coalesce(acc, when(s === best, l))
     }
   }
+
+  // ---- repetition signals (the Gopher/MassiveText quality rules:
+  // heavily self-repetitive documents are boilerplate/spam and get
+  // filtered before training). All map-side: array ops over the line/
+  // token lists, no shuffle. ----
+
+  /** Non-empty trimmed lines of the document. */
+  def docLines(text: Column): Column =
+    filter(transform(split(text, "\n"), l => trim(l)), l => l =!= "")
+
+  /** Fraction of lines that are repeats of an earlier line
+    * (0.0 for line-less docs). */
+  def dupLineFrac(text: Column): Column = {
+    val ls = docLines(text)
+    val n = size(ls).cast("double")
+    val d = size(array_distinct(ls)).cast("double")
+    when(n > 0, round((n - d) / n, 6)).otherwise(lit(0.0))
+  }
+
+  /** Fraction of line CHARACTERS sitting in repeated lines — the
+    * char-weighted variant (a doc whose one repeated line is huge is
+    * worse than one repeating a short separator). */
+  def dupLineCharFrac(text: Column): Column = {
+    val ls = docLines(text)
+    val tot = aggregate(ls, lit(0L), (a, l) => a + length(l)).cast("double")
+    val dis = aggregate(array_distinct(ls), lit(0L),
+      (a, l) => a + length(l)).cast("double")
+    when(tot > 0, round((tot - dis) / tot, 6)).otherwise(lit(0.0))
+  }
+
+  /** Adjacent word-bigram list ("a b", "b c", ...); empty below 2
+    * tokens (guarded: Spark's `sequence` would happily count DOWN and
+    * fabricate bigrams for a descending range). */
+  def wordBigrams(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+      .otherwise(array().cast("array<string>"))
+  }
 }

@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed connected components over an undirected edge list.
+  *
+  * The training-data use case: verified near-duplicate PAIRS (q27/q44)
+  * only say "a looks like b"; curation needs the transitive CLUSTER —
+  * {a,b,c} is one duplicate group even if (a,c) never collided in any
+  * LSH band. Pairs -> components -> keep min-id per component is the
+  * standard final step of a dedup pipeline (the reference's Roaring
+  * bitmaps play the same "one id set per group" role for extract
+  * regions, `src/extract.cpp:149-151`).
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+  * published O(log^2 n)-round MapReduce formulation. Each half-round is
+  * one aggregation (per-node min neighbor) plus one join (re-point
+  * edges at that min), i.e. two shuffles; no per-round growth in edge
+  * count (edges only ever re-point toward smaller ids).
+  *
+  * Scale notes (100 TB design):
+  *   - the edge set is never collected above `driverEdgeLimit`; below
+  *     it, a driver-side union-find runs instead (dedup graphs are
+  *     sparse — pairs surviving jaccard-verify are a tiny fraction of
+  *     the corpus — so this mirrors [[Closure.reachable]]'s adaptive
+  *     design, and the distributed path stays the contract at scale);
+  *   - every round is localCheckpoint()ed: lineage would otherwise
+  *     double per iteration and re-execute the whole LSH pipeline each
+  *     round;
+  *   - convergence is detected by a one-pass (count, xor-of-hash)
+  *     aggregate over the canonicalized edge set — no except()/join
+  *     against the previous round's edges.
+  */
+object Components {
+
+  /** Component label per node: `id` -> `component` where component is
+    * the MINIMUM node id reachable from `id` (nodes present in `edges`
+    * only; callers union in singletons). Input columns `aCol`/`bCol`
+    * are LONG node ids; edges are treated as undirected and may contain
+    * duplicates or self-loops (both tolerated).
+    */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+                          maxIters: Int = 25,
+                          driverEdgeLimit: Long = 4000000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e0 = edges
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .where($"u" =!= $"v")
+      .select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    if (e0.count() <= driverEdgeLimit) {
+      // driver union-find (path-halving); same adaptive pattern as
+      // Closure.reachable — the collected set is the VERIFIED pair
+      // list, already a tiny fraction of the corpus
+      val pairs = e0.collect().map(r => (r.getLong(0), r.getLong(1)))
+      e0.unpersist(blocking = false)
+      val parent = scala.collection.mutable.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) {
+          val p = parent.getOrElse(r, r)
+          parent(r) = parent.getOrElse(p, p) // path halving
+          r = parent.getOrElse(r, r)
+        }
+        r
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // union by min id so the root IS the label
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+        parent.getOrElseUpdate(a, find(a))
+        parent.getOrElseUpdate(b, find(b))
+      }
+      val nodes = pairs.iterator.flatMap(p => Iterator(p._1, p._2))
+        .toArray.distinct
+      return nodes.map(n => (n, find(n))).toSeq.toDF("id", "component")
+    }
+
+    def canon(df: DataFrame): DataFrame = df
+      .select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
+      .distinct()
+
+    // (count, bitwise-xor of row hashes): order-independent identity of
+    // the canonical edge set in ONE pass
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64($"u", $"v")), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    def largeStar(df: DataFrame): DataFrame = {
+      val und = df.select($"u", $"v")
+        .union(df.select($"v".as("u"), $"u".as("v")))
+      val mins = und.groupBy($"u")
+        .agg(least(min($"v"), first($"u")).as("m"))
+      und.join(mins, "u")
+        .where($"v" > $"u")
+        .select($"v".as("u"), $"m".as("v"))
+        .where($"u" =!= $"v")
+        .distinct()
+    }
+
+    def smallStar(df: DataFrame): DataFrame = {
+      val oriented = canon(df) // u > v by construction
+      val mins = oriented.groupBy($"u").agg(min($"v").as("m"))
+      val repointed = oriented.join(mins, "u")
+        .select($"v".as("u"), $"m".as("v"))
+        .union(mins.select($"u", $"m".as("v")))
+        .where($"u" =!= $"v")
+        .distinct()
+      repointed
+    }
+
+    var cur = canon(e0).localCheckpoint(eager = true)
+    e0.unpersist(blocking = false)
+    var sig = signature(cur)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val next = canon(smallStar(largeStar(cur)))
+        .localCheckpoint(eager = true)
+      val nsig = signature(next)
+      converged = nsig == sig
+      cur = next
+      sig = nsig
+      iter += 1
+    }
+    // converged edge set is a union of stars rooted at component minima:
+    // canonical (u > v) rows read "u's component is v"; roots label
+    // themselves
+    val nonRoots = cur.select($"u".as("id"), $"v".as("component"))
+    val roots = cur.select($"v".as("id"), $"v".as("component")).distinct()
+    nonRoots.union(roots).groupBy($"id")
+      .agg(min($"component").as("component"))
+  }
+}

@@ -279,4 +279,64 @@ class LlmSpec extends AnyFunSuite {
     assert(new String(resized(1L)) == "02468ace")
     assert(resized(2L).isEmpty)
   }
+
+  test("int8 quantization: codes exact, fidelity high, zero vector safe") {
+    val df = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val (scale, q) = Similarity.quantizeInt8($"embedding")
+    val deq = Similarity.dequantizeInt8(scale, q)
+    val out = df.select($"vec_id", q.as("q"),
+        round(Similarity.cosine($"embedding".cast("array<double>"), deq), 6)
+          .as("ck"))
+      .as[(Long, Seq[Long], Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L)._1 == Seq(127L, -64L, 32L, 0L)) // -63.5 rounds away from 0
+    assert(out(1L)._2 > 0.999)
+    assert(out(2L)._1 == Seq(0L, 0L, 0L, 0L))
+    assert(out(2L)._2 == 0.0)
+  }
+
+  test("repetition signals: dup-line fractions and top bigram") {
+    val d = docs(
+      1L -> "aaa\nbbb\naaa\n\n  \nccc",        // 4 lines, 1 repeat
+      2L -> "x y x y x z",                      // top bigram "x y" x2
+      3L -> "",                                 // degenerate
+      4L -> "longline\nlongline\nab")
+    val m = d.select($"doc_id",
+        TextFunctions.dupLineFrac($"text").as("lf"),
+        TextFunctions.dupLineCharFrac($"text").as("cf"))
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m(1L) == ((0.25, 0.25)))             // 1 of 4 lines, 3 of 12 chars
+    assert(m(3L) == ((0.0, 0.0)))
+    assert(m(4L)._1 == 0.333333)                // 1 of 3 lines
+    assert(m(4L)._2 == 0.444444)                // 8 of 18 chars
+    val bg = d.select($"doc_id",
+        TextFunctions.wordBigrams($"text").as("g"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(bg(2L) == Seq("x y", "y x", "x y", "y x", "x z"))
+    assert(bg(3L).isEmpty)
+  }
+
+  test("hash split: deterministic, complete, and weight-proportional") {
+    val ids = spark.range(0, 2000).select($"id".as("doc_id"))
+    val splits = ids.select($"doc_id",
+        Curate.splitAssign($"doc_id",
+          Seq("train" -> 8000, "val" -> 1000, "test" -> 1000)).as("s"))
+    val counts = splits.groupBy("s").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 2000)           // total function, no nulls
+    assert(counts("train") > 1500 && counts("val") > 100 &&
+      counts("test") > 100)
+    // stable across repartitioning (the anti-randomSplit property)
+    val again = ids.repartition(13).select($"doc_id",
+        Curate.splitAssign($"doc_id",
+          Seq("train" -> 8000, "val" -> 1000, "test" -> 1000)).as("s"))
+    assert(splits.except(again).isEmpty && again.except(splits).isEmpty)
+    // sampleHash keeps roughly permyriad/10000
+    val n = Curate.sampleHash(ids, "doc_id", 2000).count()
+    assert(n > 300 && n < 500)
+  }
 }

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Connected components (large-star/small-star + adaptive driver
+  * union-find) — the dedup-cluster labeling step. */
+class ComponentsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def labelsOf(edges: Seq[(Long, Long)], driverLimit: Long)
+  : Map[Long, Long] =
+    Components.connectedComponents(
+        edges.toDF("a", "b"), "a", "b", driverEdgeLimit = driverLimit)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chain collapses to its minimum (both paths)") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    for (lim <- Seq(0L, 1000000L)) {
+      val m = labelsOf(chain, lim)
+      assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+    }
+  }
+
+  test("two components, duplicate + self + reversed edges tolerated") {
+    val e = Seq((2L, 1L), (1L, 2L), (2L, 2L), (7L, 9L), (9L, 8L), (7L, 9L))
+    for (lim <- Seq(0L, 1000000L)) {
+      val m = labelsOf(e, lim)
+      assert(m == Map(1L -> 1L, 2L -> 1L, 7L -> 7L, 8L -> 7L, 9L -> 7L))
+    }
+  }
+
+  test("distributed path agrees with driver union-find on a random graph") {
+    val rnd = new scala.util.Random(42)
+    // 120 nodes, sparse random edges -> a mix of small components
+    val edges = Seq.fill(90)(
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter(p => p._1 != p._2)
+    val driver = labelsOf(edges, 1000000L)
+    val dist = labelsOf(edges, 0L)
+    assert(dist == driver)
+  }
+
+  test("star + deep chain both converge within the iteration bound") {
+    val star = (2L to 40L).map(i => (1L, i))
+    val chain = (100L until 163L).map(i => (i, i + 1))
+    val m = labelsOf(star ++ chain, 0L)
+    assert((2L to 40L).forall(m(_) == 1L))
+    assert((100L to 163L).forall(m(_) == 100L))
+  }
+}
