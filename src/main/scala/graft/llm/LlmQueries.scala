@@ -691,14 +691,30 @@ object LlmQueries {
         import s.implicits._
         import org.apache.spark.sql.expressions.Window
         val docs = T(s, d, "documents")
-        val metrics = docs.select($"doc_id",
-          TextFunctions.dupLineFrac($"text").as("dup_line_frac"),
-          TextFunctions.dupLineCharFrac($"text").as("dup_char_frac"),
-          length(concat_ws(" ", TextFunctions.tokens($"text")))
-            .cast("double").as("tchars"))
-        val grams = docs
+        // staged projections: each array intermediate is computed ONCE
+        // per row (interpreted HOF lambdas re-evaluate embedded
+        // subtrees per element — composing the raw Column helpers here
+        // measured 100x slower)
+        val metrics = docs
+          .withColumn("ls", TextFunctions.docLines($"text"))
+          .withColumn("lsd", array_distinct($"ls"))
+          .withColumn("nl", size($"ls").cast("double"))
+          .withColumn("nld", size($"lsd").cast("double"))
+          .withColumn("tot", aggregate($"ls", lit(0L),
+            (a, l) => a + length(l)).cast("double"))
+          .withColumn("dis", aggregate($"lsd", lit(0L),
+            (a, l) => a + length(l)).cast("double"))
           .select($"doc_id",
-            explode(TextFunctions.wordBigrams($"text")).as("g"))
+            when($"nl" > 0, round(($"nl" - $"nld") / $"nl", 6))
+              .otherwise(lit(0.0)).as("dup_line_frac"),
+            when($"tot" > 0, round(($"tot" - $"dis") / $"tot", 6))
+              .otherwise(lit(0.0)).as("dup_char_frac"),
+            length(concat_ws(" ", TextFunctions.tokens($"text")))
+              .cast("double").as("tchars"))
+        val grams = docs
+          .withColumn("t", TextFunctions.tokens($"text"))
+          .select($"doc_id",
+            explode(TextFunctions.bigramsFromTokens($"t")).as("g"))
           .groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
         val top = grams
           .withColumn("rn", row_number().over(
@@ -752,15 +768,12 @@ object LlmQueries {
     Q("q60_quantize_int8",
       (s, d) => {
         import s.implicits._
-        val emb = T(s, d, "embeddings")
-        val (scale, q) = Similarity.quantizeInt8($"embedding")
-        val deq = Similarity.dequantizeInt8(scale, q)
-        emb.select($"vec_id",
-            round(scale, 9).as("scale_r"),
-            aggregate(q, lit(0L), (a, x) => a + x).as("q_sum"),
-            aggregate(q, lit(0L), (a, x) => a + abs(x)).as("q_l1"),
-            round(Similarity.cosine($"embedding".cast("array<double>"),
-              deq), 6).as("cos_keep"))
+        Similarity.withInt8Quantization(T(s, d, "embeddings"), "embedding")
+          .select($"vec_id",
+            round($"scale", 9).as("scale_r"),
+            aggregate($"q", lit(0L), (a, x) => a + x).as("q_sum"),
+            aggregate($"q", lit(0L), (a, x) => a + abs(x)).as("q_l1"),
+            round(Similarity.cosine($"v", $"deq"), 6).as("cos_keep"))
           .orderBy($"vec_id")
       },
       Some("""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -810,6 +823,50 @@ object LlmQueries {
               |GROUP BY t
               |ORDER BY n DESC, token ASC
               |LIMIT 50""".stripMargin)),
+
+    // ---- per-doc most-distinctive term: TF x linear inverse document
+    // frequency (N/df instead of ln(N/df): log is not correctly-rounded
+    // IEEE, so ln would drift between engines' libms; ratios and
+    // divisions are exact-rounded and engine-identical). Two hash-agg
+    // shuffles (doc-term, term) + one window argmax ----
+    Q("q62_term_relevance",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val docs = T(s, d, "documents")
+        val n = docs.count() // driver scalar, folded as a literal
+        val tok = docs.select($"doc_id",
+          explode(TextFunctions.tokens($"text")).as("token"))
+        val tf = tok.groupBy($"doc_id", $"token")
+          .agg(count(lit(1)).as("c"))
+          .withColumn("nt", sum($"c").over(Window.partitionBy($"doc_id")))
+        val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+        tf.join(df, "token")
+          .withColumn("score",
+            round(($"c".cast("double") / $"nt") *
+              (lit(n).cast("double") / $"df"), 6))
+          .withColumn("rn", row_number().over(Window.partitionBy($"doc_id")
+            .orderBy($"score".desc, $"token".asc)))
+          .where($"rn" === 1)
+          .select($"doc_id", $"token".as("term"), $"score")
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($dTokens) AS token
+              |            FROM documents),
+              |tf AS (SELECT doc_id, token, count(*) AS c
+              |       FROM tok GROUP BY doc_id, token),
+              |nt AS (SELECT doc_id, sum(c) AS nt FROM tf GROUP BY doc_id),
+              |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+              |n AS (SELECT count(*) AS n FROM documents),
+              |sc AS (SELECT tf.doc_id, tf.token,
+              |  round((CAST(c AS DOUBLE) / nt.nt)
+              |    * (CAST(n.n AS DOUBLE) / df.df), 6) AS score
+              |  FROM tf JOIN nt USING (doc_id) JOIN df USING (token), n)
+              |SELECT doc_id, token AS term, score FROM (
+              |  SELECT doc_id, token, score, row_number() OVER (
+              |    PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rn
+              |  FROM sc) WHERE rn = 1
+              |ORDER BY doc_id""".stripMargin)),
 
     // ---- per-label embedding centroids (vector aggregation) ----
     Q("q29_centroids",

@@ -172,7 +172,11 @@ object TextFunctions {
   // ---- repetition signals (the Gopher/MassiveText quality rules:
   // heavily self-repetitive documents are boilerplate/spam and get
   // filtered before training). All map-side: array ops over the line/
-  // token lists, no shuffle. ----
+  // token lists, no shuffle. NOTE: these Column helpers inline the
+  // line-list subtree at every reference (fine standalone); in hot
+  // plans stage docLines/array_distinct as projected columns first and
+  // compute the fractions from the attributes — see q59's staged form
+  // in LlmQueries. ----
 
   /** Non-empty trimmed lines of the document. */
   def docLines(text: Column): Column =
@@ -200,12 +204,17 @@ object TextFunctions {
 
   /** Adjacent word-bigram list ("a b", "b c", ...); empty below 2
     * tokens (guarded: Spark's `sequence` would happily count DOWN and
-    * fabricate bigrams for a descending range). */
-  def wordBigrams(text: Column): Column = {
-    val t = tokens(text)
-    when(size(t) >= 2,
-      transform(sequence(lit(1), size(t) - 1),
-        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+    * fabricate bigrams for a descending range). `toks` should be a
+    * STAGED token-array column (an attribute), not an inline
+    * `tokens(text)` subtree — the lambda would re-split the text per
+    * element. */
+  def bigramsFromTokens(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Convenience form over raw text; prefer staging `tokens` first in
+    * hot plans (see [[bigramsFromTokens]]). */
+  def wordBigrams(text: Column): Column = bigramsFromTokens(tokens(text))
 }

@@ -280,4 +280,33 @@ class StreamingSpec extends AnyFunSuite {
     // single atomic version advance for the whole mixed batch
     assert(VersionedTable.current(root).get.version == 2L)
   }
+
+  test("streaming exact dedup keeps first-seen fingerprint across batches") {
+    import org.apache.spark.sql.functions._
+    val inDir = Files.createTempDirectory("graft-sdd-in").toString
+    val ckpt = Files.createTempDirectory("graft-sdd-ckpt").toString
+
+    // batch 1: 2 is a normalized duplicate of 1 (same fingerprint)
+    Seq((1L, "hello world"), (2L, "  Hello   WORLD "), (3L, "other"))
+      .toDF("doc_id", "text").write.mode("append").parquet(inDir)
+
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(inDir)
+    val q = StreamingDedup.keepers(stream, "text", "doc_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_keepers")
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+
+    // batch 2: 4 duplicates batch-1 content (cross-batch state hit);
+    // 5 is genuinely new
+    Seq((4L, "hello world"), (5L, "fresh content"))
+      .toDF("doc_id", "text").write.mode("append").parquet(inDir)
+    q.processAllAvailable()
+    q.stop()
+
+    val kept = spark.table("dedup_keepers")
+      .select($"keep_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 5L)) // 1 beat 2 in-batch; 4 hit state
+  }
 }
