@@ -53,6 +53,28 @@ object Bench {
         graft.osm.SyntheticOsm.materialized(spark, sfDir)
     } catch { case _: Throwable => }
 
+    // Between-query JVM hygiene, OUTSIDE the timed regions: drop leaked
+    // cache entries / persisted RDDs (localCheckpoints pin heap blocks)
+    // and nudge GC so the ContextCleaner reaps dead broadcasts and
+    // shuffles. Without this, alphabetically-late queries inherit a
+    // bloated old gen and measure 10-40x slower than in isolation (the
+    // round-4 "unexplained q41-q45 regressions" were exactly this).
+    // SyntheticOsm's bundle is parquet-backed, not cached — unaffected.
+    def sweep(): Unit = {
+      if (sys.env.contains("SPARK_GRAFT_BENCH_NO_SWEEP")) return
+      try {
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.valuesIterator
+          .foreach(_.unpersist(blocking = false))
+      } catch { case _: Throwable => }
+      System.gc()
+      // let the async ContextCleaner drain the post-GC reference queue
+      // (broadcast/shuffle deletions) BEFORE the next timed region —
+      // otherwise its IO and BlockManager locking land inside the next
+      // query's measurement
+      Thread.sleep(400)
+    }
+
     // optional isolation filter (dev loop: bench one query per JVM)
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
@@ -60,6 +82,7 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map {
       case (name, fn) =>
+        sweep()
         val t0 = System.nanoTime()
         val ok = try { run(fn); true } catch { case _: Throwable => false }
         (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)

@@ -75,20 +75,25 @@ object LlmQueries {
     s"len(list_filter($dTokens, t -> list_contains([$words], t)))"
   }
 
+  /** DuckDB fragment: distinct 48-bit md5 hashes of the 3-char shingles
+    * of normalized `text` (mirrors [[TextFunctions.ngramShingleHashes]]
+    * at n=3). */
+  private val dShingles3: String =
+    """CASE WHEN length(regexp_replace(lower(trim(text)),
+      |                 '\s+', ' ', 'g')) >= 3
+      |THEN list_distinct(list_transform(
+      |  generate_series(1, length(regexp_replace(lower(trim(text)),
+      |                  '\s+', ' ', 'g')) - 2),
+      |  i -> CAST(concat('0x', substr(md5(
+      |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+      |      [CAST(i AS INT) : CAST(i AS INT) + 2]), 1, 12))
+      |    AS BIGINT)))
+      |ELSE [] END""".stripMargin
+
   /** Hashed-shingle CTE (`sh`) + verified near-dup drop set (`dropped`)
     * over `src` at `threshold` — the q27/q44 pipeline pieces. */
   private def dNearDupDropCtes(src: String, threshold: Double): String =
-    s"""sh AS (SELECT doc_id,
-       |  CASE WHEN length(regexp_replace(lower(trim(text)),
-       |                   '\\s+', ' ', 'g')) >= 3
-       |  THEN list_distinct(list_transform(
-       |    generate_series(1, length(regexp_replace(lower(trim(text)),
-       |                    '\\s+', ' ', 'g')) - 2),
-       |    i -> CAST(concat('0x', substr(md5(
-       |      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
-       |        [CAST(i AS INT) : CAST(i AS INT) + 2]), 1, 12))
-       |      AS BIGINT)))
-       |  ELSE [] END AS sh
+    s"""sh AS (SELECT doc_id, $dShingles3 AS sh
        |  FROM $src),
        |scored AS (
        |  SELECT c.a, c.b,
@@ -867,6 +872,57 @@ object LlmQueries {
               |    PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rn
               |  FROM sc) WHERE rn = 1
               |ORDER BY doc_id""".stripMargin)),
+
+    // ---- benchmark decontamination: flag training docs sharing too
+    // many character-shingle hashes with a benchmark set (here: every
+    // 50th doc stands in for the held-out benchmark). The benchmark
+    // shingle union is bounded by the benchmark suite size — NOT
+    // corpus-linear — so broadcasting it is the honest 100 TB plan:
+    // the train side streams map-side through one broadcast semi-join
+    // + one per-doc count shuffle ----
+    Q("q63_decontaminate",
+      (s, d) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        val sh = T(s, d, "documents").select($"doc_id",
+          TextFunctions.ngramShingleHashes($"text", 3).as("sh"))
+        val bs = sh.where($"doc_id" % 50 === 0)
+          .select(explode($"sh").as("h")).distinct()
+        val tr = sh.where($"doc_id" % 50 =!= 0)
+        val shared = tr.select($"doc_id", explode($"sh").as("h"))
+          .join(broadcast(bs), "h")
+          .groupBy($"doc_id").agg(count(lit(1)).as("ns"))
+        tr.join(shared, Seq("doc_id"), "left")
+          .withColumn("n_sh", size($"sh").cast("long"))
+          .withColumn("n_shared", coalesce($"ns", lit(0L)))
+          .withColumn("contam_frac",
+            when($"n_sh" > 0,
+              round($"n_shared".cast("double") / $"n_sh", 6))
+              .otherwise(lit(0.0)))
+          .select($"doc_id", $"n_sh", $"n_shared", $"contam_frac",
+            ($"contam_frac" >= 0.5).as("contaminated"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH sh AS (SELECT doc_id, $dShingles3 AS sh
+              |           FROM documents),
+              |bs AS (SELECT DISTINCT unnest(sh) AS h FROM sh
+              |       WHERE doc_id % 50 = 0),
+              |tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % 50 != 0),
+              |shared AS (
+              |  SELECT t.doc_id, count(*) AS ns
+              |  FROM (SELECT doc_id, unnest(sh) AS h FROM tr) t
+              |  JOIN bs USING (h)
+              |  GROUP BY t.doc_id)
+              |SELECT tr.doc_id, len(tr.sh) AS n_sh,
+              |  coalesce(s.ns, 0) AS n_shared,
+              |  CASE WHEN len(tr.sh) > 0 THEN round(
+              |    CAST(coalesce(s.ns, 0) AS DOUBLE) / len(tr.sh), 6)
+              |  ELSE 0.0 END AS contam_frac,
+              |  (CASE WHEN len(tr.sh) > 0 THEN round(
+              |    CAST(coalesce(s.ns, 0) AS DOUBLE) / len(tr.sh), 6)
+              |  ELSE 0.0 END) >= 0.5 AS contaminated
+              |FROM tr LEFT JOIN shared s USING (doc_id)
+              |ORDER BY tr.doc_id""".stripMargin)),
 
     // ---- per-label embedding centroids (vector aggregation) ----
     Q("q29_centroids",
