@@ -924,6 +924,30 @@ object LlmQueries {
               |FROM tr LEFT JOIN shared s USING (doc_id)
               |ORDER BY tr.doc_id""".stripMargin)),
 
+    // ---- corpus length deciles: the distribution snapshot every
+    // curation run reports. Exact `percentile` here for oracle parity
+    // (both engines implement the standard (n-1)*p linear
+    // interpolation); at 100 TB the same query swaps in
+    // approx_percentile, whose t-digest sketch merges map-side ----
+    Q("q64_length_quantiles",
+      (s, d) => {
+        import s.implicits._
+        val ps = (1 to 9).map(_ / 10.0)
+        T(s, d, "documents")
+          .agg(percentile($"n_chars",
+            typedlit(ps)).as("qs"))
+          .select(posexplode($"qs"))
+          .select(($"pos" + 1).cast("long").as("decile"),
+            round($"col", 6).as("n_chars_q"))
+          .orderBy($"decile")
+      },
+      Some("""WITH q AS (SELECT quantile_cont(n_chars,
+             |  [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+             |  FROM documents)
+             |SELECT CAST(generate_subscripts(qs, 1) AS BIGINT) AS decile,
+             |  round(unnest(qs), 6) AS n_chars_q
+             |FROM q ORDER BY decile""".stripMargin)),
+
     // ---- per-label embedding centroids (vector aggregation) ----
     Q("q29_centroids",
       (s, d) => {

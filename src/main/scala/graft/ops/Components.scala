@@ -54,11 +54,18 @@ object Components {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    if (e0.count() <= driverEdgeLimit) {
+    // ONE action decides the path AND feeds the driver branch: take()
+    // returns at most limit+1 rows (no 4M-row driver materialization on
+    // the fallback path) while the persist caches e0 for the
+    // distributed loop. The old count-then-collect shape ran the whole
+    // upstream LSH pipeline's result through two driver round trips.
+    val taken = e0.take(
+      math.min(driverEdgeLimit, Int.MaxValue - 1L).toInt + 1)
+    if (taken.length <= driverEdgeLimit) {
       // driver union-find (path-halving); same adaptive pattern as
       // Closure.reachable — the collected set is the VERIFIED pair
       // list, already a tiny fraction of the corpus
-      val pairs = e0.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val pairs = taken.map(r => (r.getLong(0), r.getLong(1)))
       e0.unpersist(blocking = false)
       val parent = scala.collection.mutable.HashMap[Long, Long]()
       def find(x: Long): Long = {

@@ -32,6 +32,75 @@ final case class Kept(fingerprint: String, keep_id: Long)
   * operator. The OSM replication side ([[Replication]]) keeps its own
   * idempotence story; this operator is the curation-side equivalent.
   */
+/** One (band, bucket) membership row flowing into streaming LSH. */
+final case class BandDoc(doc_id: Long, band: Int, bkey: String)
+
+/** Candidate near-dup pair surfaced by band `band` (a < b). */
+final case class CandidatePair(a: Long, b: Long, band: Int)
+
+/** Streaming MinHash/LSH near-duplicate candidate detection: as
+  * documents arrive, each joins its `bands` LSH buckets; a bucket that
+  * already holds earlier documents emits candidate pairs (new vs each
+  * earlier member) immediately — continuous dedup against the entire
+  * history without re-scanning it.
+  *
+  * Same signature/band math as the batch path ([[graft.llm.Dedup
+  * .minhashCandidatePairs]]), so batch and streaming agree on what
+  * collides. Differences, by streaming necessity:
+  *   - a pair colliding in k bands is emitted up to k times (the batch
+  *     path's first-band dedup needs cross-band visibility; stream
+  *     consumers `dropDuplicates("a","b")` per batch or verify
+  *     idempotently);
+  *   - per-bucket state is capped at `maxBucket` ids: a pathological
+  *     bucket stops ADMITTING new members past the cap (drop-and-cap,
+  *     the same guardrail as batch `maxBucket`, applied prefix-wise).
+  *
+  * Scale: state is hash-partitioned by (band, bkey); per-key state is
+  * <= maxBucket longs. Checkpointing makes the seen-set durable, so a
+  * restart resumes mid-corpus without re-emitting old pairs.
+  */
+object StreamingNearDup {
+
+  def candidatePairs(docs: DataFrame, textCol: String, idCol: String,
+                     bands: Int = 4, rowsPerBand: Int = 4,
+                     maxBucket: Int = 1000): Dataset[CandidatePair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val n = bands * rowsPerBand
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        graft.llm.TextFunctions.minhashSignature(col(textCol), n)
+          .as("sig"))
+      .where(col("sig").isNotNull)
+      .select(col("doc_id"), posexplode(
+        graft.llm.TextFunctions.lshBands(col("sig"), bands, rowsPerBand)))
+      .select(col("doc_id"), col("pos").cast("int").as("band"),
+        col("col").as("bkey"))
+      .as[BandDoc]
+      .groupByKey(r => (r.band, r.bkey))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: (Int, String), rows: Iterator[BandDoc],
+         st: org.apache.spark.sql.streaming.GroupState[Seq[Long]]) =>
+          val prev = st.getOption.getOrElse(Seq.empty)
+          // deterministic in-batch order; skip ids already in state
+          // (redelivered batches emit nothing new)
+          val fresh = rows.map(_.doc_id).toSeq.distinct.sorted
+            .filterNot(prev.contains)
+          val out = Seq.newBuilder[CandidatePair]
+          var seen = prev
+          for (id <- fresh if seen.size < maxBucket) {
+            seen.foreach(p => out += CandidatePair(
+              math.min(p, id), math.max(p, id), key._1))
+            seen = seen :+ id
+          }
+          if (seen.size != prev.size) st.update(seen)
+          out.result().iterator
+      }
+  }
+}
+
 object StreamingDedup {
 
   /** Keeper stream: emits one (fingerprint, keep_id) row the first

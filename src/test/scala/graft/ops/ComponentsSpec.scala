@@ -54,4 +54,36 @@ class ComponentsSpec extends AnyFunSuite {
     assert((2L to 40L).forall(m(_) == 1L))
     assert((100L to 163L).forall(m(_) == 100L))
   }
+
+  test("both paths agree with a BFS reference over many random graphs") {
+    // independent oracle: plain BFS flood-fill, no union-find, no stars
+    def bfsLabels(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val adj = (edges ++ edges.map(_.swap))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val label = scala.collection.mutable.HashMap[Long, Long]()
+      nodes.sorted.foreach { n =>
+        if (!label.contains(n)) {
+          var frontier = Set(n); val seen = scala.collection.mutable.Set(n)
+          while (frontier.nonEmpty) {
+            frontier = frontier.flatMap(adj.getOrElse(_, Set.empty))
+              .filterNot(seen)
+            seen ++= frontier
+          }
+          seen.foreach(label(_) = seen.min)
+        }
+      }
+      label.toMap
+    }
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val n = 30 + rnd.nextInt(60)
+      val edges = Seq.fill(n)(
+        (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+        .filter(p => p._1 != p._2)
+      val ref = bfsLabels(edges)
+      assert(labelsOf(edges, 1000000L) == ref, s"driver path, seed $seed")
+      assert(labelsOf(edges, 0L) == ref, s"distributed path, seed $seed")
+    }
+  }
 }

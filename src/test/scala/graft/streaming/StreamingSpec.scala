@@ -309,4 +309,40 @@ class StreamingSpec extends AnyFunSuite {
       .select($"keep_id").as[Long].collect().toSet
     assert(kept == Set(1L, 3L, 5L)) // 1 beat 2 in-batch; 4 hit state
   }
+
+  test("streaming LSH surfaces near-dup pairs against the full history") {
+    import org.apache.spark.sql.functions._
+    val inDir = Files.createTempDirectory("graft-slsh-in").toString
+    val ckpt = Files.createTempDirectory("graft-slsh-ckpt").toString
+
+    val same = "the quick brown fox jumps over the lazy dog again"
+    // batch 1: 10 and 11 share identical content (all bands collide);
+    // 12 is unrelated
+    Seq((10L, same), (11L, same),
+      (12L, "completely different words entirely unrelated text"))
+      .toDF("doc_id", "text").write.mode("append").parquet(inDir)
+
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(inDir)
+    val q = StreamingNearDup.candidatePairs(stream, "text", "doc_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("slsh_pairs")
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+
+    val b1 = spark.table("slsh_pairs")
+      .select($"a", $"b").distinct().as[(Long, Long)].collect().toSet
+    assert(b1 == Set((10L, 11L))) // 12 collides with nobody
+
+    // batch 2: 13 duplicates the batch-1 content -> pairs against BOTH
+    // earlier members, without rescanning them
+    Seq((13L, same)).toDF("doc_id", "text")
+      .write.mode("append").parquet(inDir)
+    q.processAllAvailable()
+    q.stop()
+
+    val all = spark.table("slsh_pairs")
+      .select($"a", $"b").distinct().as[(Long, Long)].collect().toSet
+    assert(all == Set((10L, 11L), (10L, 13L), (11L, 13L)))
+  }
 }
