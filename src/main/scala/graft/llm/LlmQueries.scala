@@ -67,6 +67,29 @@ object LlmQueries {
 
   private val dCandidateCtes = dCandidateCtesFrom("documents")
 
+  /** DuckDB fragment: the quality-feature SELECT body (doc_id + the
+    * four raw counts; append `FROM <src>`). Mirrors
+    * [[TextFunctions.qualityScore]]'s inputs. */
+  private val dQualityFeatures: String =
+    s"""SELECT doc_id,
+       |  CAST(length(text) AS DOUBLE) AS nc,
+       |  CAST(len($dTokens) AS DOUBLE) AS nw,
+       |  CAST(length(text) - length(regexp_replace(text,
+       |       '[[:punct:]]', '', 'g')) AS DOUBLE) AS np,
+       |  CAST(length(text) - length(regexp_replace(text,
+       |       '[A-Z]', '', 'g')) AS DOUBLE) AS nu""".stripMargin
+
+  /** DuckDB fragment: the composite quality score over
+    * [[dQualityFeatures]] columns (rounded 6dp). */
+  private val dQualityExpr: String =
+    """round(
+      |  least(nc / 200.0, 1.0) * 0.3 +
+      |  (CASE WHEN nw > 0 AND nc / nw >= 3 AND nc / nw <= 12
+      |        THEN 1.0 ELSE 0.5 END) * 0.2 +
+      |  (1.0 - least(np / greatest(nc, 1.0) * 4.0, 1.0)) * 0.3 +
+      |  (1.0 - least(nu / greatest(nc, 1.0) * 2.0, 1.0)) * 0.2,
+      |  6)""".stripMargin
+
   /** DuckDB fragment: stopword-hit count for language `l` (mirrors
     * [[TextFunctions.stopwordHits]]). */
   private def dHits(l: String): String = {
@@ -197,21 +220,8 @@ object LlmQueries {
           TextFunctions.qualityScore($"text").as("quality"))
           .orderBy($"doc_id")
       },
-      Some(s"""WITH f AS (SELECT doc_id,
-              |  CAST(length(text) AS DOUBLE) AS nc,
-              |  CAST(len($dTokens) AS DOUBLE) AS nw,
-              |  CAST(length(text) - length(regexp_replace(text,
-              |       '[[:punct:]]', '', 'g')) AS DOUBLE) AS np,
-              |  CAST(length(text) - length(regexp_replace(text,
-              |       '[A-Z]', '', 'g')) AS DOUBLE) AS nu
-              |  FROM documents)
-              |SELECT doc_id, round(
-              |  least(nc / 200.0, 1.0) * 0.3 +
-              |  (CASE WHEN nw > 0 AND nc / nw >= 3 AND nc / nw <= 12
-              |        THEN 1.0 ELSE 0.5 END) * 0.2 +
-              |  (1.0 - least(np / greatest(nc, 1.0) * 4.0, 1.0)) * 0.3 +
-              |  (1.0 - least(nu / greatest(nc, 1.0) * 2.0, 1.0)) * 0.2,
-              |  6) AS quality
+      Some(s"""WITH f AS ($dQualityFeatures FROM documents)
+              |SELECT doc_id, $dQualityExpr AS quality
               |FROM f ORDER BY doc_id""".stripMargin)),
 
     // ---- language ID by stopword argmax, scored against truth ----
@@ -947,6 +957,91 @@ object LlmQueries {
              |SELECT CAST(generate_subscripts(qs, 1) AS BIGINT) AS decile,
              |  round(unnest(qs), 6) AS n_chars_q
              |FROM q ORDER BY decile""".stripMargin)),
+
+    // ---- unigram familiarity: mean corpus-probability of a doc's
+    // tokens (rare-token docs are OCR noise / gibberish — the cheap
+    // perplexity stand-in). mean_p = (sum of per-token corpus counts)
+    // / (T * n): the numerator is an EXACT integer sum, so the score
+    // is partitioning-independent — no float-accumulation drift, and
+    // no ln (not correctly-rounded IEEE, drifts across libms) ----
+    Q("q65_unigram_familiarity",
+      (s, d) => {
+        import s.implicits._
+        val docs = T(s, d, "documents")
+        val tok = docs.select($"doc_id",
+          explode(TextFunctions.tokens($"text")).as("token"))
+        val tc = tok.groupBy($"token").agg(count(lit(1)).as("c"))
+        val t = tok.count() // corpus token total, folded as a literal
+        val ds = tok.join(tc, "token").groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_toks"), sum($"c").as("sum_freq"))
+        docs.select($"doc_id").join(ds, Seq("doc_id"), "left")
+          .select($"doc_id",
+            coalesce($"n_toks", lit(0L)).as("n_toks"),
+            coalesce($"sum_freq", lit(0L)).as("sum_freq"),
+            when(coalesce($"n_toks", lit(0L)) > 0,
+              round($"sum_freq".cast("double") /
+                (lit(t) * $"n_toks").cast("double"), 6))
+              .otherwise(lit(0.0)).as("familiarity"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($dTokens) AS token
+              |            FROM documents),
+              |tc AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+              |tot AS (SELECT count(*) AS t FROM tok),
+              |ds AS (SELECT tok.doc_id, count(*) AS n,
+              |         CAST(sum(tc.c) AS BIGINT) AS sc
+              |       FROM tok JOIN tc USING (token) GROUP BY tok.doc_id)
+              |SELECT d.doc_id,
+              |  coalesce(ds.n, 0) AS n_toks,
+              |  coalesce(ds.sc, 0) AS sum_freq,
+              |  CASE WHEN coalesce(ds.n, 0) > 0 THEN round(
+              |    CAST(ds.sc AS DOUBLE) / CAST(t * ds.n AS DOUBLE), 6)
+              |  ELSE 0.0 END AS familiarity
+              |FROM documents d LEFT JOIN ds ON d.doc_id = ds.doc_id, tot
+              |ORDER BY d.doc_id""".stripMargin)),
+
+    // ---- per-source curation report: the dashboard aggregation a
+    // pipeline emits per run (docs, distinct contents, mean quality,
+    // language spread per source). ONE hash-agg shuffle; the mean
+    // routes through an exact DECIMAL sum (float sums are
+    // partition-order-dependent — the q29 rule) ----
+    Q("q66_source_report",
+      (s, d) => {
+        import s.implicits._
+        T(s, d, "documents").select($"source",
+            TextFunctions.fingerprint($"text").as("fp"),
+            TextFunctions.qualityScore($"text").cast("decimal(10,6)")
+              .as("q"),
+            TextFunctions.langId($"text").as("lang_pred"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct($"fp").as("n_unique"),
+            round(sum($"q").cast("double") / count(lit(1)), 6)
+              .as("avg_quality"),
+            countDistinct($"lang_pred").as("n_langs"))
+          .orderBy($"source")
+      },
+      Some(s"""WITH qf AS ($dQualityFeatures, source, text
+              |           FROM documents),
+              |per AS (SELECT doc_id, source,
+              |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+              |    AS fp,
+              |  $dQualityExpr AS q,
+              |  ${dHits("en")} AS he, ${dHits("de")} AS hg,
+              |  ${dHits("fr")} AS hf, ${dHits("es")} AS hs
+              |  FROM qf)
+              |SELECT source, count(*) AS n_docs,
+              |  count(DISTINCT fp) AS n_unique,
+              |  round(CAST(sum(CAST(q AS DECIMAL(10,6))) AS DOUBLE)
+              |    / count(*), 6) AS avg_quality,
+              |  count(DISTINCT CASE
+              |    WHEN he <= 0 AND hg <= 0 AND hf <= 0 AND hs <= 0
+              |      THEN 'und'
+              |    WHEN he >= hg AND he >= hf AND he >= hs THEN 'en'
+              |    WHEN hg >= hf AND hg >= hs THEN 'de'
+              |    WHEN hf >= hs THEN 'fr'
+              |    ELSE 'es' END) AS n_langs
+              |FROM per GROUP BY source ORDER BY source""".stripMargin)),
 
     // ---- per-label embedding centroids (vector aggregation) ----
     Q("q29_centroids",
