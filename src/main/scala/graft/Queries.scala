@@ -628,6 +628,48 @@ object Queries {
              |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
              |    AS sum_value
              |FROM events GROUP BY 1, 2
-             |ORDER BY hour_start, event_type""".stripMargin))
+             |ORDER BY hour_start, event_type""".stripMargin)),
+
+    // ---- gap-based session windows (native session_window — the
+    // other streaming agg shape, run batch). A session's end is
+    // last-event + gap, and an event landing EXACTLY at the previous
+    // end starts a new session (window end is exclusive) — the oracle
+    // mirrors that with a `>= INTERVAL` break in the classic
+    // gaps-and-islands form. Physical plan: one shuffle on user_id,
+    // in-partition session merge; money through exact DECIMAL ----
+    Q("q67_session_windows",
+      (s, d) => {
+        import s.implicits._
+        T(s, d, "events")
+          .groupBy($"user_id", session_window($"ts", "2 hours"))
+          .agg(count(lit(1)).as("n_events"),
+            moneySum($"value").as("sum_value"))
+          .select($"user_id",
+            date_format($"session_window.start", "yyyy-MM-dd HH:mm:ss")
+              .as("session_start"),
+            date_format($"session_window.end", "yyyy-MM-dd HH:mm:ss")
+              .as("session_end"),
+            $"n_events", $"sum_value")
+          .orderBy($"user_id", $"session_start")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, ts, value,
+             |  CASE WHEN lag(ts) OVER w IS NULL
+             |         OR ts - lag(ts) OVER w >= INTERVAL 2 HOUR
+             |       THEN 1 ELSE 0 END AS brk
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |g AS (SELECT user_id, ts, value,
+             |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                 ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM e)
+             |SELECT user_id,
+             |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             |  strftime(max(ts) + INTERVAL 2 HOUR,
+             |           '%Y-%m-%d %H:%M:%S') AS session_end,
+             |  count(*) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+             |    AS sum_value
+             |FROM g GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin))
   )
 }
