@@ -891,6 +891,71 @@ object OsmQueries {
               |SELECT id, tags_s, len(members) AS n_members,
               |       regexp_extract(tags_s, 'name=([^;]*)', 1) AS name
               |FROM orelations WHERE rtype = 'multipolygon'
-              |ORDER BY id""".stripMargin))
+              |ORDER BY id""".stripMargin)),
+
+    // ---- q68: way polyline length (the geo-analytic over J9's
+    // ordered geometry join). Planar length in degrees: only *, + and
+    // sqrt — all correctly-rounded IEEE, so both engines agree
+    // bit-for-bit (haversine's sin/cos are libm-dependent and would
+    // drift). Per-segment doubles route through an exact DECIMAL sum:
+    // float sums are partition-order-dependent (the q29 rule) ----
+    Q("q68_way_length",
+      (s, d) => {
+        import s.implicits._
+        val t = SyntheticOsm.materialized(s, d)
+        val pts = t.ways.select($"id", posexplode($"nodes"))
+          .join(t.locations.select($"id".as("nid"), $"lon", $"lat"),
+            $"col" === $"nid")
+          .select($"id", $"pos", ($"lon" / 1e7).as("x"),
+            ($"lat" / 1e7).as("y"))
+        val a = pts.as("a"); val b = pts.as("b")
+        val segs = a.join(b,
+            $"a.id" === $"b.id" && $"b.pos" === $"a.pos" + 1)
+          .select($"a.id".as("id"),
+            sqrt(($"b.x" - $"a.x") * ($"b.x" - $"a.x") +
+              ($"b.y" - $"a.y") * ($"b.y" - $"a.y")).as("seg"))
+        segs.groupBy($"id")
+          .agg(count(lit(1)).as("n_segs"),
+            round(sum($"seg".cast("decimal(25,12)")).cast("double"), 6)
+              .as("len_deg"))
+          .orderBy($"id")
+      },
+      Some(s"""WITH $dOsmCtes,
+              |pts AS (
+              |  SELECT id, generate_subscripts(nodes, 1) AS pos,
+              |         unnest(nodes) AS nid
+              |  FROM oways),
+              |c AS (
+              |  SELECT p.id, p.pos, l.lon/1e7 AS x, l.lat/1e7 AS y
+              |  FROM pts p JOIN locations l ON l.id = p.nid),
+              |seg AS (
+              |  SELECT a.id,
+              |    sqrt((b.x-a.x)*(b.x-a.x) + (b.y-a.y)*(b.y-a.y)) AS s
+              |  FROM c a JOIN c b ON b.id = a.id AND b.pos = a.pos + 1)
+              |SELECT id, count(*) AS n_segs,
+              |  round(CAST(sum(CAST(s AS DECIMAL(25,12))) AS DOUBLE), 6)
+              |    AS len_deg
+              |FROM seg GROUP BY id ORDER BY id""".stripMargin)),
+
+    // ---- q69: tile-grid density (the heatmap aggregation): nodes
+    // bucketed into 0.5-degree tiles, ONE map-side-combined hash-agg
+    // shuffle. floor() on identical IEEE doubles — engine-identical ----
+    Q("q69_tile_density",
+      (s, d) => {
+        import s.implicits._
+        val t = SyntheticOsm.materialized(s, d)
+        t.locations
+          .select(floor($"lon" / 1e7 / 0.5).cast("long").as("tx"),
+            floor($"lat" / 1e7 / 0.5).cast("long").as("ty"))
+          .groupBy($"tx", $"ty")
+          .agg(count(lit(1)).as("n_nodes"))
+          .orderBy($"tx", $"ty")
+      },
+      Some(s"""WITH $dOsmCtes
+              |SELECT CAST(floor(lon/1e7/0.5) AS BIGINT) AS tx,
+              |       CAST(floor(lat/1e7/0.5) AS BIGINT) AS ty,
+              |       count(*) AS n_nodes
+              |FROM locations GROUP BY tx, ty
+              |ORDER BY tx, ty""".stripMargin))
   )
 }
