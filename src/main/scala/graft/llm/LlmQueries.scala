@@ -667,6 +667,59 @@ object LlmQueries {
               |FROM comp c JOIN sizes s USING (component)
               |ORDER BY c.doc_id""".stripMargin)),
 
+    // ---- keep-BEST-per-cluster dedup: components pick the duplicate
+    // clusters; the survivor is the highest-QUALITY member (tie ->
+    // lowest id), not the lowest id — what production curation
+    // actually ships. One window argmax over the labeled corpus ----
+    Q("q70_dedup_keep_best",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val docs = T(s, d, "documents")
+        val pairs = Dedup.minhashNearDuplicates(docs, "text", "doc_id",
+          threshold = 0.5, ngram = 3)
+        val comp = graft.ops.Components
+          .connectedComponents(pairs, "a", "b")
+          .withColumnRenamed("id", "doc_id")
+        docs.select($"doc_id",
+            TextFunctions.qualityScore($"text").as("q"))
+          .join(comp, Seq("doc_id"), "left")
+          .select($"doc_id",
+            coalesce($"component", $"doc_id").as("component"), $"q")
+          .withColumn("rn", row_number().over(Window
+            .partitionBy($"component")
+            .orderBy($"q".desc, $"doc_id".asc)))
+          .where($"rn" === 1)
+          .select($"doc_id", $"component", $"q".as("quality"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH RECURSIVE $dCandidateCtes,
+              |${dNearDupDropCtes("documents", 0.5)},
+              |edges AS (
+              |  SELECT a, b FROM scored
+              |  WHERE round(CASE WHEN un = 0 THEN 0.0
+              |        ELSE CAST(st - un AS DOUBLE) / un END, 6) >= 0.5),
+              |und AS (SELECT a, b FROM edges
+              |        UNION SELECT b AS a, a AS b FROM edges),
+              |reach AS (
+              |  SELECT doc_id AS src, doc_id AS node FROM documents
+              |  UNION
+              |  SELECT r.src, u.b AS node
+              |  FROM reach r JOIN und u ON u.a = r.node),
+              |comp AS (
+              |  SELECT src AS doc_id, min(node) AS component
+              |  FROM reach GROUP BY src),
+              |qf AS ($dQualityFeatures FROM documents),
+              |qq AS (SELECT doc_id, $dQualityExpr AS q FROM qf),
+              |lab AS (SELECT c.doc_id, c.component, qq.q
+              |        FROM comp c JOIN qq USING (doc_id))
+              |SELECT doc_id, component, q AS quality FROM (
+              |  SELECT doc_id, component, q, row_number() OVER (
+              |    PARTITION BY component ORDER BY q DESC, doc_id ASC)
+              |    AS rn
+              |  FROM lab) WHERE rn = 1
+              |ORDER BY doc_id""".stripMargin)),
+
     // ---- deterministic hash split/sampling: md5-bucket assignment is
     // engine-portable and stable under recuration (randomSplit's
     // per-partition RNG is neither) ----
