@@ -908,12 +908,17 @@ object OsmQueries {
             $"col" === $"nid")
           .select($"id", $"pos", ($"lon" / 1e7).as("x"),
             ($"lat" / 1e7).as("y"))
-        val a = pts.as("a"); val b = pts.as("b")
-        val segs = a.join(b,
-            $"a.id" === $"b.id" && $"b.pos" === $"a.pos" + 1)
-          .select($"a.id".as("id"),
-            sqrt(($"b.x" - $"a.x") * ($"b.x" - $"a.x") +
-              ($"b.y" - $"a.y") * ($"b.y" - $"a.y")).as("seg"))
+        // consecutive points via lag over (id, pos): ONE shuffle, vs a
+        // self-join on (id, pos+1) shuffling the exploded set twice
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"id").orderBy($"pos")
+        val segs = pts
+          .withColumn("px", lag($"x", 1).over(w))
+          .withColumn("py", lag($"y", 1).over(w))
+          .where($"px".isNotNull)
+          .select($"id",
+            sqrt(($"x" - $"px") * ($"x" - $"px") +
+              ($"y" - $"py") * ($"y" - $"py")).as("seg"))
         segs.groupBy($"id")
           .agg(count(lit(1)).as("n_segs"),
             round(sum($"seg".cast("decimal(25,12)")).cast("double"), 6)
