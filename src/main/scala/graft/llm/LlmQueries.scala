@@ -751,6 +751,46 @@ object LlmQueries {
              |  sbucket < 2000 AS in_sample
              |FROM b ORDER BY doc_id""".stripMargin)),
 
+    // ---- JSONL shard export round trip: the sink format training
+    // pipelines actually consume. Split-assigned docs are written
+    // partitionBy(split) as JSONL (text with newlines survives JSON
+    // escaping), read back through partition discovery, and
+    // aggregated per split; the oracle recomputes the same aggregates
+    // from the inputs — so the write→read round trip must be lossless
+    // for the row to hash-match ----
+    Q("q71_jsonl_export",
+      (s, d) => {
+        import s.implicits._
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-q71-jsonl").toString
+        T(s, d, "documents")
+          .select($"doc_id", $"text", $"lang", $"source",
+            Curate.splitAssign($"doc_id",
+              Seq("train" -> 8000, "val" -> 1000, "test" -> 1000))
+              .as("split"))
+          .write.mode("overwrite").partitionBy("split").json(out)
+        s.read.json(out)
+          .groupBy($"split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"doc_id").as("sum_ids"),
+            sum(length($"text")).as("sum_chars"),
+            countDistinct($"source").as("n_sources"))
+          .orderBy($"split")
+      },
+      Some("""WITH b AS (SELECT doc_id, text, source,
+             |  CAST(concat('0x', substr(md5(concat('graft',
+             |    CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 10000
+             |    AS bucket
+             |  FROM documents)
+             |SELECT CASE WHEN bucket < 8000 THEN 'train'
+             |            WHEN bucket < 9000 THEN 'val'
+             |            ELSE 'test' END AS split,
+             |  count(*) AS n_docs,
+             |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+             |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+             |  count(DISTINCT source) AS n_sources
+             |FROM b GROUP BY 1 ORDER BY split""".stripMargin)),
+
     // ---- Gopher/MassiveText repetition signals: duplicate-line
     // fractions are map-side array ops; the top word-bigram is ONE
     // hash-agg + per-doc argmax window (deterministic tiebreak) ----
