@@ -91,4 +91,102 @@ object Curate {
   def sampleHash(df: DataFrame, idCol: String, permyriad: Int,
                  salt: String = "sample"): DataFrame =
     df.where(hashBucket(col(idCol), salt) < permyriad)
+
+  /** Weighted corpus mixing: re-weight each source to `weights(source)`
+    * expected epochs per document (0.35 = keep 35%; 2.5 = two full
+    * copies plus a 50% chance of a third). The integer part duplicates
+    * every row (an `epoch` column 1..n disambiguates the copies — a
+    * downstream shuffle spreads them); the fractional part is decided
+    * per document by the same md5 permyriad bucket as [[hashBucket]],
+    * so the mix is exactly reproducible under any partitioning and
+    * stable under incremental recuration. Sources absent from
+    * `weights` default to 1.0 (pass 0.0 to drop). Pure map-side +
+    * one generator — no RNG, no shuffle. */
+  def mixCorpus(docs: DataFrame, idCol: String, sourceCol: String,
+                weights: Map[String, Double],
+                salt: String = "mix"): DataFrame = {
+    require(weights.values.forall(w => w >= 0 && w < 100),
+      s"mix weights must be in [0, 100), got $weights")
+    val w = weights.foldLeft(lit(1.0)) { case (acc, (src, wt)) =>
+      when(col(sourceCol) === src, lit(wt)).otherwise(acc)
+    }
+    val whole = floor(w).cast("long")
+    val fracPermyriad = round((w - floor(w)) * 10000).cast("long")
+    val copies = whole +
+      when(hashBucket(col(idCol), salt) < fracPermyriad, 1L)
+        .otherwise(0L)
+    docs.withColumn("__copies", copies)
+      .where(col("__copies") > 0)
+      .withColumn("epoch",
+        explode(sequence(lit(1L), col("__copies"))))
+      .drop("__copies")
+  }
+
+  /** Exclusive prefix sum of `tokCol` in global `idCol` order — the
+    * building block of sequence packing — as a SCALABLE two-phase scan
+    * rather than a single global window (which Spark executes on ONE
+    * partition: a non-starter at corpus scale). Phase 1 range-partitions
+    * by id and computes per-partition token sums (rows proportional to
+    * the partition count, not the corpus — same class as an IVF
+    * centroid collect); phase 2 turns their running totals into a
+    * literal pid->offset map and adds a WITHIN-partition running sum.
+    * Range boundaries may vary run to run, but `start` depends only on
+    * the global id order, so the output is deterministic.
+    *
+    * Returns (idCol, tok, start) with start = sum of all earlier docs'
+    * tok. */
+  def tokenStarts(docs: DataFrame, idCol: String, tokCol: Column,
+                  numPartitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val nPart = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val toks = docs
+      .select(col(idCol), tokCol.cast("long").as("tok"))
+      .repartitionByRange(nPart, col(idCol))
+      .sortWithinPartitions(idCol)
+      .withColumn("__pid", spark_partition_id())
+      // eager checkpoint: phase 1's collect and phase 2's window read
+      // the SAME materialized partitioning (re-executing the range
+      // exchange could place boundaries differently between phases);
+      // the between-query sweep reclaims the blocks
+      .localCheckpoint(true)
+    val sums = toks.groupBy("__pid")
+      .agg(sum("tok").as("s"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = sums.map(_._1)
+      .zip(sums.map(_._2).scanLeft(0L)(_ + _))
+    val offCol =
+      if (offsets.isEmpty) lit(0L)
+      else coalesce(element_at(
+        map(offsets.flatMap { case (p, o) =>
+          Seq(lit(p), lit(o)) }: _*), col("__pid")), lit(0L))
+    val w = Window.partitionBy("__pid").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks.withColumn("start",
+        coalesce(sum(col("tok")).over(w), lit(0L)) + offCol)
+      .drop("__pid")
+  }
+
+  /** Sequence packing: lay the corpus's token stream end-to-end in
+    * `idCol` order (each document contributes `tokCol` tokens) and cut
+    * it into fixed `seqLen`-token training windows, documents spanning
+    * a boundary split across both windows (the GPT-style pack-and-slice
+    * scheme). Emits the packing manifest: one row per (sequence,
+    * document) overlap with the token count the document contributes to
+    * that sequence. Built on [[tokenStarts]], so the scan scales. */
+  def packSequences(docs: DataFrame, idCol: String, tokCol: Column,
+                    seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val L = lit(seqLen.toLong)
+    tokenStarts(docs, idCol, tokCol)
+      .where(col("tok") > 0)
+      .withColumn("seq_id",
+        explode(sequence(floor(col("start") / L).cast("long"),
+          floor((col("start") + col("tok") - 1) / L).cast("long"))))
+      .select(col("seq_id"), col(idCol),
+        (least(col("start") + col("tok"), (col("seq_id") + 1) * L) -
+          greatest(col("start"), col("seq_id") * L)).as("n_tokens"))
+  }
 }

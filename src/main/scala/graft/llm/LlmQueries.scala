@@ -1173,6 +1173,139 @@ object LlmQueries {
              |       WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
              |  octet_length(CAST(text AS BLOB)) AS n_bytes,
              |  md5(hex(CAST(text AS BLOB))) AS content_hash
-             |FROM documents ORDER BY asset_id""".stripMargin))
+             |FROM documents ORDER BY asset_id""".stripMargin)),
+
+    // ---- sequence packing: lay the token stream (ws tokens + 1 EOS
+    // per doc) end-to-end in doc_id order and slice it into 512-token
+    // training windows; docs crossing a boundary split across both.
+    // The global prefix sum is the scalable two-phase scan of
+    // [[Curate.tokenStarts]] (per-partition sums -> driver prefix ->
+    // within-partition windows), NOT a single global window (which
+    // Spark would execute on one partition). Output = the per-sequence
+    // packing manifest ----
+    Q("q72_sequence_packing",
+      (s, d) => {
+        import s.implicits._
+        Curate.packSequences(T(s, d, "documents"), "doc_id",
+            TextFunctions.tokenCountWs($"text") + 1, 512)
+          .groupBy($"seq_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_tokens").as("n_tokens"),
+            min($"doc_id").as("first_doc"),
+            max($"doc_id").as("last_doc"))
+          .orderBy($"seq_id")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, CAST(len($dTokens) + 1 AS BIGINT) AS tok
+              |  FROM documents),
+              |st AS (SELECT doc_id, tok,
+              |  CAST(coalesce(sum(tok) OVER (ORDER BY doc_id
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              |    0) AS BIGINT) AS strt
+              |  FROM t),
+              |x AS (SELECT doc_id, strt, strt + tok AS fin,
+              |  unnest(generate_series(strt // 512,
+              |                         (strt + tok - 1) // 512))
+              |    AS seq_id
+              |  FROM st)
+              |SELECT CAST(seq_id AS BIGINT) AS seq_id,
+              |  count(*) AS n_docs,
+              |  CAST(sum(least(fin, (seq_id + 1) * 512)
+              |      - greatest(strt, seq_id * 512)) AS BIGINT)
+              |    AS n_tokens,
+              |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+              |FROM x GROUP BY seq_id ORDER BY seq_id""".stripMargin),
+      bench = true),
+
+    // ---- weighted corpus mixing: per-source epoch weights (drop /
+    // downsample / upsample >1x) decided per doc by the deterministic
+    // md5 permyriad bucket — exactly reproducible under any
+    // partitioning, zero shuffle (the aggregation here is just the
+    // audit). src0 dropped, src1 kept at 35%, src2 seen ~2.5 epochs,
+    // src3 ~1.6, everything else 1.0 ----
+    Q("q73_corpus_mix",
+      (s, d) => {
+        import s.implicits._
+        Curate.mixCorpus(T(s, d, "documents"), "doc_id", "source",
+            Map("src0" -> 0.0, "src1" -> 0.35, "src2" -> 2.5,
+                "src3" -> 1.6))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct($"doc_id").as("n_docs"),
+            max($"epoch").as("max_epoch"),
+            sum($"doc_id" * $"epoch").as("checksum"))
+          .orderBy($"source")
+      },
+      Some("""WITH w AS (SELECT doc_id, source,
+             |  CASE source WHEN 'src0' THEN 0.0 WHEN 'src1' THEN 0.35
+             |       WHEN 'src2' THEN 2.5 WHEN 'src3' THEN 1.6
+             |       ELSE 1.0 END AS wt,
+             |  CAST(concat('0x', substr(md5(concat('mix',
+             |    CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 10000
+             |    AS b
+             |  FROM documents),
+             |c AS (SELECT doc_id, source,
+             |  CAST(floor(wt) AS BIGINT)
+             |  + CASE WHEN b < CAST(round((wt - floor(wt)) * 10000)
+             |                  AS BIGINT)
+             |         THEN 1 ELSE 0 END AS copies
+             |  FROM w),
+             |e AS (SELECT doc_id, source,
+             |  CAST(unnest(generate_series(1, CAST(copies AS INT)))
+             |       AS BIGINT) AS epoch
+             |  FROM c WHERE copies > 0)
+             |SELECT source, count(*) AS n_rows,
+             |  count(DISTINCT doc_id) AS n_docs,
+             |  max(epoch) AS max_epoch,
+             |  CAST(sum(doc_id * epoch) AS BIGINT) AS checksum
+             |FROM e GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- PII scrubbing: mask emails / URLs / phone numbers with
+    // typed placeholders and count each class. The corpus text has no
+    // planted PII, so the query CONSTRUCTS a contact header around
+    // each doc (id-derived mailbox, URL, phone) — the masking then has
+    // >= 3 guaranteed hits per row and the full masked text is
+    // hash-compared. Pure regexp_replace stack, map-side only ----
+    Q("q74_pii_scrub",
+      (s, d) => {
+        import s.implicits._
+        val raw = concat(
+          lit("From user"), $"doc_id", lit("@example.com ("),
+          lit("https://"), $"source", lit(".example.org/d/"), $"doc_id",
+          lit(", tel +1 555 0"), lpad(($"doc_id" % 1000).cast("string"),
+            3, "0"),
+          lit(") :: "), $"text")
+        T(s, d, "documents")
+          .select($"doc_id", raw.as("raw"))
+          .select($"doc_id",
+            TextFunctions.piiMask($"raw").as("masked"),
+            TextFunctions.piiCount($"raw", TextFunctions.EmailPattern)
+              .cast("long").as("n_email"),
+            TextFunctions.piiCount($"raw", TextFunctions.UrlPattern)
+              .cast("long").as("n_url"),
+            TextFunctions.piiCount($"raw", TextFunctions.PhonePattern)
+              .cast("long").as("n_phone"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH r AS (SELECT doc_id,
+             |  concat('From user', CAST(doc_id AS VARCHAR),
+             |    '@example.com (https://', source, '.example.org/d/',
+             |    CAST(doc_id AS VARCHAR), ', tel +1 555 0',
+             |    lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'),
+             |    ') :: ', text) AS raw
+             |  FROM documents)
+             |SELECT doc_id,
+             |  regexp_replace(regexp_replace(regexp_replace(raw,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             |    '<EMAIL>', 'g'),
+             |    'https?://[^\s]+', '<URL>', 'g'),
+             |    '\+\d(?:[ -]?\d){6,13}', '<PHONE>', 'g') AS masked,
+             |  len(regexp_extract_all(raw,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             |    AS n_email,
+             |  len(regexp_extract_all(raw, 'https?://[^\s]+')) AS n_url,
+             |  len(regexp_extract_all(raw, '\+\d(?:[ -]?\d){6,13}'))
+             |    AS n_phone
+             |FROM r ORDER BY doc_id""".stripMargin))
   )
 }

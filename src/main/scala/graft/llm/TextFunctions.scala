@@ -217,4 +217,36 @@ object TextFunctions {
   /** Convenience form over raw text; prefer staging `tokens` first in
     * hot plans (see [[bigramsFromTokens]]). */
   def wordBigrams(text: Column): Column = bigramsFromTokens(tokens(text))
+
+  // ---- PII scrubbing ----------------------------------------------------
+  // Patterns restricted to the regex subset with identical semantics in
+  // Java's engine (Spark) and RE2 (DuckDB, and most scrubbing tools):
+  // no backrefs, no lookaround, \d/\S/literal classes only.
+
+  /** `local@domain.tld` mailbox pattern. */
+  val EmailPattern = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+
+  /** `http(s)://` URL up to whitespace. */
+  val UrlPattern = """https?://[^\s]+"""
+
+  /** International-format phone: `+` then 7..14 digits with optional
+    * single spaces/dashes between them. Anchored on the `+` so plain
+    * numbers in prose don't false-positive. */
+  val PhonePattern = """\+\d(?:[ -]?\d){6,13}"""
+
+  /** Count of pattern occurrences (non-overlapping). */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Mask emails, then URLs, then phone numbers with typed placeholder
+    * tokens. Email runs FIRST so a mailbox inside a URL query string is
+    * typed as the more specific <EMAIL>; the URL pass then absorbs the
+    * rest of the URL around the placeholder. Pure codegen'd
+    * regexp_replace stack — zero shuffle, scales as a map stage. */
+  def piiMask(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        UrlPattern, "<URL>"),
+      PhonePattern, "<PHONE>")
 }

@@ -339,4 +339,88 @@ class LlmSpec extends AnyFunSuite {
     val n = Curate.sampleHash(ids, "doc_id", 2000).count()
     assert(n > 300 && n < 500)
   }
+
+  test("tokenStarts two-phase scan equals a single global prefix sum") {
+    import org.apache.spark.sql.expressions.Window
+    val d = spark.range(0, 500)
+      .select($"id".as("doc_id"), ($"id" % 37 + 1).as("tok"))
+      .repartition(7) // scrambled input partitioning
+    val got = Curate.tokenStarts(d, "doc_id", $"tok", numPartitions = 5)
+      .select($"doc_id", $"start").as[(Long, Long)].collect().toMap
+    val want = d.withColumn("start",
+        coalesce(sum($"tok").over(Window.orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"doc_id", $"start").as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("packSequences: full cover, capacity-exact, order-preserving") {
+    val L = 100
+    val d = spark.range(0, 200)
+      .select($"id".as("doc_id"), ($"id" % 53 + 1).as("tok"))
+    val total = d.agg(sum($"tok")).as[Long].head()
+    val packed = Curate.packSequences(d, "doc_id", $"tok", L)
+    val perSeq = packed.groupBy($"seq_id")
+      .agg(sum($"n_tokens").as("nt")).as[(Long, Long)]
+      .collect().sortBy(_._1)
+    // every sequence is exactly full except possibly the last
+    assert(perSeq.init.forall(_._2 == L))
+    assert(perSeq.map(_._2).sum == total)
+    // sequence ids are contiguous from 0
+    assert(perSeq.map(_._1).toSeq == (0L until perSeq.length).toSeq)
+    // each doc's contributions sum to its token count
+    val perDoc = packed.groupBy($"doc_id")
+      .agg(sum($"n_tokens").as("nt")).as[(Long, Long)].collect().toMap
+    val toks = d.as[(Long, Long)].collect().toMap
+    assert(perDoc == toks)
+  }
+
+  test("mixCorpus: drop / downsample / upsample epochs, deterministic") {
+    val d = spark.range(0, 1000).select($"id".as("doc_id"),
+      concat(lit("s"), ($"id" % 4).cast("string")).as("source"))
+    val mixed = Curate.mixCorpus(d, "doc_id", "source",
+      Map("s0" -> 0.0, "s1" -> 0.4, "s2" -> 2.0, "s3" -> 2.5))
+    val bySrc = mixed.groupBy($"source")
+      .agg(count(lit(1)).as("n"), countDistinct($"doc_id").as("nd"),
+        max($"epoch").as("me"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(!bySrc.contains("s0"))                   // dropped
+    val (n1, nd1, me1) = bySrc("s1")                // ~40% kept once
+    assert(me1 == 1 && n1 == nd1 && n1 > 60 && n1 < 140)
+    val (n2, nd2, me2) = bySrc("s2")                // exactly 2 epochs
+    assert(me2 == 2 && nd2 == 250 && n2 == 500)
+    val (n3, nd3, me3) = bySrc("s3")                // 2 or 3 epochs
+    assert(me3 == 3 && nd3 == 250 && n3 > 550 && n3 < 700)
+    // reproducible under any partitioning
+    val again = Curate.mixCorpus(d.repartition(11), "doc_id", "source",
+      Map("s0" -> 0.0, "s1" -> 0.4, "s2" -> 2.0, "s3" -> 2.5))
+    assert(mixed.except(again).isEmpty && again.except(mixed).isEmpty)
+  }
+
+  test("piiMask masks emails, urls, phones; counts match") {
+    val d = Seq(
+      (1L, "write bob.smith+x@corp.example.com or see " +
+        "https://a.example.org/p?q=1 call +44 20-7946-0958 ok"),
+      (2L, "no pii here, just 12345 and words"),
+      (3L, "two mails a@b.io c@d.co and http://x.y/z"))
+      .toDF("doc_id", "text")
+    val r = d.select($"doc_id",
+        TextFunctions.piiMask($"text").as("m"),
+        TextFunctions.piiCount($"text", TextFunctions.EmailPattern)
+          .as("ne"),
+        TextFunctions.piiCount($"text", TextFunctions.UrlPattern)
+          .as("nu"),
+        TextFunctions.piiCount($"text", TextFunctions.PhonePattern)
+          .as("np"))
+      .as[(Long, String, Int, Int, Int)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(r(1L)._2 ==
+      "write <EMAIL> or see <URL> call <PHONE> ok")
+    assert((r(1L)._3, r(1L)._4, r(1L)._5) == (1, 1, 1))
+    assert(r(2L)._2 == "no pii here, just 12345 and words")
+    assert((r(2L)._3, r(2L)._4, r(2L)._5) == (0, 0, 0))
+    assert(r(3L)._2 == "two mails <EMAIL> <EMAIL> and <URL>")
+    assert((r(3L)._3, r(3L)._4, r(3L)._5) == (2, 1, 0))
+  }
 }
