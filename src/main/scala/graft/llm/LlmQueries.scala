@@ -1306,6 +1306,144 @@ object LlmQueries {
              |  len(regexp_extract_all(raw, 'https?://[^\s]+')) AS n_url,
              |  len(regexp_extract_all(raw, '\+\d(?:[ -]?\d){6,13}'))
              |    AS n_phone
-             |FROM r ORDER BY doc_id""".stripMargin))
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // ---- overlapping chunking (the RAG/window-attention shape):
+    // 64-token windows every 48 tokens (16-token overlap), last chunk
+    // ragged, full token coverage guaranteed ((nchunks-1)*stride +
+    // window >= n by the ceil). One explode over a staged token
+    // array — no shuffle until the final sort ----
+    Q("q75_chunk_overlap",
+      (s, d) => {
+        import s.implicits._
+        val (win, stride) = (64, 48)
+        T(s, d, "documents")
+          .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
+          .withColumn("n", size($"toks"))
+          .where($"n" > 0)
+          .withColumn("nchunks",
+            when($"n" <= win, lit(1L)).otherwise(
+              floor(($"n" - win + stride - 1) / lit(stride))
+                .cast("long") + 1L))
+          .withColumn("chunk_id",
+            explode(sequence(lit(0L), $"nchunks" - 1)))
+          .select($"doc_id", $"chunk_id",
+            slice($"toks", ($"chunk_id" * stride + 1).cast("int"),
+              lit(win)).as("ctoks"))
+          .select($"doc_id", $"chunk_id",
+            size($"ctoks").cast("long").as("n_tok"),
+            concat_ws(" ", $"ctoks").as("chunk"))
+          .orderBy($"doc_id", $"chunk_id")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, $dTokens AS t FROM documents),
+              |n AS (SELECT doc_id, t, len(t) AS n FROM tk
+              |      WHERE len(t) > 0),
+              |c AS (SELECT doc_id, t, n,
+              |  CASE WHEN n <= 64 THEN 1
+              |       ELSE (n - 64 + 47) // 48 + 1 END AS nchunks
+              |  FROM n),
+              |e AS (SELECT doc_id, t, n,
+              |  CAST(unnest(generate_series(0, nchunks - 1)) AS BIGINT)
+              |    AS chunk_id
+              |  FROM c)
+              |SELECT doc_id, chunk_id,
+              |  CAST(len(t[CAST(chunk_id * 48 + 1 AS INT)
+              |             : CAST(least(chunk_id * 48 + 64, n) AS INT)])
+              |       AS BIGINT) AS n_tok,
+              |  array_to_string(
+              |    t[CAST(chunk_id * 48 + 1 AS INT)
+              |      : CAST(least(chunk_id * 48 + 64, n) AS INT)], ' ')
+              |    AS chunk
+              |FROM e ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // ---- vocabulary build + OOV audit: global token counts, top-500
+    // vocabulary by (count desc, token asc) — the top-V is a
+    // distributed TakeOrdered, NOT a global-window rank over the whole
+    // token table, and the id-assigning row_number runs on the
+    // 500-row result (bounded by V, not the corpus). The vocab is
+    // explicitly broadcast into the per-doc OOV join ----
+    Q("q76_vocab_oov",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val toks = T(s, d, "documents")
+          .select($"doc_id",
+            explode(TextFunctions.tokens($"text")).as("tok"))
+        val vocab = toks.groupBy($"tok")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy($"cnt".desc, $"tok".asc).limit(500)
+          .withColumn("tid", row_number()
+            .over(Window.orderBy($"cnt".desc, $"tok".asc)).cast("long"))
+        toks.join(broadcast(vocab.select($"tok", $"tid")),
+            Seq("tok"), "left")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_tok"),
+            sum(when($"tid".isNull, 1L).otherwise(0L)).as("n_oov"))
+          .select($"doc_id", $"n_tok", $"n_oov",
+            round($"n_oov" / $"n_tok", 6).as("oov_rate"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($dTokens) AS tok
+              |  FROM documents),
+              |cnt AS (SELECT tok, count(*) AS cnt FROM tok
+              |        GROUP BY tok),
+              |vocab AS (SELECT tok FROM cnt
+              |          ORDER BY cnt DESC, tok LIMIT 500),
+              |j AS (SELECT t.doc_id,
+              |  CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+              |  FROM tok t LEFT JOIN vocab v ON v.tok = t.tok)
+              |SELECT doc_id, count(*) AS n_tok,
+              |  CAST(sum(oov) AS BIGINT) AS n_oov,
+              |  round(CAST(sum(oov) AS DOUBLE) / count(*), 6)
+              |    AS oov_rate
+              |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- cross-source similarity matrix: exact pairwise shingle
+    // Jaccard between sources. Distinct (source, shingle) first, so
+    // the self-join key space is bounded by #sources per shingle —
+    // the blow-up per join key is <= sources^2 regardless of corpus
+    // size; per-source set sizes broadcast into the final ratio ----
+    Q("q77_source_similarity",
+      (s, d) => {
+        import s.implicits._
+        val sh = T(s, d, "documents")
+          .select($"source",
+            explode(TextFunctions.ngramShingleHashes($"text", 3))
+              .as("h"))
+          .distinct()
+        val sizes = sh.groupBy($"source").agg(count(lit(1)).as("sz"))
+        sh.as("x").join(sh.as("y"),
+            col("x.h") === col("y.h") &&
+              col("x.source") < col("y.source"))
+          .groupBy(col("x.source").as("source_a"),
+            col("y.source").as("source_b"))
+          .agg(count(lit(1)).as("inter"))
+          .join(broadcast(sizes.as("sa")),
+            col("source_a") === col("sa.source"))
+          .join(broadcast(sizes.as("sb")),
+            col("source_b") === col("sb.source"))
+          .select($"source_a", $"source_b", $"inter",
+            round($"inter" /
+              (col("sa.sz") + col("sb.sz") - $"inter"), 6)
+              .as("jaccard"))
+          .orderBy($"source_a", $"source_b")
+      },
+      Some(s"""WITH sh AS (SELECT DISTINCT source,
+              |    unnest($dShingles3) AS h
+              |  FROM documents),
+              |sz AS (SELECT source, count(*) AS sz FROM sh
+              |       GROUP BY source),
+              |p AS (SELECT x.source AS source_a, y.source AS source_b,
+              |    count(*) AS inter
+              |  FROM sh x JOIN sh y
+              |    ON x.h = y.h AND x.source < y.source
+              |  GROUP BY 1, 2)
+              |SELECT source_a, source_b,
+              |  CAST(inter AS BIGINT) AS inter,
+              |  round(CAST(inter AS DOUBLE)
+              |        / (sa.sz + sb.sz - inter), 6) AS jaccard
+              |FROM p JOIN sz sa ON sa.source = source_a
+              |       JOIN sz sb ON sb.source = source_b
+              |ORDER BY source_a, source_b""".stripMargin))
   )
 }
