@@ -470,6 +470,59 @@ object Queries {
              |  AND lng >= 100.0 AND lng <= 150.0
              |ORDER BY node_id""".stripMargin)),
 
+    // ---- spatial k-nearest-neighbors: top-20 points nearest a query
+    // point. The Spark plan NEVER ranks the planet: a disc covering
+    // prunes the scan to candidate cells (the 15-degree disc provably
+    // holds >= k points at every test SF), the exact great-circle
+    // distance runs map-side on the survivors, and orderBy+limit
+    // executes as TakeOrdered (per-partition top-k, driver merge of
+    // k rows per partition — no global sort shuffle). The oracle is
+    // prune-blind: full-scan ORDER BY distance LIMIT k, so a covering
+    // that wrongly dropped a true neighbor fails the row compare ----
+    Q("q78_spatial_knn",
+      (s, d) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        val (qLat, qLng, k) = (25.0, 10.0, 20)
+        val loc = T(s, d, "orders").select(
+          $"o_orderkey".as("node_id"),
+          ((($"o_orderkey" * 981451653L) % 1200000000L - 600000000L) /
+            lit(1e7)).as("lat"),
+          ((($"o_orderkey" * 2147483629L) % 3600000000L - 1800000000L) /
+            lit(1e7)).as("lng"))
+        val region = new graft.spatial.Region(Seq(
+          graft.spatial.DiscRegion(qLat, qLng, 15.0)))
+        val ranges = graft.spatial.Coverer.coveringRanges(region)
+        val cell = graft.functions.GraftFunctions
+          .s2CellId($"lat", $"lng", 16)
+        val dist = degrees(acos(least(lit(1.0), greatest(lit(-1.0),
+          sin(radians(lit(qLat))) * sin(radians($"lat")) +
+            cos(radians(lit(qLat))) * cos(radians($"lat")) *
+              cos(radians($"lng" - lit(qLng)))))))
+        loc.where(graft.spatial.SpatialScan.cellInRanges(cell, ranges))
+          .withColumn("dist", dist)
+          .orderBy($"dist".asc, $"node_id".asc)
+          .limit(k)
+          .select($"node_id", $"lat", $"lng",
+            round($"dist", 6).as("dist_deg"))
+      },
+      Some("""WITH loc AS (
+             |  SELECT o_orderkey AS node_id,
+             |    ((o_orderkey * 981451653) % 1200000000 - 600000000) / 1e7
+             |      AS lat,
+             |    ((o_orderkey * 2147483629) % 3600000000 - 1800000000) / 1e7
+             |      AS lng
+             |  FROM orders),
+             |dd AS (SELECT node_id, lat, lng,
+             |  degrees(acos(least(1.0, greatest(-1.0,
+             |    sin(radians(25.0))*sin(radians(lat)) +
+             |    cos(radians(25.0))*cos(radians(lat))
+             |      *cos(radians(lng - 10.0)))))) AS dist
+             |  FROM loc)
+             |SELECT node_id, lat, lng, round(dist, 6) AS dist_deg
+             |FROM dd ORDER BY dist ASC, node_id ASC LIMIT 20"""
+        .stripMargin)),
+
     // ---- G4+G6+G7 osmosis .poly region end to end: two independent
     // outer loops (each an OR-region, `src/region.cpp:47-70,85-100`),
     // parsed by Region, covering-pruned by RegionRewrite, exact JTS

@@ -1444,6 +1444,37 @@ object LlmQueries {
               |        / (sa.sz + sb.sz - inter), 6) AS jaccard
               |FROM p JOIN sz sa ON sa.source = source_a
               |       JOIN sz sb ON sb.source = source_b
-              |ORDER BY source_a, source_b""".stripMargin))
+              |ORDER BY source_a, source_b""".stripMargin)),
+
+    // ---- per-source quality quota: keep each source's top-5 docs by
+    // quality (stratified curation — a global top-N would let one
+    // high-quality source crowd out the rest). Window ranks WITHIN a
+    // source partition, so the shuffle key is the source and the sort
+    // is per-group; quality is the 6-dp-rounded score (tie-broken by
+    // doc_id) so the rank is engine-exact ----
+    Q("q79_quality_quota",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        T(s, d, "documents")
+          .select($"doc_id", $"source",
+            TextFunctions.qualityScore($"text").as("quality"))
+          .withColumn("rank", row_number().over(Window
+            .partitionBy($"source")
+            .orderBy($"quality".desc, $"doc_id".asc)).cast("long"))
+          .where($"rank" <= 5)
+          .select($"source", $"rank", $"doc_id", $"quality")
+          .orderBy($"source", $"rank")
+      },
+      Some(s"""WITH f AS ($dQualityFeatures, source FROM documents),
+              |q AS (SELECT doc_id, source, $dQualityExpr AS quality
+              |      FROM f)
+              |SELECT source, rank, doc_id, quality FROM (
+              |  SELECT source, doc_id, quality,
+              |    CAST(row_number() OVER (PARTITION BY source
+              |      ORDER BY quality DESC, doc_id ASC) AS BIGINT)
+              |      AS rank
+              |  FROM q)
+              |WHERE rank <= 5 ORDER BY source, rank""".stripMargin))
   )
 }
