@@ -723,6 +723,34 @@ object Queries {
              |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
              |    AS sum_value
              |FROM g GROUP BY user_id, sid
-             |ORDER BY user_id, session_start""".stripMargin))
+             |ORDER BY user_id, session_start""".stripMargin)),
+
+    // ---- sliding (hopping) windows: 2-hour windows every hour, so each
+    // event lands in exactly size/slide = 2 windows. Spark's native
+    // `window(ts, size, slide)` expands the assignment map-side (a
+    // projection, no join); the oracle mirrors it by unioning the two
+    // hour-offset window starts. One shuffle on (window, event_type) ----
+    Q("q81_sliding_window",
+      (s, d) => {
+        import s.implicits._
+        T(s, d, "events")
+          .groupBy(window($"ts", "2 hours", "1 hour"), $"event_type")
+          .agg(count(lit(1)).as("n"), moneySum($"value").as("sum_value"))
+          .select(
+            date_format($"window.start", "yyyy-MM-dd HH:mm:ss")
+              .as("win_start"),
+            $"event_type", $"n", $"sum_value")
+          .orderBy($"win_start", $"event_type")
+      },
+      Some("""WITH w AS (
+             |  SELECT event_type, value,
+             |    date_trunc('hour', ts) - k * INTERVAL 1 HOUR AS ws
+             |  FROM events, generate_series(0, 1) AS t(k))
+             |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
+             |  event_type, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+             |    AS sum_value
+             |FROM w GROUP BY 1, 2
+             |ORDER BY win_start, event_type""".stripMargin))
   )
 }

@@ -147,6 +147,55 @@ object Dedup {
     docs.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Exact duplicated-substring spans (the "dedup repeated substrings"
+    * pass of training-data curation): every k-char window that occurs
+    * more than once corpus-wide is flagged, and per document the flagged
+    * window positions are merged into maximal spans (gaps-and-islands).
+    * Output: doc_id, span_start (1-based), span_end (inclusive),
+    * n_shingles — the character ranges a cleaning pass would cut.
+    *
+    * Scale design: the reference algorithm (suffix arrays) is
+    * single-node; the distributed shape is ONE shuffle grouping k-char
+    * window hashes (8-byte md5 prefix, not the substring itself — ~k x
+    * less exchange width), a semi-join back to positions, and a per-doc
+    * window for the interval merge (partitioned by doc — no global
+    * sort). Window-hash keys are uniform, so no skew salting is needed;
+    * the k x row amplification is inherent to the operator and priced
+    * map-side before the exchange. */
+  def duplicatedSpans(docs: DataFrame, textCol: String, idCol: String,
+                      k: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = docs
+      .where(length(col(textCol)) >= k)
+      .select(col(idCol).as("doc_id"),
+        explode(sequence(lit(1L), length(col(textCol)).cast("long") - (k - 1)))
+          .as("pos"),
+        col(textCol))
+      .select(col("doc_id"), col("pos"),
+        // 64-bit hash of the window; hashing (vs carrying substrings)
+        // keeps the shuffle narrow, and the oracle hashes identically so
+        // any md5-prefix collision is engine-identical.
+        substring(md5(col(textCol).substr(col("pos").cast("int"), lit(k))
+          .cast("binary")), 1, 16).as("hh"))
+    val dup = pos.groupBy("hh").count().where(col("count") > 1)
+      .select("hh")
+    val flagged = pos.join(dup, "hh").select("doc_id", "pos")
+    val prevMax = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val runn = Window.partitionBy("doc_id").orderBy("pos")
+    flagged
+      .withColumn("brk",
+        when(col("pos") > coalesce(max(col("pos")).over(prevMax),
+          lit(Long.MinValue)) + k, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(runn))
+      .groupBy("doc_id", "island")
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (k - 1)).as("span_end"),
+        count(lit(1)).as("n_shingles"))
+      .select("doc_id", "span_start", "span_end", "n_shingles")
+      .orderBy("doc_id", "span_start")
+  }
+
   /** Hamming distance between two equal-length bit strings. */
   def hamming(a: Column, b: Column): Column =
     aggregate(

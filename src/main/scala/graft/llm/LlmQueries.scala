@@ -1475,6 +1475,103 @@ object LlmQueries {
               |      ORDER BY quality DESC, doc_id ASC) AS BIGINT)
               |      AS rank
               |  FROM q)
-              |WHERE rank <= 5 ORDER BY source, rank""".stripMargin))
+              |WHERE rank <= 5 ORDER BY source, rank""".stripMargin)),
+
+    // ---- exact duplicated-substring spans (the suffix-array "dedup
+    // repeated substrings" pass, re-expressed distributed): hash every
+    // 40-char window, ONE shuffle groups window hashes corpus-wide,
+    // windows seen >1x flag their positions, and a per-doc window merge
+    // turns flagged positions into maximal cut spans ----
+    Q("q80_dup_spans",
+      (s, d) => Dedup.duplicatedSpans(T(s, d, "documents"), "text",
+        "doc_id", k = 40),
+      Some("""WITH p0 AS (
+             |  SELECT doc_id, text,
+             |    unnest(generate_series(1, len(text) - 39)) AS pos
+             |  FROM documents WHERE len(text) >= 40),
+             |p AS (
+             |  SELECT doc_id, pos,
+             |    substr(md5(substr(text, CAST(pos AS INT), 40)), 1, 16)
+             |      AS hh
+             |  FROM p0),
+             |dup AS (SELECT hh FROM p GROUP BY hh HAVING count(*) > 1),
+             |f AS (SELECT doc_id, pos FROM p
+             |      WHERE hh IN (SELECT hh FROM dup)),
+             |b AS (SELECT doc_id, pos,
+             |  CASE WHEN pos > coalesce(max(pos) OVER (
+             |         PARTITION BY doc_id ORDER BY pos
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |       -9223372036854775807) + 40 THEN 1 ELSE 0 END AS brk
+             |  FROM f),
+             |g AS (SELECT doc_id, pos,
+             |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos)
+             |          AS island
+             |      FROM b)
+             |SELECT doc_id, min(pos) AS span_start,
+             |  max(pos) + 39 AS span_end, count(*) AS n_shingles
+             |FROM g GROUP BY doc_id, island
+             |ORDER BY doc_id, span_start""".stripMargin)),
+
+    // ---- BM25 document ranking for a fixed term query (the retrieval
+    // scorer of data-curation search). Linear IDF (N-df+.5)/(df+.5)
+    // instead of its usual log: log is not correctly-rounded IEEE so it
+    // drifts between libms, while +,-,*,/ are exact-rounded and
+    // engine-identical (same rationale as q62). Per-term contributions
+    // are rounded to 6dp and summed through DECIMAL so the fold order
+    // can't change the float. Plan: tf is one hash-agg over the
+    // term-filtered token stream (the IN filter prunes map-side), df is
+    // |query| rows and broadcast, dl joins co-partitioned on doc_id ----
+    Q("q82_bm25",
+      (s, d) => {
+        import s.implicits._
+        val docs = T(s, d, "documents")
+        val terms = Seq("spark", "join", "filter")
+        val dl = docs.select($"doc_id",
+          TextFunctions.tokenCountWs($"text").cast("long").as("dl"))
+        val r = dl.agg(count(lit(1)), sum($"dl")).first()
+        val nDocs = r.getLong(0)
+        val avgdl = r.getLong(1).toDouble / nDocs.toDouble
+        val tf = docs.select($"doc_id",
+            explode(TextFunctions.tokens($"text")).as("token"))
+          .where($"token".isin(terms: _*))
+          .groupBy($"doc_id", $"token").agg(count(lit(1)).as("c"))
+        val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+        val idf = (lit(nDocs.toDouble) - $"df" + lit(0.5)) /
+          ($"df" + lit(0.5))
+        val num = $"c".cast("double") * lit(2.2)
+        val den = $"c".cast("double") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * ($"dl".cast("double") / lit(avgdl)))
+        tf.join(broadcast(df), "token")
+          .join(dl, "doc_id")
+          .select($"doc_id",
+            round(idf * (num / den), 6).cast("decimal(18,6)")
+              .as("contrib"))
+          .groupBy($"doc_id")
+          .agg(sum($"contrib").cast("double").as("score"))
+          .orderBy($"score".desc, $"doc_id".asc)
+          .limit(20)
+      },
+      Some(s"""WITH dl AS (SELECT doc_id,
+              |  CAST(len($dTokens) AS BIGINT) AS dl FROM documents),
+              |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+              |  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+              |    AS avgdl FROM dl),
+              |tok AS (SELECT doc_id, unnest($dTokens) AS token
+              |        FROM documents),
+              |tf AS (SELECT doc_id, token, count(*) AS c FROM tok
+              |       WHERE token IN ('spark', 'join', 'filter')
+              |       GROUP BY doc_id, token),
+              |df AS (SELECT token, count(*) AS df FROM tf
+              |       GROUP BY token),
+              |sc AS (SELECT tf.doc_id,
+              |  CAST(round(((st.n - df.df + 0.5) / (df.df + 0.5))
+              |    * ((CAST(c AS DOUBLE) * 2.2)
+              |       / (CAST(c AS DOUBLE) + 1.2 * (0.25 + 0.75
+              |          * (CAST(dl.dl AS DOUBLE) / st.avgdl)))), 6)
+              |    AS DECIMAL(18,6)) AS contrib
+              |  FROM tf JOIN df USING (token) JOIN dl USING (doc_id), st)
+              |SELECT doc_id, CAST(sum(contrib) AS DOUBLE) AS score
+              |FROM sc GROUP BY doc_id
+              |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin))
   )
 }
