@@ -1572,6 +1572,40 @@ object LlmQueries {
               |  FROM tf JOIN df USING (token) JOIN dl USING (doc_id), st)
               |SELECT doc_id, CAST(sum(contrib) AS DOUBLE) AS score
               |FROM sc GROUP BY doc_id
-              |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin))
+              |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // ---- cross-asset frame dedup (the video/audio near-dup primitive):
+    // sample 8 deterministic 16-byte frames per asset map-side
+    // ([[Multimodal.frameSample]] — pure BINARY substring, no UDF), hash
+    // each frame, ONE shuffle groups frame hashes corpus-wide, and
+    // frames shared by >1 asset come back as dedup candidates. The
+    // oracle mirrors the byte slicing with char substr (asset bytes are
+    // the docs' ASCII text, so char == byte) ----
+    Q("q85_frame_dedup",
+      (s, d) => {
+        import s.implicits._
+        Multimodal.assetsFromDocuments(T(s, d, "documents"))
+          .select($"asset_id",
+            explode(Multimodal.frameSample($"bytes", 8, 16)).as("frame"))
+          .select($"asset_id", md5($"frame").as("fh"))
+          .groupBy($"fh")
+          .agg(countDistinct($"asset_id").as("n_assets"),
+            count(lit(1)).as("n_occ"),
+            min($"asset_id").as("first_asset"))
+          .where($"n_assets" > 1)
+          .orderBy($"fh")
+      },
+      Some("""WITH a AS (SELECT doc_id AS asset_id, text,
+             |            len(text) AS L FROM documents),
+             |f AS (SELECT asset_id,
+             |        substr(text, CAST(floor(i * L / 8) AS INT) + 1, 16)
+             |          AS fr
+             |      FROM a, generate_series(0, 7) AS t(i))
+             |SELECT md5(fr) AS fh,
+             |  count(DISTINCT asset_id) AS n_assets,
+             |  count(*) AS n_occ, min(asset_id) AS first_asset
+             |FROM f GROUP BY fh
+             |HAVING count(DISTINCT asset_id) > 1
+             |ORDER BY fh""".stripMargin))
   )
 }

@@ -961,6 +961,128 @@ object OsmQueries {
               |       CAST(floor(lat/1e7/0.5) AS BIGINT) AS ty,
               |       count(*) AS n_nodes
               |FROM locations GROUP BY tx, ty
-              |ORDER BY tx, ty""".stripMargin))
+              |ORDER BY tx, ty""".stripMargin)),
+
+    // ---- q83: MVCC time travel. Commit v1, pin its manifest, apply a
+    // CDC batch (-> v2), then read BOTH snapshots: the pinned read must
+    // be byte-stable after the commit (copy-on-write never rewrites v1's
+    // bucket files), the current read must see the changes. Output =
+    // per-snapshot count + coordinate/version checksums; the oracle
+    // reconstructs each state in pure SQL. Exact integer sums ----
+    Q("q83_time_travel",
+      (s, d) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        val t = SyntheticOsm.materialized(s, d)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-q83-db").toString
+        VersionedTable.commitBucketed(root, Map(
+          "locations" -> ((t.locations.withColumn("s2cell",
+            graft.spatial.SpatialScan.s2CellOfFixed($"lat", $"lon")),
+            "id"))), nBuckets = 16)
+        val v1 = VersionedTable.current(root).get // pinned snapshot
+        val metaT = "struct<version:int,timestamp:bigint," +
+          "changeset:bigint,uid:bigint,user:string>"
+        val changes = VersionedTable.read(s, root, "locations")
+          .where($"id" % 17 <= 1).select(
+            $"id", lit("node").as("etype"),
+            ($"id" % 17 === 1).as("visible"),
+            ($"lon" + 1000).cast("int").as("lon"),
+            ($"lat" + 1000).cast("int").as("lat"),
+            ($"version" + 100).cast("int").as("version"),
+            lit(null).cast("array<bigint>").as("nodes"),
+            lit(null).cast(
+              "array<struct<ref:bigint,mtype:string,role:string>>")
+              .as("members"),
+            map().cast("map<string,string>").as("tags"),
+            lit(null).cast(metaT).as("meta"), lit(1L).as("seqnum"))
+        graft.streaming.Replication.applyBatch(s, root, changes,
+          batchId = 0L)
+        def snap(tag: Long, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n"),
+              sum($"lon").cast("long").as("sum_lon"),
+              sum($"lat").cast("long").as("sum_lat"),
+              sum($"version").cast("long").as("sum_version"))
+            .select(lit(tag).as("snapshot"), $"n", $"sum_lon",
+              $"sum_lat", $"sum_version")
+        snap(1L, VersionedTable.read(s, root, "locations", Some(v1)))
+          .unionAll(snap(2L, VersionedTable.read(s, root, "locations")))
+          .orderBy($"snapshot")
+      },
+      Some(s"""WITH $dOsmCtes,
+              |locations2 AS (
+              |  SELECT id, lon, lat, version FROM locations
+              |  WHERE id % 17 > 1
+              |  UNION ALL
+              |  SELECT id, CAST(lon + 1000 AS INTEGER),
+              |         CAST(lat + 1000 AS INTEGER),
+              |         CAST(version + 100 AS INTEGER)
+              |  FROM locations WHERE id % 17 = 1)
+              |SELECT CAST(1 AS BIGINT) AS snapshot, count(*) AS n,
+              |  CAST(sum(lon) AS BIGINT) AS sum_lon,
+              |  CAST(sum(lat) AS BIGINT) AS sum_lat,
+              |  CAST(sum(version) AS BIGINT) AS sum_version
+              |FROM locations
+              |UNION ALL
+              |SELECT CAST(2 AS BIGINT), count(*),
+              |  CAST(sum(lon) AS BIGINT), CAST(sum(lat) AS BIGINT),
+              |  CAST(sum(version) AS BIGINT)
+              |FROM locations2
+              |ORDER BY snapshot""".stripMargin)),
+
+    // ---- q84: incremental view maintenance. A per-tag-key node count
+    // is kept up to date from a CDC batch WITHOUT recomputing over the
+    // table: old contributions of the changed ids are fetched via the
+    // bucket-pruned readBuckets path (O(changes) data, not O(table)),
+    // negated, and merged with the new rows' contributions — base agg
+    // +/- delta. The oracle recomputes the post-change state from
+    // scratch; equality proves incremental == full ----
+    Q("q84_incremental_tags",
+      (s, d) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        val t = SyntheticOsm.materialized(s, d)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-q84-db").toString
+        VersionedTable.commitBucketed(root,
+          Map("nodes" -> ((t.nodes, "id"))), nBuckets = 16)
+        val changes = t.locations.where($"id" % 17 <= 1).select(
+          $"id", ($"id" % 17 === 1).as("visible"),
+          when($"id" % 2 === 0,
+            map(lit("status"), lit("X"), lit("urgent"), lit("1")))
+            .otherwise(map().cast("map<string,string>")).as("tags"))
+        // base aggregate (in production: the stored materialized view)
+        val base = VersionedTable.read(s, root, "nodes")
+          .select(explode(map_keys($"tags")).as("key"))
+          .groupBy($"key").agg(count(lit(1)).as("delta"))
+        // old contributions of changed ids: bucket-pruned fetch
+        val ids = changes.select($"id")
+        val buckets = VersionedTable.bucketsOf(ids, "id", 16)
+        val oldRows = VersionedTable.readBuckets(s, root, "nodes", buckets)
+          .join(ids, Seq("id"), "left_semi")
+        val minus = oldRows
+          .select(explode(map_keys($"tags")).as("key"))
+          .groupBy($"key").agg((-count(lit(1))).as("delta"))
+        val plus = changes
+          .where($"visible" && size($"tags") > 0)
+          .select(explode(map_keys($"tags")).as("key"))
+          .groupBy($"key").agg(count(lit(1)).as("delta"))
+        base.unionAll(minus).unionAll(plus)
+          .groupBy($"key").agg(sum($"delta").as("n"))
+          .where($"n" > 0)
+          .orderBy($"key")
+      },
+      Some(s"""WITH $dOsmCtes,
+              |nodes2 AS (
+              |  SELECT id, tags_s FROM onodes WHERE id % 17 > 1
+              |  UNION ALL
+              |  SELECT id, 'status=X;urgent=1' FROM locations
+              |  WHERE id % 17 = 1 AND id % 2 = 0),
+              |k AS (SELECT unnest(list_transform(
+              |        string_split(tags_s, ';'),
+              |        x -> string_split(x, '=')[1])) AS key
+              |      FROM nodes2)
+              |SELECT key, count(*) AS n FROM k
+              |GROUP BY key ORDER BY key""".stripMargin))
   )
 }
