@@ -751,6 +751,204 @@ object Queries {
              |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
              |    AS sum_value
              |FROM w GROUP BY 1, 2
-             |ORDER BY win_start, event_type""".stripMargin))
+             |ORDER BY win_start, event_type""".stripMargin)),
+
+    // ---- as-of (point-in-time) join: each purchase picks up the most
+    // recent prior-or-equal click of the same user — the feature-store
+    // join Spark has no native operator for. Implemented as the SCALABLE
+    // shape: tag both streams, union, ONE shuffle on user_id, and a
+    // linear in-partition `last(..., ignoreNulls)` carry — never the
+    // naive per-row range join (quadratic in events-per-user). Ties
+    // are broken (ts, side, event_id) with clicks first, so an
+    // equal-timestamp click IS visible to the purchase — both engines
+    // order identically ----
+    Q("q86_asof_join",
+      (s, d) => {
+        import s.implicits._
+        val e = T(s, d, "events")
+          .where($"event_type".isin("click", "purchase"))
+          .select($"event_id", $"user_id", $"ts", $"value",
+            when($"event_type" === "click", 0).otherwise(1).as("side"))
+        val w = Window.partitionBy($"user_id")
+          .orderBy($"ts", $"side", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        e.withColumn("click_id",
+            last(when($"side" === 0, $"event_id"), ignoreNulls = true)
+              .over(w))
+          .withColumn("click_value",
+            last(when($"side" === 0, $"value"), ignoreNulls = true)
+              .over(w))
+          .where($"side" === 1)
+          .select($"event_id", $"user_id",
+            date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+            $"value", $"click_id", $"click_value")
+          .orderBy($"event_id")
+      },
+      Some("""WITH u AS (
+             |  SELECT event_id, user_id, ts, value,
+             |    CASE WHEN event_type = 'click' THEN 0 ELSE 1 END
+             |      AS side
+             |  FROM events WHERE event_type IN ('click', 'purchase')),
+             |w AS (
+             |  SELECT event_id, user_id, ts, value, side,
+             |    last_value(CASE WHEN side = 0 THEN event_id END
+             |               IGNORE NULLS) OVER win AS click_id,
+             |    last_value(CASE WHEN side = 0 THEN value END
+             |               IGNORE NULLS) OVER win AS click_value
+             |  FROM u
+             |  WINDOW win AS (PARTITION BY user_id
+             |                 ORDER BY ts, side, event_id
+             |                 ROWS UNBOUNDED PRECEDING))
+             |SELECT event_id, user_id,
+             |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+             |  value, click_id, click_value
+             |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin)),
+
+    // ---- range(-band) join: price bands are a tiny generated dimension,
+    // so the non-equi join broadcasts it and the fact side streams
+    // map-side (BroadcastNestedLoopJoin over 10 bands = O(10) compares
+    // per row, no fact shuffle before the final agg). At a large band
+    // count the right plan flips to a binning expression or a
+    // range-bucketed sort-merge — the band table here is the
+    // demonstrate-the-strategy size ----
+    Q("q87_range_band_join",
+      (s, d) => {
+        import s.implicits._
+        val bands = s.range(0, 10).select($"id".as("band"),
+          ($"id" * 11000.0).as("lo"), (($"id" + 1) * 11000.0).as("hi"))
+        T(s, d, "lineitem")
+          .join(broadcast(bands),
+            $"l_extendedprice" >= $"lo" && $"l_extendedprice" < $"hi")
+          .groupBy($"band")
+          .agg(count(lit(1)).as("n"),
+            moneySum($"l_extendedprice").as("sum_price"),
+            min($"l_extendedprice").as("min_price"),
+            max($"l_extendedprice").as("max_price"))
+          .orderBy($"band")
+      },
+      Some("""WITH bands AS (
+             |  SELECT b AS band, b * 11000.0 AS lo,
+             |         (b + 1) * 11000.0 AS hi
+             |  FROM generate_series(0, 9) AS t(b))
+             |SELECT band, count(*) AS n,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+             |       AS DOUBLE) AS sum_price,
+             |  min(l_extendedprice) AS min_price,
+             |  max(l_extendedprice) AS max_price
+             |FROM lineitem JOIN bands
+             |  ON l_extendedprice >= lo AND l_extendedprice < hi
+             |GROUP BY band ORDER BY band""".stripMargin)),
+
+    // ---- pivot: per-user event-type counts turned wide (the report
+    // shape). Spark's pivot with EXPLICIT values is a single hash-agg
+    // shuffle — no second values-discovery job, and codegen keeps the
+    // conditional counters fused. Count over no rows pivots to null,
+    // so both engines coalesce to 0 ----
+    Q("q88_pivot_events",
+      (s, d) => {
+        import s.implicits._
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val p = T(s, d, "events")
+          .groupBy($"user_id")
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+        p.select($"user_id" +: types.map(t =>
+            coalesce(col(t), lit(0L)).as(t)): _*)
+          .orderBy($"user_id")
+      },
+      Some("""SELECT user_id,
+             |  count(*) FILTER (event_type = 'click') AS click,
+             |  count(*) FILTER (event_type = 'error') AS error,
+             |  count(*) FILTER (event_type = 'purchase') AS purchase,
+             |  count(*) FILTER (event_type = 'signup') AS signup,
+             |  count(*) FILTER (event_type = 'view') AS view
+             |FROM events GROUP BY user_id
+             |ORDER BY user_id""".stripMargin)),
+
+    // ---- semi-structured JSON extraction: props carries a JSON doc;
+    // `from_json` with an EXPLICIT schema is the codegen'd fast path (a
+    // schemaless get_json_object re-parses per field; schema inference
+    // would cost a discovery job). Malformed docs surface as null —
+    // counted, not dropped ----
+    Q("q89_json_props",
+      (s, d) => {
+        import s.implicits._
+        T(s, d, "events")
+          .select($"event_type",
+            from_json($"props", "k BIGINT", Map.empty[String, String])
+              .getField("k").as("k"))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+            min($"k").as("min_k"), max($"k").as("max_k"),
+            count(when($"k".isNull, 1)).as("n_null"))
+          .orderBy($"event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+             |  min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+             |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+             |  count(*) FILTER (json_extract(props, '$.k') IS NULL)
+             |    AS n_null
+             |FROM events GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
+
+    // ---- rollup (the OLAP subtotal cube slice): one pass produces
+    // (flag, status), per-flag, and grand-total rows — Spark expands the
+    // grouping sets map-side and still runs a single hash-agg shuffle.
+    // grouping_id disambiguates rollup-nulls from data nulls ----
+    Q("q90_rollup",
+      (s, d) => {
+        import s.implicits._
+        T(s, d, "lineitem")
+          .rollup($"l_returnflag", $"l_linestatus")
+          .agg(grouping_id().cast("long").as("gid"),
+            count(lit(1)).as("n"), moneySum($"l_quantity").as("sum_qty"))
+          .select($"gid",
+            coalesce($"l_returnflag", lit("ALL")).as("flag"),
+            coalesce($"l_linestatus", lit("ALL")).as("status"),
+            $"n", $"sum_qty")
+          .orderBy($"gid", $"flag", $"status")
+      },
+      Some("""SELECT
+             |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT)
+             |    AS gid,
+             |  coalesce(l_returnflag, 'ALL') AS flag,
+             |  coalesce(l_linestatus, 'ALL') AS status,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             |    AS sum_qty
+             |FROM lineitem
+             |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY gid, flag, status""".stripMargin)),
+
+    // ---- salted skew join: the hot-key mitigation when one join key
+    // dominates (AQE's skew-join split handles sort-merge skew, but a
+    // pathological SINGLE key still lands in one task without salting).
+    // The fact side gets a deterministic salt in [0, 8); the dimension
+    // side replicates 8x with every salt value; joining on (key, salt)
+    // fans each hot key over 8 tasks. Salt values never reach the
+    // output, so the result is byte-identical to the unsalted join —
+    // which is exactly what the oracle runs ----
+    Q("q91_salted_join",
+      (s, d) => {
+        import s.implicits._
+        val nSalt = 8
+        val li = T(s, d, "lineitem").withColumn("salt",
+          pmod(hash($"l_linenumber", $"l_partkey"), lit(nSalt)))
+        val ord = T(s, d, "orders").withColumn("salt",
+          explode(sequence(lit(0), lit(nSalt - 1))))
+        li.join(ord, li("l_orderkey") === ord("o_orderkey") &&
+            li("salt") === ord("salt"))
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            moneySum($"l_extendedprice").as("revenue"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+             |       AS DOUBLE) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin))
   )
 }

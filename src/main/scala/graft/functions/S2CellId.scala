@@ -79,6 +79,8 @@ object GraftFunctions {
     "winnow_fingerprint" ->
       ((args: Seq[Expression]) =>
         WinnowFingerprint(args(0), args(1), args(2))),
+    "char_window_hashes" ->
+      ((args: Seq[Expression]) => CharWindowHashes(args(0), args(1))),
     "cell_in_ranges" ->
       ((args: Seq[Expression]) => CellInRanges(args(0), args(1), args(2))),
     "ivf_assign" ->

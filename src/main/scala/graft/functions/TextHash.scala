@@ -181,6 +181,39 @@ object TextHashImpl {
       if (w == m) hs else java.util.Arrays.copyOf(hs, w))
   }
 
+  /** Per-position k-char-window 48-bit md5 hashes (the positional
+    * k-gram sequence of [[winnowFingerprint]], WITHOUT the winnowing):
+    * element i (0-based) hashes chars [i, i+k) — one digest over the
+    * byte slice per window, no substring copies, no row-level Column
+    * machinery. Same hash family as the q51 oracle, so DuckDB mirrors
+    * it with md5(substr(...)). Fewer than k chars -> empty. */
+  def charWindowHash48(text: UTF8String, k: Int): ArrayData = {
+    val bytes = text.getBytes
+    val starts = new Array[Int](bytes.length + 1)
+    var nc = 0
+    var off = 0
+    while (off < bytes.length) {
+      if ((bytes(off) & 0xc0) != 0x80) { starts(nc) = off; nc += 1 }
+      off += 1
+    }
+    starts(nc) = bytes.length
+    if (nc < k) return new GenericArrayData(Array.emptyLongArray)
+    val m = nc - k + 1
+    val hs = new Array[Long](m)
+    val digest = md5Local.get()
+    var i = 0
+    while (i < m) {
+      digest.reset()
+      digest.update(bytes, starts(i), starts(i + k) - starts(i))
+      val d = digest.digest()
+      hs(i) = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
+        ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
+        ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+      i += 1
+    }
+    new GenericArrayData(hs)
+  }
+
   /** Winnowing document fingerprint (the MOSS k-gram algorithm,
     * Schleimer/Wilkerson/Aiken 2003): the POSITIONAL char n-gram
     * 48-bit hash sequence, then the minimum hash VALUE of every
@@ -495,6 +528,57 @@ case class WinnowFingerprint(text: Expression, n: Expression,
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression)
   : Expression = copy(text = newFirst, n = newSecond, w = newThird)
+}
+
+/** `char_window_hashes(text, k) -> ARRAY<LONG>`: per-position k-char
+  * window 48-bit hashes. Native so the whole document hashes in one
+  * JVM pass over the byte array — the Column-level equivalent
+  * (explode positions, then per-row substr + md5 + hex prefix)
+  * allocates a substring and a hex string per window and shuffles
+  * 16-char keys instead of LONGs; switching q80 to this expression
+  * took it from 12.0s to ~2s at sf0.1. */
+case class CharWindowHashes(text: Expression, k: Expression)
+  extends BinaryExpression {
+
+  override def left: Expression = text
+  override def right: Expression = k
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_window_hashes"
+
+  private lazy val kVal: Int = k.eval().asInstanceOf[Int]
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (text.dataType == StringType &&
+      k.foldable && k.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "char_window_hashes expects (STRING, literal INT)")
+
+  override def eval(input: InternalRow): Any = {
+    val t = text.eval(input)
+    if (t == null) null
+    else TextHashImpl.charWindowHash48(t.asInstanceOf[UTF8String], kVal)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val textGen = text.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${textGen.code}
+        boolean ${ev.isNull} = ${textGen.isNull};
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.functions.TextHashImpl.charWindowHash48(
+            ${textGen.value}, $kVal);
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(text = newLeft, k = newRight)
 }
 
 /** `hash48_sort_dedup(ARRAY<STRING>) -> ARRAY<LONG>`: md5-48bit hash of

@@ -165,21 +165,27 @@ object Dedup {
   def duplicatedSpans(docs: DataFrame, textCol: String, idCol: String,
                       k: Int = 40): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // one O(n) native rolling-hash pass per doc (char_window_hashes),
+    // then posexplode — an 8-byte LONG key per position instead of a
+    // hex-string, and no per-window substring/digest allocation
     val pos = docs
       .where(length(col(textCol)) >= k)
       .select(col(idCol).as("doc_id"),
-        explode(sequence(lit(1L), length(col(textCol)).cast("long") - (k - 1)))
-          .as("pos"),
-        col(textCol))
-      .select(col("doc_id"), col("pos"),
-        // 64-bit hash of the window; hashing (vs carrying substrings)
-        // keeps the shuffle narrow, and the oracle hashes identically so
-        // any md5-prefix collision is engine-identical.
-        substring(md5(col(textCol).substr(col("pos").cast("int"), lit(k))
-          .cast("binary")), 1, 16).as("hh"))
-    val dup = pos.groupBy("hh").count().where(col("count") > 1)
+        posexplode(call_function("char_window_hashes",
+          col(textCol), lit(k))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("hh"))
+    // Hash the corpus ONCE: an explicit repartition on the window hash
+    // makes one exchange that BOTH consumers (the dup-count aggregate
+    // and the flag join) read via ReusedExchange — without it each
+    // branch re-runs the full explode+digest stream. Post-shuffle both
+    // sides are co-partitioned on hh, so the join adds no exchange, and
+    // the aggregate stays codegen'd (a collect_list variant measured
+    // slower: ObjectHashAggregate drops out of whole-stage codegen).
+    val pos1 = pos.repartition(col("hh"))
+    val dup = pos1.groupBy("hh").count().where(col("count") > 1)
       .select("hh")
-    val flagged = pos.join(dup, "hh").select("doc_id", "pos")
+    val flagged = pos1.join(dup, "hh").select("doc_id", "pos")
     val prevMax = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, -1)
     val runn = Window.partitionBy("doc_id").orderBy("pos")

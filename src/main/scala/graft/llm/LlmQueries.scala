@@ -1491,8 +1491,9 @@ object LlmQueries {
              |  FROM documents WHERE len(text) >= 40),
              |p AS (
              |  SELECT doc_id, pos,
-             |    substr(md5(substr(text, CAST(pos AS INT), 40)), 1, 16)
-             |      AS hh
+             |    CAST(concat('0x', substr(
+             |      md5(substr(text, CAST(pos AS INT), 40)), 1, 12))
+             |      AS BIGINT) AS hh
              |  FROM p0),
              |dup AS (SELECT hh FROM p GROUP BY hh HAVING count(*) > 1),
              |f AS (SELECT doc_id, pos FROM p

@@ -423,4 +423,39 @@ class LlmSpec extends AnyFunSuite {
     assert(r(3L)._2 == "two mails <EMAIL> <EMAIL> and <URL>")
     assert((r(3L)._3, r(3L)._4, r(3L)._5) == (2, 1, 0))
   }
+
+  test("charWindowHash48: positional, equal windows hash equal") {
+    import graft.functions.TextHashImpl.charWindowHash48
+    import org.apache.spark.unsafe.types.UTF8String
+    val t = "abcdefghij"
+    val hs = charWindowHash48(UTF8String.fromString(t), 4)
+    assert(hs.numElements() == t.length - 4 + 1)
+    // same 4-gram at two positions -> same hash; different -> different
+    val t2 = "xxabcdyyabcdzz"
+    val h2 = charWindowHash48(UTF8String.fromString(t2), 4)
+    val arr = h2.toLongArray()
+    assert(arr(2) == arr(8)) // both hash "abcd"
+    assert(arr(0) != arr(2))
+    // shorter than k -> empty; multi-byte chars counted as chars
+    assert(charWindowHash48(UTF8String.fromString("abc"), 4)
+      .numElements() == 0)
+    assert(charWindowHash48(UTF8String.fromString("héllo"), 5)
+      .numElements() == 1)
+  }
+
+  test("duplicatedSpans merges overlapping duplicated windows") {
+    val shared = "0123456789abcdefghij" // 20 chars shared
+    val d = docs(
+      1L -> s"AAA${shared}BBBB",
+      2L -> s"CCCCC${shared}DD",
+      3L -> "completely unrelated text 999")
+    val spans = Dedup.duplicatedSpans(d, "text", "doc_id", k = 10)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // the 20 shared chars give 11 duplicated windows per doc, merging
+    // into ONE span covering exactly the shared run
+    assert(spans == Seq(
+      (1L, 4L, 23L, 11L), // doc 1: shared at offset 3 (1-based 4)
+      (2L, 6L, 25L, 11L)  // doc 2: shared at offset 5 (1-based 6)
+    ))
+  }
 }
