@@ -85,6 +85,8 @@ object GraftFunctions {
       ((args: Seq[Expression]) => CellInRanges(args(0), args(1), args(2))),
     "ivf_assign" ->
       ((args: Seq[Expression]) => IvfAssign(args(0), args(1))),
+    "cosine_sim" ->
+      ((args: Seq[Expression]) => CosineSim(args(0), args(1))),
     "binary_resample" ->
       ((args: Seq[Expression]) => BinaryResample(args(0), args(1))),
     "lsh_first_band_pairs" ->

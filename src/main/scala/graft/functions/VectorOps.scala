@@ -26,6 +26,29 @@ object VectorImpl {
     math.sqrt(s)
   }
 
+  /** Sequential-fold cosine over the common prefix of two double
+    * arrays: dot, norms, and the zero-norm guard in the exact HOF /
+    * `list_sum` order. Null elements are impossible by construction
+    * (cast from the non-null parquet vectors). */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dt = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dt += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    // norms over each FULL array (matches norm(a) in the HOF form even
+    // when lengths differ)
+    var j = n
+    while (j < a.numElements()) { val x = a.getDouble(j); na += x * x; j += 1 }
+    j = n
+    while (j < b.numElements()) { val y = b.getDouble(j); nb += y * y; j += 1 }
+    val sa = math.sqrt(na); val sb = math.sqrt(nb)
+    if (sa == 0.0 || sb == 0.0) 0.0 else dt / (sa * sb)
+  }
+
   /** IVF assignment: 1-based index of the max-cosine centroid,
     * first-wins on exact ties (Java `>` is IEEE, so a later equal
     * score — including the 0.0 guard value — never displaces an
@@ -98,4 +121,40 @@ case class IvfAssign(vec: Expression, centroids: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(vec = newLeft, centroids = newRight)
+}
+
+/** `cosine_sim(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) -> DOUBLE`: cosine
+  * similarity as one fused JVM loop. The interpreted
+  * zip_with/aggregate chain costs ~3 lambda dispatches per dimension
+  * per pair — on a pairwise workload (kNN graphs, candidate verify)
+  * that dominates the query; the kernel is bit-identical by fold
+  * order (see [[VectorImpl.cosine]]). */
+case class CosineSim(a: Expression, b: Expression)
+  extends BinaryExpression {
+
+  override def left: Expression = a
+  override def right: Expression = b
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (a.dataType, b.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "cosine_sim expects (ARRAY<DOUBLE>, ARRAY<DOUBLE>)")
+    }
+
+  override def nullSafeEval(av: Any, bv: Any): Any =
+    VectorImpl.cosine(av.asInstanceOf[ArrayData],
+      bv.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) =>
+      s"graft.functions.VectorImpl.cosine($x, $y)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(a = newLeft, b = newRight)
 }

@@ -1607,6 +1607,56 @@ object LlmQueries {
              |  count(*) AS n_occ, min(asset_id) AS first_asset
              |FROM f GROUP BY fh
              |HAVING count(DISTINCT asset_id) > 1
-             |ORDER BY fh""".stripMargin))
+             |ORDER BY fh""".stripMargin)),
+
+    // ---- kNN graph construction (the SemDeDup/diversity-analysis
+    // primitive): top-3 cosine neighbors for a deterministic 1-in-25
+    // sample of vectors. The sample side broadcasts (it's the small
+    // side by construction), so scoring is map-side over the corpus —
+    // no pair shuffle; only the tiny scored-edge set shuffles for the
+    // per-source rank. Scoring runs the native cosine_sim kernel: the
+    // interpreted HOF chain measured ~8x slower on this pairwise
+    // workload ----
+    Q("q92_knn_graph",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val emb = T(s, d, "embeddings")
+          .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        val sample = emb.where($"vec_id" % 25 === 0)
+          .select($"vec_id".as("src"), $"v".as("qv"))
+        emb.select($"vec_id".as("dst"), $"v")
+          .join(broadcast(sample), $"dst" =!= $"src")
+          .select($"src", $"dst",
+            round(call_function("cosine_sim", $"v", $"qv"), 6)
+              .as("score"))
+          .withColumn("rank", row_number().over(Window
+            .partitionBy($"src")
+            .orderBy($"score".desc, $"dst".asc)).cast("long"))
+          .where($"rank" <= 3)
+          .select($"src", $"rank", $"dst", $"score")
+          .orderBy($"src", $"rank")
+      },
+      Some("""WITH e AS (SELECT vec_id,
+             |            CAST(embedding AS DOUBLE[]) AS v
+             |          FROM embeddings),
+             |q AS (SELECT vec_id AS src, v AS qv FROM e
+             |      WHERE vec_id % 25 = 0),
+             |sc AS (SELECT q.src, e.vec_id AS dst,
+             |  list_sum(list_transform(generate_series(1, 64), i ->
+             |    v[CAST(i AS INT)] * qv[CAST(i AS INT)])) AS dt,
+             |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nv,
+             |  sqrt(list_sum(list_transform(qv, x -> x * x))) AS nq
+             |  FROM e, q WHERE e.vec_id != q.src),
+             |scored AS (SELECT src, dst,
+             |  round(CASE WHEN nv = 0 OR nq = 0 THEN 0
+             |        ELSE dt / (nv * nq) END, 6) AS score
+             |  FROM sc)
+             |SELECT src, rank, dst, score FROM (
+             |  SELECT src, dst, score,
+             |    CAST(row_number() OVER (PARTITION BY src
+             |      ORDER BY score DESC, dst ASC) AS BIGINT) AS rank
+             |  FROM scored)
+             |WHERE rank <= 3 ORDER BY src, rank""".stripMargin))
   )
 }

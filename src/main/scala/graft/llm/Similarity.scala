@@ -26,11 +26,15 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity (doubles, deterministic fold order). */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b); val na = norm(a); val nb = norm(b)
-    when(na === 0.0 || nb === 0.0, 0.0).otherwise(d / (na * nb))
-  }
+  /** Cosine similarity (doubles, deterministic fold order). Delegates
+    * to the native `cosine_sim` kernel (same sequential fold — see
+    * [[graft.functions.VectorImpl.cosine]]); the interpreted
+    * zip_with/aggregate formulation costs ~3 lambda dispatches per
+    * dimension per row, which dominates pairwise workloads. Requires
+    * [[graft.functions.GraftFunctions.register]] (every query entry
+    * point and spec session does it). */
+  def cosine(a: Column, b: Column): Column =
+    call_function("cosine_sim", a, b)
 
   /** Brute-force top-k by cosine against a literal query vector.
     * Output: vec_id, score (rounded 6dp), rank. Deterministic tiebreak on

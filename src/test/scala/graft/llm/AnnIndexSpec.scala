@@ -9,11 +9,15 @@ import java.nio.file.Files
   * query's signature predicate prunes partitions at plan time instead of
   * scanning the corpus (the r2 verdict's "not an index, a slow scan"). */
 class AnnIndexSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.functions.GraftFunctions.register(s)
+    s
+  }
 
   import spark.implicits._
 
