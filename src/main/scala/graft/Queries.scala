@@ -949,6 +949,42 @@ object Queries {
              |       AS DOUBLE) AS revenue
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |GROUP BY o_orderpriority
-             |ORDER BY o_orderpriority""".stripMargin))
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---- ordered conversion funnel: signup -> first later click ->
+    // first later purchase, per user. Each stage is a conditional min
+    // over the PREVIOUS stage's timestamp — three hash-aggs all keyed
+    // on user_id, so the three joins are co-partitioned on one shuffle
+    // key (no re-shuffle between stages). Output = the funnel counts ----
+    Q("q94_funnel",
+      (s, d) => {
+        import s.implicits._
+        val e = T(s, d, "events")
+        val su = e.where($"event_type" === "signup")
+          .groupBy($"user_id").agg(min($"ts").as("ts_s"))
+        val cl = e.where($"event_type" === "click")
+          .join(su, "user_id").where($"ts" > $"ts_s")
+          .groupBy($"user_id").agg(min($"ts").as("ts_c"))
+        val pu = e.where($"event_type" === "purchase")
+          .join(cl, "user_id").where($"ts" > $"ts_c")
+          .groupBy($"user_id").agg(min($"ts").as("ts_p"))
+        su.agg(count(lit(1)).as("n_signup"))
+          .crossJoin(cl.agg(count(lit(1)).as("n_click_after")))
+          .crossJoin(pu.agg(count(lit(1)).as("n_purchase_after")))
+      },
+      Some("""WITH su AS (SELECT user_id, min(ts) AS ts_s FROM events
+             |  WHERE event_type = 'signup' GROUP BY user_id),
+             |cl AS (SELECT e.user_id, min(ts) AS ts_c FROM events e
+             |  JOIN su USING (user_id)
+             |  WHERE event_type = 'click' AND ts > ts_s
+             |  GROUP BY e.user_id),
+             |pu AS (SELECT e.user_id, min(ts) AS ts_p FROM events e
+             |  JOIN cl USING (user_id)
+             |  WHERE event_type = 'purchase' AND ts > ts_c
+             |  GROUP BY e.user_id)
+             |SELECT (SELECT count(*) FROM su) AS n_signup,
+             |  (SELECT count(*) FROM cl) AS n_click_after,
+             |  (SELECT count(*) FROM pu) AS n_purchase_after"""
+        .stripMargin))
   )
 }

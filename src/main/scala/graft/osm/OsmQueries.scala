@@ -1083,6 +1083,57 @@ object OsmQueries {
               |        x -> string_split(x, '=')[1])) AS key
               |      FROM nodes2)
               |SELECT key, count(*) AS n FROM k
-              |GROUP BY key ORDER BY key""".stripMargin))
+              |GROUP BY key ORDER BY key""".stripMargin)),
+
+    // ---- q93: compaction round trip. commitBucketed -> a real
+    // commitDelta (anti-join removals + upserts on the changed buckets
+    // only) -> compact (every bucket re-owned at one fresh version,
+    // identity data) -> vacuum (superseded dirs actually deleted) ->
+    // read. The oracle reconstructs the post-change state in pure SQL,
+    // so any data loss in the compact/vacuum path shows up as a
+    // mismatch ----
+    Q("q93_compact_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        val t = SyntheticOsm.materialized(s, d)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-q93-db").toString
+        VersionedTable.commitBucketed(root,
+          Map("nodes" -> ((t.nodes, "id"))), nBuckets = 16)
+        val metaT = "struct<version:int,timestamp:bigint," +
+          "changeset:bigint,uid:bigint,user:string>"
+        val ids = t.locations.where($"id" % 17 <= 1).select($"id")
+        val added = t.locations
+          .where($"id" % 17 === 1 && $"id" % 2 === 0)
+          .select($"id",
+            map(lit("status"), lit("X"), lit("urgent"), lit("1"))
+              .as("tags"),
+            lit(null).cast(metaT).as("meta"))
+        val buckets = VersionedTable.bucketsOf(ids, "id", 16)
+        val delta = VersionedTable.Delta(buckets, old =>
+          old.join(ids, Seq("id"), "left_anti").unionByName(added))
+        VersionedTable.commitDelta(s, root, Map("nodes" -> delta))
+        VersionedTable.compact(s, root, "nodes")
+        VersionedTable.vacuum(root)
+        VersionedTable.read(s, root, "nodes")
+          .select($"id", explode(map_keys($"tags")).as("key"))
+          .groupBy($"key")
+          .agg(count(lit(1)).as("n"), sum($"id").as("id_sum"))
+          .orderBy($"key")
+      },
+      Some(s"""WITH $dOsmCtes,
+              |nodes2 AS (
+              |  SELECT id, tags_s FROM onodes WHERE id % 17 > 1
+              |  UNION ALL
+              |  SELECT id, 'status=X;urgent=1' FROM locations
+              |  WHERE id % 17 = 1 AND id % 2 = 0),
+              |k AS (SELECT id, unnest(list_transform(
+              |        string_split(tags_s, ';'),
+              |        x -> string_split(x, '=')[1])) AS key
+              |      FROM nodes2)
+              |SELECT key, count(*) AS n,
+              |  CAST(sum(id) AS BIGINT) AS id_sum
+              |FROM k GROUP BY key ORDER BY key""".stripMargin))
   )
 }

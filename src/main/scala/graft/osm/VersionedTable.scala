@@ -323,6 +323,25 @@ object VersionedTable {
     * keeps pointing at the file that already holds it (linked, not
     * rewritten — byte-identical on disk). Tables without a delta carry
     * fully forward. One atomic manifest swap publishes data + meta. */
+  /** Maintenance rewrite (the lakehouse OPTIMIZE analog): re-own EVERY
+    * bucket of `table` at one fresh version via an identity [[Delta]]
+    * over all buckets. After many delta commits a table's buckets
+    * scatter across versions (one directory listing per distinct
+    * owning version per read) and hold one file per rewrite;
+    * compaction collapses them to a single `v=N` directory with one
+    * sorted file per bucket. Content is unchanged — readers pinned to
+    * older manifests are untouched (CoW), and [[vacuum]] afterwards
+    * reclaims every superseded directory once unpinned. */
+  def compact(spark: SparkSession, root: String, table: String,
+              meta: Map[String, String] = Map.empty): Long = {
+    val m = current(root).getOrElse(throw new IllegalStateException(
+      s"no committed version at $root"))
+    val spec = m.buckets.getOrElse(table, throw new IllegalStateException(
+      s"$table is not bucketed"))
+    commitDelta(spark, root,
+      Map(table -> Delta(spec.versions.indices, identity)), meta)
+  }
+
   def commitDelta(spark: SparkSession, root: String,
                   deltas: Map[String, Delta],
                   meta: Map[String, String] = Map.empty,

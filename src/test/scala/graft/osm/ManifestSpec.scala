@@ -143,6 +143,44 @@ class ManifestSpec extends AnyFunSuite {
     assert(onlyChanged.where($"id" === 13L).count() == 1)
   }
 
+  test("compact re-owns all buckets at one version; data unchanged") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft-compact").toString
+    val n = 8
+    val df = (1L to 500L).map(i => (i, s"v$i")).toDF("id", "v")
+    VersionedTable.commitBucketed(root, Map("t" -> (df, "id")), n)
+    // two delta commits scatter bucket ownership over three versions
+    for ((id, round) <- Seq((7L, 2L), (13L, 3L))) {
+      val ids = Seq(id).toDF("id")
+      val changed = VersionedTable.bucketsOf(ids, "id", n)
+      VersionedTable.commitDelta(spark, root, Map(
+        "t" -> VersionedTable.Delta(changed, old =>
+          old.join(ids, Seq("id"), "left_anti")
+            .unionByName(Seq((id, s"CHANGED$round")).toDF("id", "v")))))
+    }
+    val mBefore = VersionedTable.current(root).get
+    assert(mBefore.buckets("t").versions.distinct.size > 1)
+    val before = VersionedTable.read(spark, root, "t")
+      .as[(Long, String)].collect().toMap
+
+    val vC = VersionedTable.compact(spark, root, "t")
+    val mAfter = VersionedTable.current(root).get
+    assert(mAfter.buckets("t").versions == Vector.fill(n)(vC))
+    val after = VersionedTable.read(spark, root, "t")
+      .as[(Long, String)].collect().toMap
+    assert(after == before)
+    assert(after(7L) == "CHANGED2" && after(13L) == "CHANGED3")
+
+    // vacuum now reclaims every pre-compact directory
+    val deleted = VersionedTable.vacuum(root)
+    assert(deleted.nonEmpty)
+    assert((1L until vC).forall(v =>
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/v=$v"))))
+    val reread = VersionedTable.read(spark, root, "t")
+      .as[(Long, String)].collect().toMap
+    assert(reread == before)
+  }
+
   test("driver-side bucketOfValue matches the distributed bucketExpr") {
     // the single-bucket point-lookup pruning is only sound if both
     // computations agree for every key
