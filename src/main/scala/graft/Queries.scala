@@ -932,7 +932,7 @@ object Queries {
     Q("q91_salted_join",
       (s, d) => {
         import s.implicits._
-        val nSalt = 8
+        val nSalt = 4
         val li = T(s, d, "lineitem").withColumn("salt",
           pmod(hash($"l_linenumber", $"l_partkey"), lit(nSalt)))
         val ord = T(s, d, "orders").withColumn("salt",

@@ -175,17 +175,18 @@ object Dedup {
           col(textCol), lit(k))))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
         col("col").as("hh"))
-    // Hash the corpus ONCE: an explicit repartition on the window hash
-    // makes one exchange that BOTH consumers (the dup-count aggregate
-    // and the flag join) read via ReusedExchange — without it each
-    // branch re-runs the full explode+digest stream. Post-shuffle both
-    // sides are co-partitioned on hh, so the join adds no exchange, and
-    // the aggregate stays codegen'd (a collect_list variant measured
-    // slower: ObjectHashAggregate drops out of whole-stage codegen).
-    val pos1 = pos.repartition(col("hh"))
-    val dup = pos1.groupBy("hh").count().where(col("count") > 1)
-      .select("hh")
-    val flagged = pos1.join(dup, "hh").select("doc_id", "pos")
+    // Hash the corpus ONCE: a count-over-window on the hash key flags
+    // duplicated windows in a SINGLE pass over pos — one exchange on
+    // hh, no self-join. (An aggregate+join-back formulation re-runs
+    // the whole explode+digest stream per consumer: Catalyst prunes
+    // the two branches to different columns, so the exchanges are not
+    // equal subtrees and ReusedExchange never fires — verified by
+    // PlanSpec, which asserts this shape stays join-free.)
+    val flagged = pos
+      .withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy("hh")))
+      .where(col("cnt") > 1)
+      .select("doc_id", "pos")
     val prevMax = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, -1)
     val runn = Window.partitionBy("doc_id").orderBy("pos")

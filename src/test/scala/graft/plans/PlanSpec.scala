@@ -1,0 +1,77 @@
+package graft.plans
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions for the scale-critical query shapes: the
+  * claims the scaladoc makes about broadcasts, exchange reuse, and
+  * pushdown are checked against the ACTUAL plans, so a regression in
+  * join strategy or scan pruning fails CI instead of silently turning
+  * into a shuffle at 100 TB. Runs on sf0.001 — plan shape, not speed. */
+class PlanSpec extends AnyFunSuite {
+  private val SF = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    graft.functions.GraftFunctions.register(s)
+    s
+  }
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, SF)
+
+  test("q87 range-band join broadcasts the band dimension (no shuffle)") {
+    val plan = q("q87_range_band_join")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi band join should be broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      "band join must never plan a cartesian product")
+  }
+
+  test("q92 kNN graph broadcasts the sample side") {
+    val plan = q("q92_knn_graph").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"kNN scoring should be map-side over a broadcast sample:\n$plan")
+  }
+
+  test("q80 dup-span pipeline hashes the corpus once (no join-back)") {
+    val plan = q("q80_dup_spans").queryExecution.executedPlan.toString
+    // the dup flagging must be a single-pass window count, not an
+    // aggregate joined back to a recomputed hash stream
+    assert(!plan.contains("Join"),
+      s"dup flagging must not join back (double hash pass):\n$plan")
+    assert("char_window_hashes".r.findAllIn(plan).size == 1,
+      s"corpus must be hashed exactly once:\n$plan")
+  }
+
+  test("q86 as-of join shuffles once on user_id (union+window, no range join)") {
+    val plan = q("q86_asof_join").queryExecution.executedPlan.toString
+    val userExchanges = "Exchange hashpartitioning\\(user_id".r
+      .findAllIn(plan).size
+    assert(userExchanges == 1,
+      s"expected exactly one user_id exchange, got $userExchanges:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "as-of must not degrade to a per-row range join")
+  }
+
+  test("projection + filter push down into the parquet scan") {
+    val df = graft.Queries.T(spark, SF, "lineitem")
+      .where(org.apache.spark.sql.functions.col("l_orderkey") === 1L)
+      .select("l_orderkey", "l_quantity")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,1)"),
+      s"filter not pushed:\n$scan")
+    assert(scan.contains("ReadSchema") &&
+      scan.contains("l_orderkey:bigint,l_quantity:double") &&
+      !scan.contains("l_comment"),
+      s"column pruning failed:\n$scan")
+  }
+}
