@@ -985,6 +985,52 @@ object Queries {
              |SELECT (SELECT count(*) FROM su) AS n_signup,
              |  (SELECT count(*) FROM cl) AS n_click_after,
              |  (SELECT count(*) FROM pu) AS n_purchase_after"""
-        .stripMargin))
+        .stripMargin)),
+
+    // ---- column profiling (the data-quality audit table): per-column
+    // row/null/exact-distinct counts and min/max in ONE pass per
+    // column batch — Spark plans the three profiled columns as one
+    // scan with multiple aggregates (distinct counts expand to
+    // grouping sets), no per-column rescan ----
+    Q("q96_profile",
+      (s, d) => {
+        import s.implicits._
+        val li = T(s, d, "lineitem")
+        def prof(c: String) = li.agg(
+          count(lit(1)).as("n"),
+          count(when(col(c).isNull, 1)).as("n_null"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).cast("double").as("min_v"),
+          max(col(c)).cast("double").as("max_v"))
+          .select(lit(c).as("col_name"), $"n", $"n_null", $"n_distinct",
+            $"min_v", $"max_v")
+        prof("l_quantity")
+          .unionAll(prof("l_extendedprice"))
+          .unionAll(prof("l_discount"))
+          .orderBy($"col_name")
+      },
+      Some("""SELECT col_name, n, n_null, n_distinct, min_v, max_v
+             |FROM (
+             |  SELECT 'l_quantity' AS col_name, count(*) AS n,
+             |    count(*) FILTER (l_quantity IS NULL) AS n_null,
+             |    count(DISTINCT l_quantity) AS n_distinct,
+             |    CAST(min(l_quantity) AS DOUBLE) AS min_v,
+             |    CAST(max(l_quantity) AS DOUBLE) AS max_v
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_extendedprice', count(*),
+             |    count(*) FILTER (l_extendedprice IS NULL),
+             |    count(DISTINCT l_extendedprice),
+             |    CAST(min(l_extendedprice) AS DOUBLE),
+             |    CAST(max(l_extendedprice) AS DOUBLE)
+             |  FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_discount', count(*),
+             |    count(*) FILTER (l_discount IS NULL),
+             |    count(DISTINCT l_discount),
+             |    CAST(min(l_discount) AS DOUBLE),
+             |    CAST(max(l_discount) AS DOUBLE)
+             |  FROM lineitem)
+             |ORDER BY col_name""".stripMargin))
   )
 }

@@ -1134,6 +1134,74 @@ object OsmQueries {
               |      FROM nodes2)
               |SELECT key, count(*) AS n,
               |  CAST(sum(id) AS BIGINT) AS id_sum
-              |FROM k GROUP BY key ORDER BY key""".stripMargin))
+              |FROM k GROUP BY key ORDER BY key""".stripMargin)),
+
+    // ---- q95: referential-integrity audit (the `osmium check-refs`
+    // QA pass): dangling way->node refs and relation->member refs per
+    // member type. Each check is one explode + LEFT ANTI join against
+    // the referenced table's key set — all equi-joins, no driver-side
+    // sets; the audit over a planet is four co-keyed shuffles. The
+    // synthetic model is fully consistent, so the audit runs against a
+    // deliberately DAMAGED store (a modular slice of each target table
+    // dropped) — every check must count real dangling refs, not
+    // trivially zero ----
+    Q("q95_integrity_audit",
+      (s, d) => {
+        import s.implicits._
+        val t = SyntheticOsm.materialized(s, d)
+        val locIds = t.locations.where($"id" % 101 =!= 0).select($"id")
+        val wayIds = t.ways.where($"id" % 7 =!= 0).select($"id")
+        val relIds = t.relations.where($"id" % 5 =!= 0).select($"id")
+        def audit(kind: String, refs: org.apache.spark.sql.DataFrame,
+                  target: org.apache.spark.sql.DataFrame) =
+          refs.join(target, Seq("id"), "left_anti")
+            .agg(coalesce(count(lit(1)), lit(0L)).as("n_dangling"),
+              coalesce(countDistinct($"parent"), lit(0L))
+                .as("n_parents"))
+            .select(lit(kind).as("kind"), $"n_dangling", $"n_parents")
+        val wayNode = t.ways
+          .select($"id".as("parent"), explode($"nodes").as("id"))
+        def relMembers(mtype: String) = t.relations
+          .select($"id".as("parent"), explode($"members").as("m"))
+          .where($"m.mtype" === mtype)
+          .select($"parent", $"m.ref".as("id"))
+        audit("way_node", wayNode, locIds)
+          .unionAll(audit("rel_node", relMembers("node"), locIds))
+          .unionAll(audit("rel_way", relMembers("way"), wayIds))
+          .unionAll(audit("rel_relation", relMembers("relation"), relIds))
+          .orderBy($"kind")
+      },
+      Some(s"""WITH $dOsmCtes,
+              |wn AS (SELECT w.id AS parent, unnest(w.nodes) AS ref
+              |       FROM oways w),
+              |checks AS (
+              |  SELECT 'way_node' AS kind, parent, ref FROM wn
+              |  WHERE ref NOT IN (SELECT id FROM locations
+              |                    WHERE id % 101 != 0)
+              |  UNION ALL
+              |  SELECT 'rel_node', parent_id, m.ref FROM rel_members
+              |  WHERE m.mtype = 'node'
+              |    AND m.ref NOT IN (SELECT id FROM locations
+              |                      WHERE id % 101 != 0)
+              |  UNION ALL
+              |  SELECT 'rel_way', parent_id, m.ref FROM rel_members
+              |  WHERE m.mtype = 'way'
+              |    AND m.ref NOT IN (SELECT id FROM oways
+              |                      WHERE id % 7 != 0)
+              |  UNION ALL
+              |  SELECT 'rel_relation', parent_id, m.ref FROM rel_members
+              |  WHERE m.mtype = 'relation'
+              |    AND m.ref NOT IN (SELECT id FROM orelations
+              |                      WHERE id % 5 != 0)),
+              |kinds AS (SELECT unnest(['way_node', 'rel_node',
+              |                         'rel_way', 'rel_relation'])
+              |            AS kind)
+              |SELECT k.kind,
+              |  CAST(coalesce(count(c.ref), 0) AS BIGINT)
+              |    AS n_dangling,
+              |  CAST(coalesce(count(DISTINCT c.parent), 0) AS BIGINT)
+              |    AS n_parents
+              |FROM kinds k LEFT JOIN checks c ON c.kind = k.kind
+              |GROUP BY k.kind ORDER BY k.kind""".stripMargin))
   )
 }

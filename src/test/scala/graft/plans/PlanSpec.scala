@@ -62,6 +62,18 @@ class PlanSpec extends AnyFunSuite {
       "as-of must not degrade to a per-row range join")
   }
 
+  test("q63 decontamination broadcasts the benchmark shingle set") {
+    val plan = q("q63_decontaminate").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"benchmark set must broadcast (it is suite-bounded, not corpus-linear):\n$plan")
+  }
+
+  test("q82 BM25 broadcasts the per-term df side") {
+    val plan = q("q82_bm25").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"|query|-row df table must broadcast:\n$plan")
+  }
+
   test("projection + filter push down into the parquet scan") {
     val df = graft.Queries.T(spark, SF, "lineitem")
       .where(org.apache.spark.sql.functions.col("l_orderkey") === 1L)
