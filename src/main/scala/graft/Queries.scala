@@ -1031,6 +1031,44 @@ object Queries {
              |    CAST(min(l_discount) AS DOUBLE),
              |    CAST(max(l_discount) AS DOUBLE)
              |  FROM lineitem)
-             |ORDER BY col_name""".stripMargin))
+             |ORDER BY col_name""".stripMargin)),
+
+    // ---- the TPC-H Q5 shape: a 6-table star join with a small-dim
+    // region filter. Catalyst's join reorder + AQE pick broadcasts for
+    // region/nation/supplier and leave lineitem-orders as the single
+    // big co-keyed join — the fact table is never shuffled more than
+    // once. The local-supplier condition (customer and supplier in the
+    // same nation) rides the join predicates, not a post-filter ----
+    Q("q97_local_supplier_volume",
+      (s, d) => {
+        import s.implicits._
+        T(s, d, "lineitem")
+          .join(T(s, d, "orders"), $"l_orderkey" === $"o_orderkey")
+          .join(T(s, d, "customer"), $"o_custkey" === $"c_custkey")
+          .join(T(s, d, "supplier"), $"l_suppkey" === $"s_suppkey" &&
+            $"c_nationkey" === $"s_nationkey")
+          .join(T(s, d, "nation"), $"s_nationkey" === $"n_nationkey")
+          .join(T(s, d, "region"), $"n_regionkey" === $"r_regionkey")
+          .where($"r_name" === "ASIA")
+          .groupBy($"n_name")
+          .agg(moneySum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+            .as("revenue"),
+            count(lit(1)).as("n"))
+          .orderBy($"revenue".desc, $"n_name")
+      },
+      Some("""SELECT n_name,
+             |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+             |                AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             |  count(*) AS n
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |  AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |GROUP BY n_name
+             |ORDER BY revenue DESC, n_name""".stripMargin))
   )
 }

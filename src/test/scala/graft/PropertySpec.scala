@@ -134,6 +134,40 @@ class PropertySpec extends AnyFunSuite {
     assert(got.contains((-30, -30)), s"got $got")
   }
 
+  test("charWindowHash48 equals substring-md5 on random unicode") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new Random(17)
+    def md548(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
+        ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
+        ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+    }
+    val alphabet = "ab c€漢😀é" // 1-, 2-, 3-, 4-byte chars
+    // NOTE: the window is counted in CODEPOINTS (the surrogate pair
+    // above is one), matching SQL substr semantics
+    val cps = alphabet.codePoints().toArray
+    for (_ <- 1 to 200) {
+      val n = rnd.nextInt(30)
+      val sb = new java.lang.StringBuilder
+      for (_ <- 0 until n) sb.appendCodePoint(cps(rnd.nextInt(cps.length)))
+      val s = sb.toString
+      val k = 1 + rnd.nextInt(8)
+      val got = graft.functions.TextHashImpl
+        .charWindowHash48(UTF8String.fromString(s), k).toLongArray()
+      val chars = s.codePoints().toArray
+      val m = math.max(chars.length - k + 1, 0)
+      assert(got.length == m, s"len mismatch for '$s' k=$k")
+      for (i <- 0 until m) {
+        val win = new java.lang.StringBuilder
+        for (j <- i until i + k) win.appendCodePoint(chars(j))
+        assert(got(i) == md548(win.toString),
+          s"hash mismatch at $i for '$s' k=$k")
+      }
+    }
+  }
+
   test("minhash coefficients stay in range for any n") {
     (0 until 256).foreach { i =>
       val a = graft.functions.TextHashImpl.coeffA(i)

@@ -74,6 +74,16 @@ class PlanSpec extends AnyFunSuite {
       s"|query|-row df table must broadcast:\n$plan")
   }
 
+  test("q97 star join broadcasts the dims; fact never sort-merges") {
+    val df = q("q97_local_supplier_volume")
+    df.write.format("noop").mode("overwrite").save() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"dims must broadcast at this scale, not sort-merge:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      s"expected broadcast dim joins:\n$plan")
+  }
+
   test("projection + filter push down into the parquet scan") {
     val df = graft.Queries.T(spark, SF, "lineitem")
       .where(org.apache.spark.sql.functions.col("l_orderkey") === 1L)
