@@ -1069,6 +1069,46 @@ object Queries {
              |JOIN region ON n_regionkey = r_regionkey
              |WHERE r_name = 'ASIA'
              |GROUP BY n_name
-             |ORDER BY revenue DESC, n_name""".stripMargin))
+             |ORDER BY revenue DESC, n_name""".stripMargin)),
+
+    // ---- robust outlier stats (median absolute deviation): per event
+    // type, med = exact median, mad = median of |v - med|, outliers =
+    // |v - med| > 3*mad. Two grouped EXACT percentiles + co-keyed
+    // joins, all on the same small grouping key; the threshold compare
+    // runs on unrounded doubles (identical on both engines — rounding
+    // only touches the reported stats) ----
+    Q("q98_mad_outliers",
+      (s, d) => {
+        import s.implicits._
+        val e = T(s, d, "events").select($"event_type", $"value")
+        val med = e.groupBy($"event_type")
+          .agg(percentile($"value", lit(0.5)).as("med"))
+        val dev = e.join(med, "event_type")
+          .withColumn("ad", abs($"value" - $"med"))
+        val mad = dev.groupBy($"event_type")
+          .agg(percentile($"ad", lit(0.5)).as("mad"))
+        dev.join(mad, "event_type")
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            count(when($"ad" > $"mad" * 3, 1)).as("n_out"),
+            round(max($"med"), 6).as("med_v"),
+            round(max($"mad"), 6).as("mad_v"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH med AS (SELECT event_type,
+             |  quantile_cont(value, 0.5) AS med
+             |  FROM events GROUP BY 1),
+             |dev AS (SELECT e.event_type, e.value, m.med,
+             |  abs(e.value - m.med) AS ad
+             |  FROM events e JOIN med m USING (event_type)),
+             |mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+             |        FROM dev GROUP BY 1)
+             |SELECT d.event_type, count(*) AS n,
+             |  count(*) FILTER (d.ad > m.mad * 3) AS n_out,
+             |  round(max(d.med), 6) AS med_v,
+             |  round(max(m.mad), 6) AS mad_v
+             |FROM dev d JOIN mad m USING (event_type)
+             |GROUP BY d.event_type ORDER BY d.event_type"""
+        .stripMargin))
   )
 }

@@ -1657,6 +1657,36 @@ object LlmQueries {
              |    CAST(row_number() OVER (PARTITION BY src
              |      ORDER BY score DESC, dst ASC) AS BIGINT) AS rank
              |  FROM scored)
-             |WHERE rank <= 3 ORDER BY src, rank""".stripMargin))
+             |WHERE rank <= 3 ORDER BY src, rank""".stripMargin)),
+
+    // ---- pairwise edit distance (the fuzzy-match verifier for titles
+    // / short fields): Levenshtein over a deterministic 1-in-10 sample
+    // of adjacent doc pairs. Both engines implement the standard DP;
+    // the join is a self-join on doc_id+1 (co-keyed). O(len^2) per
+    // pair — sample-gated, as a production fuzzy-dedup would be
+    // (candidate pairs first, DP verify second) ----
+    Q("q99_edit_distance",
+      (s, d) => {
+        import s.implicits._
+        val docs = T(s, d, "documents")
+        val a = docs.where($"doc_id" % 10 === 0)
+          .select($"doc_id", $"text".as("ta"))
+        val b = docs.select(($"doc_id" - 1).as("doc_id"),
+          $"text".as("tb"))
+        a.join(b, "doc_id")
+          .select($"doc_id",
+            levenshtein($"ta", $"tb").cast("long").as("lev"),
+            length($"ta").cast("long").as("len_a"),
+            length($"tb").cast("long").as("len_b"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT a.doc_id,
+             |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+             |  CAST(len(a.text) AS BIGINT) AS len_a,
+             |  CAST(len(b.text) AS BIGINT) AS len_b
+             |FROM documents a JOIN documents b
+             |  ON b.doc_id = a.doc_id + 1
+             |WHERE a.doc_id % 10 = 0
+             |ORDER BY a.doc_id""".stripMargin))
   )
 }

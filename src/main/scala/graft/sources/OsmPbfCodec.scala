@@ -31,7 +31,12 @@ object OsmPbfCodec {
 
   private def deflate(data: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    val d = new Deflater()
+    // BEST_SPEED: any zlib level is wire-valid PBF. At sf0.1 the round
+    // trips are not deflate-bound (measured no delta vs the default
+    // level), but at planet scale blob compression is a top CPU cost
+    // and the payloads are already delta-coded + stringtable'd, so the
+    // entropy left for level 6 to exploit is small
+    val d = new Deflater(Deflater.BEST_SPEED)
     val z = new DeflaterOutputStream(bos, d)
     z.write(data); z.finish(); z.close(); d.end()
     bos.toByteArray
