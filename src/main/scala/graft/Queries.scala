@@ -93,14 +93,17 @@ object Queries {
              |FROM lineitem WHERE l_orderkey = 1
              |ORDER BY l_linenumber""".stripMargin)),
 
-    // ---- J1-J4 join chain + group agg (TPC-H Q5 shape); dims broadcast ----
+    // ---- J1-J4 join chain + group agg (TPC-H Q5 shape). Only the
+    // BOUNDED dim (nation, 25 rows) carries a broadcast hint; customer
+    // is corpus-proportional, so its join strategy is left to AQE —
+    // an unconditional hint there would OOM executors at 100 TB ----
     Q("q03_revenue_by_nation",
       (s, d) => {
         import s.implicits._
         val li = T(s, d, "lineitem"); val o = T(s, d, "orders")
         val c = T(s, d, "customer"); val n = T(s, d, "nation")
         li.join(o, $"l_orderkey" === $"o_orderkey")
-          .join(broadcast(c), $"o_custkey" === $"c_custkey")
+          .join(c, $"o_custkey" === $"c_custkey")
           .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
           .groupBy($"n_name")
           .agg(moneySum($"l_extendedprice" * (lit(1.0) - $"l_discount"))

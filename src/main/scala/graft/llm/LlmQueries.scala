@@ -1611,12 +1611,14 @@ object LlmQueries {
 
     // ---- kNN graph construction (the SemDeDup/diversity-analysis
     // primitive): top-3 cosine neighbors for a deterministic 1-in-25
-    // sample of vectors. The sample side broadcasts (it's the small
-    // side by construction), so scoring is map-side over the corpus —
-    // no pair shuffle; only the tiny scored-edge set shuffles for the
-    // per-source rank. Scoring runs the native cosine_sim kernel: the
-    // interpreted HOF chain measured ~8x slower on this pairwise
-    // workload ----
+    // sample of vectors. The sample side broadcasts so scoring is
+    // map-side over the corpus — but a 1-in-25 sample is CORPUS-LINEAR,
+    // so the hint is size-gated exactly like the dedup joins: under
+    // the cap hint broadcast, over it leave the join un-hinted (AQE
+    // can still pick broadcast from real runtime sizes; the honest
+    // 100 TB plan for a linear query set is IVF/LSH bucketing, q49).
+    // Scoring runs the native cosine_sim kernel: the interpreted HOF
+    // chain measured ~8x slower on this pairwise workload ----
     Q("q92_knn_graph",
       (s, d) => {
         import s.implicits._
@@ -1625,8 +1627,11 @@ object LlmQueries {
           .select($"vec_id", $"embedding".cast("array<double>").as("v"))
         val sample = emb.where($"vec_id" % 25 === 0)
           .select($"vec_id".as("src"), $"v".as("qv"))
+        val est = sample.queryExecution.optimizedPlan.stats.sizeInBytes
+        val hinted =
+          if (est <= (64L << 20)) broadcast(sample) else sample
         emb.select($"vec_id".as("dst"), $"v")
-          .join(broadcast(sample), $"dst" =!= $"src")
+          .join(hinted, $"dst" =!= $"src")
           .select($"src", $"dst",
             round(call_function("cosine_sim", $"v", $"qv"), 6)
               .as("score"))
