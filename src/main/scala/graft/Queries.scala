@@ -991,25 +991,32 @@ object Queries {
         .stripMargin)),
 
     // ---- column profiling (the data-quality audit table): per-column
-    // row/null/exact-distinct counts and min/max in ONE pass per
-    // column batch — Spark plans the three profiled columns as one
-    // scan with multiple aggregates (distinct counts expand to
-    // grouping sets), no per-column rescan ----
+    // row/null/exact-distinct counts and min/max for ALL profiled
+    // columns in ONE aggregate over ONE scan (the multiple distinct
+    // counts expand via Spark's Expand operator — still a single pass
+    // of the fact table), then stack() unpivots the wide row into the
+    // per-column report. A union-of-aggregates formulation rescans the
+    // table once per column ----
     Q("q96_profile",
       (s, d) => {
         import s.implicits._
         val li = T(s, d, "lineitem")
-        def prof(c: String) = li.agg(
-          count(lit(1)).as("n"),
-          count(when(col(c).isNull, 1)).as("n_null"),
-          countDistinct(col(c)).as("n_distinct"),
-          min(col(c)).cast("double").as("min_v"),
-          max(col(c)).cast("double").as("max_v"))
-          .select(lit(c).as("col_name"), $"n", $"n_null", $"n_distinct",
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+        val aggs = count(lit(1)).as("n") +: cols.zipWithIndex.flatMap {
+          case (c, i) => Seq(
+            count(when(col(c).isNull, 1)).as(s"nn$i"),
+            countDistinct(col(c)).as(s"nd$i"),
+            min(col(c)).cast("double").as(s"mn$i"),
+            max(col(c)).cast("double").as(s"mx$i"))
+        }
+        val stackArgs = cols.zipWithIndex
+          .map { case (c, i) => s"'$c', nn$i, nd$i, mn$i, mx$i" }
+          .mkString(", ")
+        li.agg(aggs.head, aggs.tail: _*)
+          .select($"n", expr(s"stack(${cols.size}, $stackArgs) AS " +
+            "(col_name, n_null, n_distinct, min_v, max_v)"))
+          .select($"col_name", $"n", $"n_null", $"n_distinct",
             $"min_v", $"max_v")
-        prof("l_quantity")
-          .unionAll(prof("l_extendedprice"))
-          .unionAll(prof("l_discount"))
           .orderBy($"col_name")
       },
       Some("""SELECT col_name, n, n_null, n_distinct, min_v, max_v

@@ -98,20 +98,22 @@ object LlmQueries {
     s"len(list_filter($dTokens, t -> list_contains([$words], t)))"
   }
 
-  /** DuckDB fragment: distinct 48-bit md5 hashes of the 3-char shingles
-    * of normalized `text` (mirrors [[TextFunctions.ngramShingleHashes]]
-    * at n=3). */
-  private val dShingles3: String =
-    """CASE WHEN length(regexp_replace(lower(trim(text)),
-      |                 '\s+', ' ', 'g')) >= 3
-      |THEN list_distinct(list_transform(
-      |  generate_series(1, length(regexp_replace(lower(trim(text)),
-      |                  '\s+', ' ', 'g')) - 2),
-      |  i -> CAST(concat('0x', substr(md5(
-      |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
-      |      [CAST(i AS INT) : CAST(i AS INT) + 2]), 1, 12))
-      |    AS BIGINT)))
-      |ELSE [] END""".stripMargin
+  /** DuckDB fragment: distinct 48-bit md5 hashes of the n-char shingles
+    * of normalized `text` (mirrors
+    * [[TextFunctions.ngramShingleHashes]]). */
+  private def dShinglesN(n: Int): String =
+    s"""CASE WHEN length(regexp_replace(lower(trim(text)),
+       |                 '\\s+', ' ', 'g')) >= $n
+       |THEN list_distinct(list_transform(
+       |  generate_series(1, length(regexp_replace(lower(trim(text)),
+       |                  '\\s+', ' ', 'g')) - ${n - 1}),
+       |  i -> CAST(concat('0x', substr(md5(
+       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+       |      [CAST(i AS INT) : CAST(i AS INT) + ${n - 1}]), 1, 12))
+       |    AS BIGINT)))
+       |ELSE [] END""".stripMargin
+
+  private val dShingles3: String = dShinglesN(3)
 
   /** Hashed-shingle CTE (`sh`) + verified near-dup drop set (`dropped`)
     * over `src` at `threshold` — the q27/q44 pipeline pieces. */
@@ -1692,6 +1694,130 @@ object LlmQueries {
              |FROM documents a JOIN documents b
              |  ON b.doc_id = a.doc_id + 1
              |WHERE a.doc_id % 10 = 0
-             |ORDER BY a.doc_id""".stripMargin))
+             |ORDER BY a.doc_id""".stripMargin)),
+
+    // ---- the capstone: a full training-data build. curate (exact
+    // dedup -> near-dup survivors -> quality floor -> language) ->
+    // decontaminate vs the benchmark slice (its docs excluded, shared-
+    // shingle frac >= 0.5 dropped) -> deterministic 80/10/10 split ->
+    // sequence-pack each split into 512-token windows. The output is
+    // the per-split build manifest; the oracle cross-checks the REAL
+    // packer against the closed form (n_seqs == ceil(n_tokens/512) —
+    // if packSequences loses or double-counts a token stream, the
+    // counts diverge). Every stage is a previously-verified operator;
+    // this query proves they compose ----
+    Q("q100_training_build",
+      (s, d) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        val docs = T(s, d, "documents")
+        val curated = Curate.curate(docs, "text", "doc_id",
+            minQuality = 0.5, langs = Seq("en"), nearDupThreshold = 0.5)
+          .select($"doc_id", $"text")
+        // 8-char shingles: on this corpus 3-grams saturate (median
+        // shared-frac 0.95 — every doc would drop); 8-grams separate
+        // real overlap (median 0.44) from noise
+        val sh = docs.select($"doc_id",
+          TextFunctions.ngramShingleHashes($"text", 8).as("sh"))
+        val bs = sh.where($"doc_id" % 50 === 0)
+          .select(explode($"sh").as("h")).distinct()
+        val curSh = curated.join(sh.select($"doc_id", $"sh"), "doc_id")
+          .where($"doc_id" % 50 =!= 0)
+        val shared = curSh.select($"doc_id", explode($"sh").as("h"))
+          .join(broadcast(bs), "h")
+          .groupBy($"doc_id").agg(count(lit(1)).as("ns"))
+        val clean = curSh.join(shared, Seq("doc_id"), "left")
+          .withColumn("frac", when(size($"sh") > 0,
+            round(coalesce($"ns", lit(0L)).cast("double") /
+              size($"sh").cast("double"), 6)).otherwise(lit(0.0)))
+          .where($"frac" < 0.5)
+          .select($"doc_id", $"text")
+        val withSplit = clean.withColumn("split",
+          Curate.splitAssign($"doc_id",
+            Seq("train" -> 8000, "val" -> 1000, "test" -> 1000)))
+        val parts = Seq("train", "val", "test").map { sp =>
+          Curate.packSequences(withSplit.where($"split" === sp),
+              "doc_id", TextFunctions.tokenCountWs($"text") + 1, 512)
+            .agg(
+              coalesce(countDistinct($"doc_id"), lit(0L)).as("n_docs"),
+              coalesce(sum($"n_tokens"), lit(0L)).as("n_tokens"),
+              coalesce(countDistinct($"seq_id"), lit(0L)).as("n_seqs"))
+            .select(lit(sp).as("split"), $"n_docs", $"n_tokens",
+              $"n_seqs")
+        }
+        parts.reduce(_ unionAll _).orderBy($"split")
+      },
+      Some(s"""WITH exact AS (
+              |  SELECT * FROM documents WHERE doc_id IN (
+              |    SELECT min(doc_id) FROM documents
+              |    GROUP BY md5(regexp_replace(lower(trim(text)),
+              |                 '\\s+', ' ', 'g')))),
+              |${dCandidateCtesFrom("exact")},
+              |${dNearDupDropCtes("exact", 0.5)},
+              |survivors AS (
+              |  SELECT * FROM exact
+              |  WHERE doc_id NOT IN (SELECT b FROM dropped)),
+              |feat AS (SELECT doc_id, lang, source, text,
+              |  CAST(length(text) AS DOUBLE) AS nc,
+              |  CAST(len($dTokens) AS DOUBLE) AS nw,
+              |  CAST(length(text) - length(regexp_replace(text,
+              |       '[[:punct:]]', '', 'g')) AS DOUBLE) AS np,
+              |  CAST(length(text) - length(regexp_replace(text,
+              |       '[A-Z]', '', 'g')) AS DOUBLE) AS nu
+              |  FROM survivors),
+              |q AS (SELECT doc_id, lang, source, text FROM feat
+              |  WHERE round(
+              |    least(nc / 200.0, 1.0) * 0.3 +
+              |    (CASE WHEN nw > 0 AND nc / nw >= 3 AND nc / nw <= 12
+              |          THEN 1.0 ELSE 0.5 END) * 0.2 +
+              |    (1.0 - least(np / greatest(nc, 1.0) * 4.0, 1.0)) * 0.3 +
+              |    (1.0 - least(nu / greatest(nc, 1.0) * 2.0, 1.0)) * 0.2,
+              |    6) >= 0.5),
+              |h AS (SELECT doc_id, lang, source,
+              |  ${dHits("en")} AS e, ${dHits("de")} AS g,
+              |  ${dHits("fr")} AS f, ${dHits("es")} AS sp FROM q),
+              |cur AS (SELECT d.doc_id, d.text FROM documents d
+              |  JOIN (SELECT doc_id FROM h
+              |        WHERE NOT (e <= 0 AND g <= 0 AND f <= 0
+              |                   AND sp <= 0)
+              |          AND e >= g AND e >= f AND e >= sp) hh
+              |    USING (doc_id)),
+              |shall AS (SELECT doc_id, ${dShinglesN(8)} AS sh
+              |          FROM documents),
+              |bs AS (SELECT DISTINCT unnest(sh) AS hh2 FROM shall
+              |       WHERE doc_id % 50 = 0),
+              |cursh AS (SELECT c.doc_id, s.sh FROM cur c
+              |          JOIN shall s USING (doc_id)
+              |          WHERE c.doc_id % 50 != 0),
+              |shared AS (SELECT t.doc_id, count(*) AS ns
+              |  FROM (SELECT doc_id, unnest(sh) AS hh2 FROM cursh) t
+              |  JOIN bs USING (hh2) GROUP BY t.doc_id),
+              |clean AS (SELECT c.doc_id FROM cursh c
+              |  LEFT JOIN shared s USING (doc_id)
+              |  WHERE (CASE WHEN len(c.sh) > 0
+              |         THEN round(CAST(coalesce(s.ns, 0) AS DOUBLE)
+              |                    / len(c.sh), 6)
+              |         ELSE 0.0 END) < 0.5),
+              |sp2 AS (SELECT k.doc_id,
+              |  CASE WHEN b < 8000 THEN 'train'
+              |       WHEN b < 9000 THEN 'val'
+              |       ELSE 'test' END AS split
+              |  FROM (SELECT doc_id,
+              |    CAST(concat('0x', substr(md5(concat('graft',
+              |      CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+              |      % 10000 AS b
+              |    FROM clean) k),
+              |tok AS (SELECT s2.split,
+              |  CAST(len($dTokens) + 1 AS BIGINT) AS t
+              |  FROM sp2 s2 JOIN documents USING (doc_id)),
+              |splits AS (SELECT unnest(['train', 'val', 'test'])
+              |             AS split)
+              |SELECT sl.split,
+              |  CAST(coalesce(count(t.t), 0) AS BIGINT) AS n_docs,
+              |  CAST(coalesce(sum(t.t), 0) AS BIGINT) AS n_tokens,
+              |  CAST(ceil(CAST(coalesce(sum(t.t), 0) AS DOUBLE) / 512)
+              |       AS BIGINT) AS n_seqs
+              |FROM splits sl LEFT JOIN tok t ON t.split = sl.split
+              |GROUP BY sl.split ORDER BY sl.split""".stripMargin))
   )
 }

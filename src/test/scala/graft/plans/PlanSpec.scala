@@ -84,6 +84,12 @@ class PlanSpec extends AnyFunSuite {
       s"expected broadcast dim joins:\n$plan")
   }
 
+  test("q96 profiling reads the fact table exactly once") {
+    val plan = q("q96_profile").queryExecution.executedPlan.toString
+    assert("FileScan parquet".r.findAllIn(plan).size == 1,
+      s"profiling must be one scan, not one per column:\n$plan")
+  }
+
   test("projection + filter push down into the parquet scan") {
     val df = graft.Queries.T(spark, SF, "lineitem")
       .where(org.apache.spark.sql.functions.col("l_orderkey") === 1L)
