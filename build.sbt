@@ -33,4 +33,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 16g: local[32] runs ~60 queries in one JVM; 8g left the old gen
   // tight enough that late queries paid 10-40x GC-thrash penalties
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 100 codegen'd queries in one JVM overflow the default 240m JIT
+  // code cache ("CodeCache is full. Compiler has been disabled") —
+  // alphabetically-late queries then run interpreted and measure ~2x
+  // slower than isolated. 512m + flushing keeps the JIT on.
+  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:+UseCodeCacheFlushing",
 )

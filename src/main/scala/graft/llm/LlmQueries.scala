@@ -1711,30 +1711,52 @@ object LlmQueries {
         import s.implicits._
         graft.functions.GraftFunctions.register(s)
         val docs = T(s, d, "documents")
-        val curated = Curate.curate(docs, "text", "doc_id",
+        // Staged build with materialized artifacts — the production
+        // shape. Each stage's pipeline executes exactly once; keeping
+        // it one lazy DAG re-executes the curate pipeline per consumer
+        // branch and per packSequences action (measured 12s+ at sf0.1;
+        // staged: ~5s). Stage 1: curate -> parquet.
+        val buildDir = java.nio.file.Files
+          .createTempDirectory("graft-q100-corpus").toString
+        Curate.curate(docs, "text", "doc_id",
             minQuality = 0.5, langs = Seq("en"), nearDupThreshold = 0.5)
           .select($"doc_id", $"text")
-        // 8-char shingles: on this corpus 3-grams saturate (median
-        // shared-frac 0.95 — every doc would drop); 8-grams separate
-        // real overlap (median 0.44) from noise
-        val sh = docs.select($"doc_id",
-          TextFunctions.ngramShingleHashes($"text", 8).as("sh"))
-        val bs = sh.where($"doc_id" % 50 === 0)
-          .select(explode($"sh").as("h")).distinct()
-        val curSh = curated.join(sh.select($"doc_id", $"sh"), "doc_id")
-          .where($"doc_id" % 50 =!= 0)
+          .write.mode("overwrite").parquet(s"$buildDir/curated")
+        val curated = s.read.parquet(s"$buildDir/curated")
+        // Stage 2: decontaminate + split -> parquet. 13-char shingles:
+        // this corpus is token soup from a tiny vocabulary, so short
+        // shingles saturate as the benchmark set grows (median
+        // shared-frac at 3/8/13 chars: 0.95/0.44/0.07 at sf0.01,
+        // 0.99/0.92/0.31 at sf0.1) — 13 separates real overlap from
+        // noise at every tested scale. Shingles are computed on the
+        // benchmark slice and the (already small) curated set only,
+        // never the full corpus.
+        val bs = docs.where($"doc_id" % 50 === 0)
+          .select(explode(TextFunctions.ngramShingleHashes($"text", 13))
+            .as("h")).distinct()
+        val curSh = curated.where($"doc_id" % 50 =!= 0)
+          .select($"doc_id", $"text",
+            TextFunctions.ngramShingleHashes($"text", 13).as("sh"))
         val shared = curSh.select($"doc_id", explode($"sh").as("h"))
           .join(broadcast(bs), "h")
           .groupBy($"doc_id").agg(count(lit(1)).as("ns"))
-        val clean = curSh.join(shared, Seq("doc_id"), "left")
+        curSh.join(shared, Seq("doc_id"), "left")
           .withColumn("frac", when(size($"sh") > 0,
             round(coalesce($"ns", lit(0L)).cast("double") /
               size($"sh").cast("double"), 6)).otherwise(lit(0.0)))
           .where($"frac" < 0.5)
           .select($"doc_id", $"text")
-        val withSplit = clean.withColumn("split",
-          Curate.splitAssign($"doc_id",
-            Seq("train" -> 8000, "val" -> 1000, "test" -> 1000)))
+          .withColumn("split",
+            Curate.splitAssign($"doc_id",
+              Seq("train" -> 8000, "val" -> 1000, "test" -> 1000)))
+          .write.mode("overwrite").partitionBy("split")
+          .parquet(s"$buildDir/final")
+        // Stage 3: pack each split from the materialized corpus.
+        // Explicit schema: a fully-filtered (empty) build writes no
+        // parquet files, and schema inference would fail on read-back.
+        val withSplit = s.read
+          .schema("doc_id BIGINT, text STRING, split STRING")
+          .parquet(s"$buildDir/final")
         val parts = Seq("train", "val", "test").map { sp =>
           Curate.packSequences(withSplit.where($"split" === sp),
               "doc_id", TextFunctions.tokenCountWs($"text") + 1, 512)
@@ -1782,7 +1804,7 @@ object LlmQueries {
               |                   AND sp <= 0)
               |          AND e >= g AND e >= f AND e >= sp) hh
               |    USING (doc_id)),
-              |shall AS (SELECT doc_id, ${dShinglesN(8)} AS sh
+              |shall AS (SELECT doc_id, ${dShinglesN(13)} AS sh
               |          FROM documents),
               |bs AS (SELECT DISTINCT unnest(sh) AS hh2 FROM shall
               |       WHERE doc_id % 50 = 0),
