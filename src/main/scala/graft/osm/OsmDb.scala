@@ -87,4 +87,33 @@ final class OsmDb(spark: SparkSession, root: String) {
 
   /** P6: metadata KV. */
   def metadata(key: String): Option[String] = snapshot.meta.get(key)
+
+  // ---- typed Dataset accessors (S6 decode via encoders, not rows) ----
+
+  /** Whole-table typed scans at the pinned snapshot. Projections
+    * select the model columns explicitly, so stores carrying extra
+    * physical columns (s2cell index, `__bucket`) decode fine. */
+  def locationsTyped: org.apache.spark.sql.Dataset[OsmModel.Location] = {
+    import spark.implicits._
+    table("locations").select(col("id"), col("lon"), col("lat"),
+      col("version")).as[OsmModel.Location]
+  }
+
+  def nodesTyped: org.apache.spark.sql.Dataset[OsmModel.Node] = {
+    import spark.implicits._
+    table("nodes").select(col("id"), col("tags"), col("meta"))
+      .as[OsmModel.Node]
+  }
+
+  def waysTyped: org.apache.spark.sql.Dataset[OsmModel.Way] = {
+    import spark.implicits._
+    table("ways").select(col("id"), col("nodes"), col("tags"),
+      col("meta")).as[OsmModel.Way]
+  }
+
+  def relationsTyped: org.apache.spark.sql.Dataset[OsmModel.Relation] = {
+    import spark.implicits._
+    table("relations").select(col("id"), col("members"), col("tags"),
+      col("meta")).as[OsmModel.Relation]
+  }
 }

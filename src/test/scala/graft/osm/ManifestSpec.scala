@@ -276,6 +276,40 @@ class ManifestSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toSet == Set((1L, "x2")))
   }
 
+  test("typed Dataset accessors decode the committed model (S6)") {
+    import OsmModel._
+    val root = Files.createTempDirectory("graft-typed").toString
+    val locs = Seq(Location(1L, 100, 200, 1), Location(2L, -5, 7, 3))
+    val nodes = Seq(
+      Node(1L, Map("amenity" -> "cafe"),
+        Some(Meta(1, 1600000000L, 9L, 42L, "alice"))),
+      Node(2L, Map.empty, None)) // CDC upsert: null meta decodes as None
+    val ways = Seq(Way(10L, Seq(1L, 2L, 1L), Map("highway" -> "path"),
+      None))
+    val rels = Seq(Relation(20L,
+      Seq(Member(10L, "way", "outer"), Member(1L, "node", "label")),
+      Map("type" -> "multipolygon"), None))
+    VersionedTable.commit(root, Map(
+      "locations" -> locs.toDS.toDF,
+      "nodes" -> nodes.toDS.toDF,
+      "ways" -> ways.toDS.toDF,
+      "relations" -> rels.toDS.toDF))
+    val db = new OsmDb(spark, root)
+
+    // typed transforms: compile-time-checked field access
+    assert(db.locationsTyped.filter(_.lon > 0).collect().toSet ==
+      Set(locs.head))
+    val n = db.nodesTyped.collect().sortBy(_.id)
+    assert(n.toSeq == nodes)
+    assert(n(1).meta.isEmpty)
+    assert(db.waysTyped.head().nodes == Seq(1L, 2L, 1L)) // order kept
+    val r = db.relationsTyped.head()
+    assert(r.members.map(_.role) == Seq("outer", "label"))
+    assert(db.relationsTyped
+      .filter(_.tags.get("type").contains("multipolygon"))
+      .count() == 1L)
+  }
+
   test("replication URL format is AAA/BBB/CCC zero-padded (F7)") {
     assert(Replication.url("https://x/replication/minute", 4397511) ==
       "https://x/replication/minute/004/397/511")
