@@ -187,7 +187,14 @@ object TextHashImpl {
     * byte slice per window, no substring copies, no row-level Column
     * machinery. Same hash family as the q51 oracle, so DuckDB mirrors
     * it with md5(substr(...)). Fewer than k chars -> empty. */
-  def charWindowHash48(text: UTF8String, k: Int): ArrayData = {
+  def charWindowHash48(text: UTF8String, k: Int): ArrayData =
+    new GenericArrayData(windowHashes48(text, k))
+
+  /** Shared kernel: positional 48-bit md5 hashes of every k-char
+    * window (one digest per window over the UTF-8 byte slice; char
+    * starts walked once). Empty when the text has fewer than k chars.
+    * Used by both [[charWindowHash48]] and [[winnowFingerprint]]. */
+  private def windowHashes48(text: UTF8String, k: Int): Array[Long] = {
     val bytes = text.getBytes
     val starts = new Array[Int](bytes.length + 1)
     var nc = 0
@@ -197,7 +204,7 @@ object TextHashImpl {
       off += 1
     }
     starts(nc) = bytes.length
-    if (nc < k) return new GenericArrayData(Array.emptyLongArray)
+    if (nc < k) return Array.emptyLongArray
     val m = nc - k + 1
     val hs = new Array[Long](m)
     val digest = md5Local.get()
@@ -211,7 +218,7 @@ object TextHashImpl {
         ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
       i += 1
     }
-    new GenericArrayData(hs)
+    hs
   }
 
   /** Winnowing document fingerprint (the MOSS k-gram algorithm,
@@ -222,29 +229,9 @@ object TextHashImpl {
     * to share at least one fingerprint. Fewer than w hashes -> one
     * window over the whole sequence; fewer than n chars -> empty. */
   def winnowFingerprint(text: UTF8String, n: Int, w: Int): ArrayData = {
-    val bytes = text.getBytes
-    val starts = new Array[Int](bytes.length + 1)
-    var nc = 0
-    var off = 0
-    while (off < bytes.length) {
-      if ((bytes(off) & 0xc0) != 0x80) { starts(nc) = off; nc += 1 }
-      off += 1
-    }
-    starts(nc) = bytes.length
-    if (nc < n) return new GenericArrayData(Array.emptyLongArray)
-    val m = nc - n + 1
-    val hs = new Array[Long](m)
-    val digest = md5Local.get()
-    var i = 0
-    while (i < m) {
-      digest.reset()
-      digest.update(bytes, starts(i), starts(i + n) - starts(i))
-      val d = digest.digest()
-      hs(i) = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
-        ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
-        ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
-      i += 1
-    }
+    val hs = windowHashes48(text, n)
+    if (hs.isEmpty) return new GenericArrayData(Array.emptyLongArray)
+    val m = hs.length
     val nw = math.max(m - w + 1, 1)
     val sel = new Array[Long](nw)
     var j = 0
