@@ -1119,6 +1119,41 @@ object Queries {
              |  round(max(m.mad), 6) AS mad_v
              |FROM dev d JOIN mad m USING (event_type)
              |GROUP BY d.event_type ORDER BY d.event_type"""
-        .stripMargin))
+        .stripMargin)),
+
+    // ---- multiset algebra (A1's non-distinct forms): EXCEPT ALL /
+    // INTERSECT ALL preserve multiplicities — the shapes audits use to
+    // answer "how many occurrences survive", where the distinct forms
+    // (q06) lose counts. Both plan as one co-keyed shuffle, no
+    // row-explosion. Keys with multiplicity: l_suppkey appears once
+    // per lineitem ----
+    Q("q101_multiset_ops",
+      (s, d) => {
+        import s.implicits._
+        val li = T(s, d, "lineitem").select($"l_suppkey".as("suppkey"))
+        val rich = T(s, d, "supplier").where($"s_acctbal" > 5000.0)
+          .select($"s_suppkey".as("suppkey"))
+        val ex = li.exceptAll(rich)
+          .groupBy($"suppkey").agg(count(lit(1)).as("n"))
+        val in = li.intersectAll(rich)
+          .groupBy($"suppkey").agg(count(lit(1)).as("n"))
+        ex.select(lit("except_all").as("op"), $"suppkey", $"n")
+          .unionAll(in.select(lit("intersect_all").as("op"),
+            $"suppkey", $"n"))
+          .orderBy($"op", $"suppkey")
+      },
+      Some("""WITH li AS (SELECT l_suppkey AS suppkey FROM lineitem),
+             |rich AS (SELECT s_suppkey AS suppkey FROM supplier
+             |         WHERE s_acctbal > 5000.0),
+             |ex AS (SELECT suppkey FROM li
+             |       EXCEPT ALL SELECT suppkey FROM rich),
+             |ia AS (SELECT suppkey FROM li
+             |       INTERSECT ALL SELECT suppkey FROM rich)
+             |SELECT 'except_all' AS op, suppkey, count(*) AS n
+             |FROM ex GROUP BY suppkey
+             |UNION ALL
+             |SELECT 'intersect_all', suppkey, count(*) FROM ia
+             |GROUP BY suppkey
+             |ORDER BY op, suppkey""".stripMargin))
   )
 }
