@@ -1154,6 +1154,37 @@ object Queries {
              |UNION ALL
              |SELECT 'intersect_all', suppkey, count(*) FROM ia
              |GROUP BY suppkey
-             |ORDER BY op, suppkey""".stripMargin))
+             |ORDER BY op, suppkey""".stripMargin)),
+
+    // ---- null-safe equality join (<=> / IS NOT DISTINCT FROM): the
+    // dimension-enrichment shape where NULL is a real key ("unknown"
+    // bucket) that must match the dimension's NULL row — a plain
+    // equi-join silently drops those rows. Still hash-joinable (both
+    // engines treat null-safe equality as a join key), one co-keyed
+    // shuffle ----
+    Q("q102_nullsafe_join",
+      (s, d) => {
+        import s.implicits._
+        val e = T(s, d, "events")
+          .select($"event_id",
+            when($"value" < 10.0, ($"event_id" % 3).cast("long"))
+              .otherwise(lit(null).cast("long")).as("k"))
+        val dim = Seq((Some(0L), "alpha"), (Some(1L), "beta"),
+            (Some(2L), "gamma"), (None, "unknown"))
+          .toDF("k", "label")
+        e.join(dim, e("k") <=> dim("k"))
+          .groupBy($"label")
+          .agg(count(lit(1)).as("n"), min($"event_id").as("first_id"))
+          .orderBy($"label")
+      },
+      Some("""WITH e AS (SELECT event_id,
+             |  CASE WHEN value < 10.0 THEN event_id % 3
+             |       ELSE NULL END AS k
+             |  FROM events),
+             |dim AS (SELECT * FROM (VALUES (0, 'alpha'), (1, 'beta'),
+             |        (2, 'gamma'), (NULL, 'unknown')) AS t(k, label))
+             |SELECT label, count(*) AS n, min(event_id) AS first_id
+             |FROM e JOIN dim ON e.k IS NOT DISTINCT FROM dim.k
+             |GROUP BY label ORDER BY label""".stripMargin))
   )
 }
