@@ -887,7 +887,8 @@ object Queries {
           .orderBy($"event_type")
       },
       Some("""SELECT event_type, count(*) AS n,
-             |  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+             |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+             |    AS BIGINT) AS sum_k,
              |  min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
              |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
              |  count(*) FILTER (json_extract(props, '$.k') IS NULL)

@@ -655,6 +655,81 @@ object OsmQueries {
               |FROM locations2 l LEFT JOIN nodes2 n ON n.id = l.id
               |ORDER BY l.id""".stripMargin)),
 
+    // ---- q103: q46 through a GZIP'd OsmChange feed — real replication
+    // diffs ship as `.osc.gz` (the reference inflates natively,
+    // `src/update.cpp:272-276`). Same change set and the SAME oracle as
+    // q46: write .osc -> gzip each shard in place -> scan the `.osc
+    // .xml.gz` files through the magic-byte inflate path -> U1 apply.
+    // Any divergence in the decompression wrapper shows up ----
+    Q("q103_oscgz_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        val t = SyntheticOsm.materialized(s, d)
+        val metaT = "struct<version:int,timestamp:bigint," +
+          "changeset:bigint,uid:bigint,user:string>"
+        val changeDoc = t.locations.where($"id" % 17 <= 1).select(
+          $"id",
+          when($"id" % 17 === 0, "delete").otherwise("modify")
+            .as("action"),
+          ($"lon" + 1000).cast("int").as("lon"),
+          ($"lat" + 1000).cast("int").as("lat"),
+          ($"version" + 100).cast("int").as("version"),
+          lit(0L).as("timestamp"), lit(0L).as("changeset"),
+          lit(0L).as("uid"), lit("u").as("user"),
+          when($"id" % 2 === 0,
+            map(lit("status"), lit("X"), lit("urgent"), lit("1")))
+            .otherwise(map().cast("map<string,string>")).as("tags"))
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-q103-oscgz").toString
+        changeDoc.coalesce(1).write.format("osmxml")
+          .option("entity", "node").mode("overwrite").save(dir)
+        // gzip each shard in place (driver-side: the point is the
+        // source's inflate path, the files are one temp change doc)
+        val lst = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        try {
+          lst.iterator().forEachRemaining { p =>
+            if (p.getFileName.toString
+              .matches("part-node-\\d+\\.osc\\.xml")) {
+              val gz = p.resolveSibling(p.getFileName.toString + ".gz")
+              val out = new java.util.zip.GZIPOutputStream(
+                java.nio.file.Files.newOutputStream(gz))
+              try java.nio.file.Files.copy(p, out) finally out.close()
+              java.nio.file.Files.delete(p)
+            }
+          }
+        } finally lst.close()
+        val parsed = s.read.format("osmxml").option("entity", "node")
+          .option("changes", "true").load(dir)
+        val ch = parsed.select($"id",
+          ($"action" =!= "delete").as("visible"),
+          $"lon", $"lat", $"version", $"tags",
+          lit(null).cast(metaT).as("meta"))
+        val (loc2, nodes2) =
+          Changeset.applyNodeChanges(t.locations, t.nodes, ch)
+        loc2.join(nodes2.select($"id",
+            Extract.tagsToString($"tags").as("tags_s")),
+          Seq("id"), "left_outer")
+          .select($"id", $"lon", $"lat", $"version", $"tags_s")
+          .orderBy($"id")
+      },
+      Some(s"""WITH $dOsmCtes,
+              |locations2 AS (
+              |  SELECT id, lon, lat, version FROM locations
+              |  WHERE id % 17 > 1
+              |  UNION ALL
+              |  SELECT id, CAST(lon + 1000 AS INTEGER),
+              |         CAST(lat + 1000 AS INTEGER),
+              |         CAST(version + 100 AS INTEGER)
+              |  FROM locations WHERE id % 17 = 1),
+              |nodes2 AS (
+              |  SELECT id, tags_s FROM onodes WHERE id % 17 > 1
+              |  UNION ALL
+              |  SELECT id, 'status=X;urgent=1' FROM locations
+              |  WHERE id % 17 = 1 AND id % 2 = 0)
+              |SELECT l.id, l.lon, l.lat, l.version, n.tags_s
+              |FROM locations2 l LEFT JOIN nodes2 n ON n.id = l.id
+              |ORDER BY l.id""".stripMargin)),
+
     // ---- q47: buffered covering (G8, `--expand` / extract.cpp:138-143)
     // end-to-end — the q32 extract with the covering EXPANDED one
     // neighbor ring before the scan. The oracle is the unbuffered pure
@@ -865,7 +940,8 @@ object OsmQueries {
               |geo AS (
               |  SELECT root, string_agg(g, ',' ORDER BY path) AS geoms
               |  FROM leaves GROUP BY root)
-              |SELECT r.id, '{"type":"Feature","id":' || r.id ||
+              |SELECT CAST(r.id AS BIGINT) AS id,
+              |  '{"type":"Feature","id":' || r.id ||
               |  ',"properties":{"name":"' ||
               |  regexp_extract(r.tags_s, 'name=([^;]*)', 1) ||
               |  '"},"geometry":{"type":"GeometryCollection",' ||
@@ -888,7 +964,8 @@ object OsmQueries {
           .orderBy($"id")
       },
       Some(s"""WITH $dOsmCtes
-              |SELECT id, tags_s, len(members) AS n_members,
+              |SELECT CAST(id AS BIGINT) AS id, tags_s,
+              |       len(members) AS n_members,
               |       regexp_extract(tags_s, 'name=([^;]*)', 1) AS name
               |FROM orelations WHERE rtype = 'multipolygon'
               |ORDER BY id""".stripMargin)),

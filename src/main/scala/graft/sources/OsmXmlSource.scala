@@ -109,18 +109,53 @@ object OsmXmlSource {
   }
 
   /** Expand dirs to their .osm files (Hadoop FS, so any supported
-    * filesystem works). */
+    * filesystem works). Compressed XML (`.gz` / `.bz2`) is listed too —
+    * real-world replication diffs ship as `.osc.gz` (the reference
+    * inflates them natively, `src/update.cpp:272-276`). */
   def listFiles(paths: Seq[String]): Seq[String] = {
     val conf = new Configuration()
+    def keep(f: String): Boolean = {
+      val bare = f.stripSuffix(".gz").stripSuffix(".bz2")
+      bare.endsWith(".osm") || bare.endsWith(".xml") ||
+        bare.endsWith(".osc") || bare.endsWith(".pbf")
+    }
     paths.flatMap { p =>
       val hp = new Path(p)
       val fs = hp.getFileSystem(conf)
       if (fs.getFileStatus(hp).isDirectory)
         fs.listStatus(hp).toSeq.filter(_.isFile).map(_.getPath.toString)
-          .filter(f => f.endsWith(".osm") || f.endsWith(".xml") ||
-            f.endsWith(".pbf"))
+          .filter(keep)
       else Seq(p)
     }.sorted
+  }
+
+  /** Open `file` for XML parsing, transparently inflating gzip/bzip2
+    * payloads. Sniffed by MAGIC BYTES, not extension, so `.osc.gz`
+    * replication feeds and mislabelled files both decode. PBF never
+    * goes through here (its blobs carry their own per-blob compression
+    * and must stay seekable for range splits). */
+  def openDecoded(file: String): java.io.InputStream = {
+    val hp = new Path(file)
+    val raw = hp.getFileSystem(new Configuration()).open(hp)
+    val buf = new java.io.BufferedInputStream(raw, 1 << 16)
+    buf.mark(4)
+    val m = new Array[Byte](3)
+    var n = 0
+    var r = 0
+    while (n < 3 && r >= 0) {
+      r = buf.read(m, n, 3 - n)
+      if (r > 0) n += r
+    }
+    buf.reset()
+    if (n >= 2 && (m(0) & 0xff) == 0x1f && (m(1) & 0xff) == 0x8b)
+      // GZIPInputStream handles multi-member streams (concatenated
+      // minutely diffs are valid gzip)
+      new java.util.zip.GZIPInputStream(buf, 1 << 16)
+    else if (n >= 3 && m(0) == 'B' && m(1) == 'Z' && m(2) == 'h') {
+      val codec = new org.apache.hadoop.io.compress.BZip2Codec()
+      codec.setConf(new Configuration())
+      codec.createInputStream(buf)
+    } else buf
   }
 
   /** Target compressed bytes per PBF input partition. Planet blobs are
@@ -207,10 +242,11 @@ final class OsmXmlScanBuilder(entity: String, changes: Boolean,
       // our own writer names files part-<entity>-NNNNN.osm; when that
       // convention is present, prune other entities' files at plan time
       // (otherwise every entity scan re-parses the whole directory)
-      val named = files.filter(
-        _.matches(s".*part-$entity-\\d+\\.(osm(\\.pbf)?|osc\\.xml)$$"))
+      val named = files.filter(_.matches(
+        s".*part-$entity-\\d+\\.(osm(\\.pbf)?|osc\\.xml)(\\.gz|\\.bz2)?$$"))
       val anyNamed = files.exists(_.matches(
-        ".*part-(node|way|relation)-\\d+\\.(osm(\\.pbf)?|osc\\.xml)$"))
+        ".*part-(node|way|relation)-\\d+\\.(osm(\\.pbf)?|osc\\.xml)" +
+          "(\\.gz|\\.bz2)?$"))
       val mine = if (anyNamed) named else files
       val splitBytes = options.get("pbf.split.bytes").map(_.toLong)
         .getOrElse(OsmXmlSource.DefaultPbfSplitBytes)
@@ -306,10 +342,7 @@ final class XmlPartitionReader(file: String, entity: String,
   extends PartitionReader[InternalRow] {
   import OsmXmlCodec._
   private val conv = new RawToRow(columns)
-  private val in = {
-    val hp = new Path(file)
-    hp.getFileSystem(new Configuration()).open(hp)
-  }
+  private val in = OsmXmlSource.openDecoded(file)
   private val elems = new OsmElementIterator(in)
   // change mode keeps only elements inside an action block
   private def keep(a: String): Boolean = !changes || a != null
@@ -401,7 +434,8 @@ final class OsmXmlWriteBuilder(entity: String,
           fs.listStatus(dirPath).toSeq.filter(_.isFile)
             .map(_.getPath)
             .filter(_.getName.matches(
-              s"part-$entity-\\d+\\.(osm(\\.pbf)?|osc\\.xml)"))
+              s"part-$entity-\\d+\\.(osm(\\.pbf)?|osc\\.xml)" +
+                "(\\.gz|\\.bz2)?"))
             .filterNot(p => written.contains(p.getName))
             .foreach(p => fs.delete(p, false))
         }

@@ -192,6 +192,70 @@ class OsmXmlSpec extends AnyFunSuite {
     assert(nodes2.select($"id").as[Long].collect().toSet == Set(10L))
   }
 
+  test("gzip and bzip2 XML inputs inflate transparently (magic sniff)") {
+    import OsmXmlCodec._
+    val (nodes, _, _) = world()
+    val dir = Files.createTempDirectory("graft-gz").toString
+    nodes.coalesce(1).write.format("osmxml").option("entity", "node")
+      .mode("overwrite").save(dir)
+    val plain = new java.io.File(dir).listFiles()
+      .filter(_.getName.matches("part-node-\\d+\\.osm")).head
+    val bytes = Files.readAllBytes(plain.toPath)
+
+    // same document three ways: plain, .gz, .bz2 — one file per dir so
+    // each read exercises exactly one decode path
+    val gzDir = Files.createTempDirectory("graft-gz-in")
+    val gz = gzDir.resolve("data.osm.gz")
+    val go = new java.util.zip.GZIPOutputStream(
+      Files.newOutputStream(gz))
+    try go.write(bytes) finally go.close()
+
+    val bzDir = Files.createTempDirectory("graft-bz-in")
+    val bz = bzDir.resolve("data.osm.bz2")
+    val codec = new org.apache.hadoop.io.compress.BZip2Codec()
+    codec.setConf(new org.apache.hadoop.conf.Configuration())
+    val bo = codec.createOutputStream(Files.newOutputStream(bz))
+    try bo.write(bytes) finally bo.close()
+
+    def tagged(d: DataFrame) = d.withColumn("tags_s",
+      graft.osm.Extract.tagsToString(col("tags"))).drop("tags")
+    val viaPlain = tagged(spark.read.format("osmxml")
+      .option("entity", "node").load(dir))
+    for ((cd, label) <- Seq((gzDir, "gz"), (bzDir, "bz2"))) {
+      val back = tagged(spark.read.format("osmxml")
+        .option("entity", "node").load(cd.toString))
+      assert(back.count() == 6, s"$label count")
+      assert(back.exceptAll(viaPlain).isEmpty &&
+        viaPlain.exceptAll(back).isEmpty, s"$label diverged from plain")
+    }
+
+    // .osc.gz change feed (the reference's replication wire format,
+    // update.cpp:272-276): actions survive the inflate
+    val osc = Seq(changeHeader,
+      renderAction("create", renderNode(RawNode(10L, 50, 60, 1,
+        1700000000L, 9L, 9L, "u", Seq("k" -> "v")))),
+      renderAction("delete", renderNode(RawNode(2L, 0, 0, 2,
+        1700000002L, 9L, 9L, "u", Seq.empty))),
+      changeFooter).mkString("\n")
+    val oscDir = Files.createTempDirectory("graft-oscgz")
+    val og = new java.util.zip.GZIPOutputStream(
+      Files.newOutputStream(oscDir.resolve("diff.osc.gz")))
+    try og.write(osc.getBytes("UTF-8")) finally og.close()
+    val changes = spark.read.format("osmxml").option("entity", "node")
+      .option("changes", "true").load(oscDir.toString)
+    assert(changes.select($"id", $"action").as[(Long, String)]
+      .collect().toMap == Map(10L -> "create", 2L -> "delete"))
+
+    // a MISLABELLED gzip (plain .osm name, gzip bytes) still decodes:
+    // the sniff is on magic bytes, not the extension
+    val lieDir = Files.createTempDirectory("graft-gz-lie")
+    val lie = lieDir.resolve("data.osm")
+    val lo = new java.util.zip.GZIPOutputStream(Files.newOutputStream(lie))
+    try lo.write(bytes) finally lo.close()
+    assert(spark.read.format("osmxml").option("entity", "node")
+      .load(lieDir.toString).count() == 6)
+  }
+
   test("PBF OSMHeader round-trips bbox/generator/replication fields") {
     import graft.spatial.{BboxRegion, PolyRegion, Region}
     val (nodes, _, _) = world()
