@@ -928,9 +928,9 @@ object Queries {
     // ---- salted skew join: the hot-key mitigation when one join key
     // dominates (AQE's skew-join split handles sort-merge skew, but a
     // pathological SINGLE key still lands in one task without salting).
-    // The fact side gets a deterministic salt in [0, 8); the dimension
-    // side replicates 8x with every salt value; joining on (key, salt)
-    // fans each hot key over 8 tasks. Salt values never reach the
+    // The fact side gets a deterministic salt in [0, 4); the dimension
+    // side replicates 4x with every salt value; joining on (key, salt)
+    // fans each hot key over 4 tasks. Salt values never reach the
     // output, so the result is byte-identical to the unsalted join —
     // which is exactly what the oracle runs ----
     Q("q91_salted_join",

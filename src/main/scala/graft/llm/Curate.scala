@@ -66,6 +66,45 @@ object Curate {
     * with repartitioning) cannot give, and it is what makes train/val
     * assignment stable as a 100 TB corpus is re-curated incrementally:
     * adding documents never reshuffles existing ones across splits. */
+  /** Per-doc benchmark-contamination scores: every `train` column plus
+    * `n_sh` (doc shingle count), `n_shared` (shingles also in the
+    * benchmark union), `contam_frac` (round 6). The benchmark shingle
+    * union is bounded by the benchmark-suite size — NOT corpus-linear —
+    * so broadcasting it is the honest 100 TB plan (PlanSpec asserts
+    * it): the train side streams map-side through one broadcast
+    * semi-join + one per-doc count shuffle. Shared by q63 (reporting)
+    * and q100 stage 2 (filtering) so the two stay in lockstep. */
+  def contaminationScores(train: DataFrame, bench: DataFrame,
+                          textCol: String, idCol: String, ngram: Int)
+  : DataFrame = {
+    graft.functions.GraftFunctions.register(train.sparkSession)
+    val bs = bench.select(explode(
+        TextFunctions.ngramShingleHashes(col(textCol), ngram)).as("h"))
+      .distinct()
+    val tr = train.withColumn("sh",
+      TextFunctions.ngramShingleHashes(col(textCol), ngram))
+    val shared = tr.select(col(idCol), explode(col("sh")).as("h"))
+      .join(broadcast(bs), "h")
+      .groupBy(idCol).agg(count(lit(1)).as("ns"))
+    tr.join(shared, Seq(idCol), "left")
+      .withColumn("n_sh", size(col("sh")).cast("long"))
+      .withColumn("n_shared", coalesce(col("ns"), lit(0L)))
+      .withColumn("contam_frac",
+        when(col("n_sh") > 0,
+          round(col("n_shared").cast("double") / col("n_sh"), 6))
+          .otherwise(lit(0.0)))
+      .drop("sh", "ns")
+  }
+
+  /** `train` rows whose benchmark shared-shingle fraction is below
+    * `threshold` (the decontamination filter itself). */
+  def decontaminate(train: DataFrame, bench: DataFrame,
+                    textCol: String, idCol: String, ngram: Int,
+                    threshold: Double): DataFrame =
+    contaminationScores(train, bench, textCol, idCol, ngram)
+      .where(col("contam_frac") < threshold)
+      .drop("n_sh", "n_shared", "contam_frac")
+
   def hashBucket(id: Column, salt: String = "graft"): Column =
     conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 8),
       16, 10).cast("long") % 10000

@@ -108,6 +108,35 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  private val stagedComponentDirs =
+    scala.collection.concurrent.TrieMap[(String, Double, Int), String]()
+
+  /** Near-dup cluster labels (`id`, `component`) from the full LSH ->
+    * Jaccard-verify -> connected-components pipeline, materialized to
+    * parquet ONCE per JVM per (cacheKey, threshold, ngram) and read
+    * back by every consumer — the [[graft.osm.SyntheticOsm.materialized]]
+    * staging shape applied to dedup. q57 (cluster sizes) and q70
+    * (keep-best survivor) consume the SAME labels; recomputing the
+    * pipeline per consumer was the two slowest bench rows at sf0.1.
+    * `cacheKey` must identify the corpus (the source dir). */
+  def stagedComponents(docs: DataFrame, textCol: String, idCol: String,
+                       cacheKey: String, threshold: Double = 0.6,
+                       ngram: Int = 3): DataFrame = {
+    val s = docs.sparkSession
+    val dir = stagedComponentDirs.getOrElseUpdate(
+      (cacheKey, threshold, ngram), {
+        val tmp = graft.TempDirs.create("graft-dedup-comp")
+        val pairs =
+          minhashNearDuplicates(docs, textCol, idCol, threshold, ngram)
+        graft.ops.Components.connectedComponents(pairs, "a", "b")
+          .write.mode("overwrite").parquet(tmp)
+        tmp
+      })
+    // explicit schema: a corpus with zero near-dup pairs writes no
+    // parquet files and inference would fail on read-back (q100 rule)
+    s.read.schema("id BIGINT, component BIGINT").parquet(dir)
+  }
+
   /** Per-doc SimHash sketch. */
   def simhashSketch(docs: DataFrame, textCol: String, idCol: String)
   : DataFrame =

@@ -632,10 +632,8 @@ object LlmQueries {
       (s, d) => {
         import s.implicits._
         val docs = T(s, d, "documents")
-        val pairs = Dedup.minhashNearDuplicates(docs, "text", "doc_id",
-          threshold = 0.5, ngram = 3)
-        val comp = graft.ops.Components
-          .connectedComponents(pairs, "a", "b")
+        val comp = Dedup.stagedComponents(docs, "text", "doc_id",
+            cacheKey = d, threshold = 0.5, ngram = 3)
           .withColumnRenamed("id", "doc_id")
         val labels = docs.select($"doc_id")
           .join(comp, Seq("doc_id"), "left")
@@ -678,10 +676,8 @@ object LlmQueries {
         import s.implicits._
         import org.apache.spark.sql.expressions.Window
         val docs = T(s, d, "documents")
-        val pairs = Dedup.minhashNearDuplicates(docs, "text", "doc_id",
-          threshold = 0.5, ngram = 3)
-        val comp = graft.ops.Components
-          .connectedComponents(pairs, "a", "b")
+        val comp = Dedup.stagedComponents(docs, "text", "doc_id",
+            cacheKey = d, threshold = 0.5, ngram = 3)
           .withColumnRenamed("id", "doc_id")
         docs.select($"doc_id",
             TextFunctions.qualityScore($"text").as("q"))
@@ -763,8 +759,7 @@ object LlmQueries {
     Q("q71_jsonl_export",
       (s, d) => {
         import s.implicits._
-        val out = java.nio.file.Files
-          .createTempDirectory("graft-q71-jsonl").toString
+        val out = graft.TempDirs.create("graft-q71-jsonl")
         T(s, d, "documents")
           .select($"doc_id", $"text", $"lang", $"source",
             Curate.splitAssign($"doc_id",
@@ -988,22 +983,11 @@ object LlmQueries {
     Q("q63_decontaminate",
       (s, d) => {
         import s.implicits._
-        graft.functions.GraftFunctions.register(s)
-        val sh = T(s, d, "documents").select($"doc_id",
-          TextFunctions.ngramShingleHashes($"text", 3).as("sh"))
-        val bs = sh.where($"doc_id" % 50 === 0)
-          .select(explode($"sh").as("h")).distinct()
-        val tr = sh.where($"doc_id" % 50 =!= 0)
-        val shared = tr.select($"doc_id", explode($"sh").as("h"))
-          .join(broadcast(bs), "h")
-          .groupBy($"doc_id").agg(count(lit(1)).as("ns"))
-        tr.join(shared, Seq("doc_id"), "left")
-          .withColumn("n_sh", size($"sh").cast("long"))
-          .withColumn("n_shared", coalesce($"ns", lit(0L)))
-          .withColumn("contam_frac",
-            when($"n_sh" > 0,
-              round($"n_shared".cast("double") / $"n_sh", 6))
-              .otherwise(lit(0.0)))
+        val docs = T(s, d, "documents")
+        Curate.contaminationScores(
+            docs.where($"doc_id" % 50 =!= 0),
+            docs.where($"doc_id" % 50 === 0),
+            "text", "doc_id", ngram = 3)
           .select($"doc_id", $"n_sh", $"n_shared", $"contam_frac",
             ($"contam_frac" >= 0.5).as("contaminated"))
           .orderBy($"doc_id")
@@ -1716,8 +1700,7 @@ object LlmQueries {
         // it one lazy DAG re-executes the curate pipeline per consumer
         // branch and per packSequences action (measured 12s+ at sf0.1;
         // staged: ~5s). Stage 1: curate -> parquet.
-        val buildDir = java.nio.file.Files
-          .createTempDirectory("graft-q100-corpus").toString
+        val buildDir = graft.TempDirs.create("graft-q100-corpus")
         Curate.curate(docs, "text", "doc_id",
             minQuality = 0.5, langs = Seq("en"), nearDupThreshold = 0.5)
           .select($"doc_id", $"text")
@@ -1731,20 +1714,10 @@ object LlmQueries {
         // noise at every tested scale. Shingles are computed on the
         // benchmark slice and the (already small) curated set only,
         // never the full corpus.
-        val bs = docs.where($"doc_id" % 50 === 0)
-          .select(explode(TextFunctions.ngramShingleHashes($"text", 13))
-            .as("h")).distinct()
-        val curSh = curated.where($"doc_id" % 50 =!= 0)
-          .select($"doc_id", $"text",
-            TextFunctions.ngramShingleHashes($"text", 13).as("sh"))
-        val shared = curSh.select($"doc_id", explode($"sh").as("h"))
-          .join(broadcast(bs), "h")
-          .groupBy($"doc_id").agg(count(lit(1)).as("ns"))
-        curSh.join(shared, Seq("doc_id"), "left")
-          .withColumn("frac", when(size($"sh") > 0,
-            round(coalesce($"ns", lit(0L)).cast("double") /
-              size($"sh").cast("double"), 6)).otherwise(lit(0.0)))
-          .where($"frac" < 0.5)
+        Curate.decontaminate(
+            curated.where($"doc_id" % 50 =!= 0),
+            docs.where($"doc_id" % 50 === 0),
+            "text", "doc_id", ngram = 13, threshold = 0.5)
           .select($"doc_id", $"text")
           .withColumn("split",
             Curate.splitAssign($"doc_id",

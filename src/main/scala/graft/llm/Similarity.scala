@@ -30,11 +30,16 @@ object Similarity {
     * to the native `cosine_sim` kernel (same sequential fold — see
     * [[graft.functions.VectorImpl.cosine]]); the interpreted
     * zip_with/aggregate formulation costs ~3 lambda dispatches per
-    * dimension per row, which dominates pairwise workloads. Requires
-    * [[graft.functions.GraftFunctions.register]] (every query entry
-    * point and spec session does it). */
-  def cosine(a: Column, b: Column): Column =
+    * dimension per row, which dominates pairwise workloads.
+    * Self-registering: `cosine_sim` is installed into the active
+    * session on first use (register is idempotent), so the helper
+    * stays self-contained for external call sites that never touch
+    * [[graft.functions.GraftFunctions]]. */
+  def cosine(a: Column, b: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.GraftFunctions.register)
     call_function("cosine_sim", a, b)
+  }
 
   /** Brute-force top-k by cosine against a literal query vector.
     * Output: vec_id, score (rounded 6dp), rank. Deterministic tiebreak on

@@ -384,11 +384,9 @@ object OsmQueries {
         val all = Extract.Selected(
           t.locations.select($"id"), t.ways.select($"id"),
           t.relations.select($"id"))
-        val xmlDir = java.nio.file.Files
-          .createTempDirectory("graft-q38-xml").toString
+        val xmlDir = graft.TempDirs.create("graft-q38-xml")
         Ingest.writeExtractXml(t, all, xmlDir, shards = 8)
-        val root = java.nio.file.Files
-          .createTempDirectory("graft-q38-db").toString
+        val root = graft.TempDirs.create("graft-q38-db")
         Ingest.expand(s, xmlDir, root)
         Ingest.readTables(s, root).locations
           .select($"id", $"lon", $"lat", $"version")
@@ -412,14 +410,12 @@ object OsmQueries {
         val all = Extract.Selected(
           t.locations.select($"id"), t.ways.select($"id"),
           t.relations.select($"id"))
-        val pbfDir = java.nio.file.Files
-          .createTempDirectory("graft-q52-pbf").toString
+        val pbfDir = graft.TempDirs.create("graft-q52-pbf")
         Ingest.writeExtract(t, all, pbfDir, shards = 4,
           format = "osmpbf",
           headerOpts = Ingest.pbfHeaderOptions(None,
             replicationTs = Some(1600000000L), seqnum = Some(42L)))
-        val root = java.nio.file.Files
-          .createTempDirectory("graft-q52-db").toString
+        val root = graft.TempDirs.create("graft-q52-db")
         // one partition per blob: the split reader, not a monolith scan
         Ingest.expand(s, pbfDir, root,
           readerOptions = Map("pbf.split.bytes" -> "1"))
@@ -546,8 +542,7 @@ object OsmQueries {
         import s.implicits._
         graft.functions.GraftFunctions.register(s)
         val t = SyntheticOsm.materialized(s, d)
-        val root = java.nio.file.Files
-          .createTempDirectory("graft-q50-db").toString
+        val root = graft.TempDirs.create("graft-q50-db")
         VersionedTable.commitBucketed(root, Map(
           "locations" -> ((t.locations.withColumn("s2cell",
             graft.spatial.SpatialScan.s2CellOfFixed($"lat", $"lon")),
@@ -619,8 +614,7 @@ object OsmQueries {
           when($"id" % 2 === 0,
             map(lit("status"), lit("X"), lit("urgent"), lit("1")))
             .otherwise(map().cast("map<string,string>")).as("tags"))
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-q46-osc").toString
+        val dir = graft.TempDirs.create("graft-q46-osc")
         changeDoc.coalesce(1).write.format("osmxml")
           .option("entity", "node").mode("overwrite").save(dir)
         val parsed = s.read.format("osmxml").option("entity", "node")
@@ -679,8 +673,7 @@ object OsmQueries {
           when($"id" % 2 === 0,
             map(lit("status"), lit("X"), lit("urgent"), lit("1")))
             .otherwise(map().cast("map<string,string>")).as("tags"))
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-q103-oscgz").toString
+        val dir = graft.TempDirs.create("graft-q103-oscgz")
         changeDoc.coalesce(1).write.format("osmxml")
           .option("entity", "node").mode("overwrite").save(dir)
         // gzip each shard in place (driver-side: the point is the
@@ -1051,8 +1044,7 @@ object OsmQueries {
         import s.implicits._
         graft.functions.GraftFunctions.register(s)
         val t = SyntheticOsm.materialized(s, d)
-        val root = java.nio.file.Files
-          .createTempDirectory("graft-q83-db").toString
+        val root = graft.TempDirs.create("graft-q83-db")
         VersionedTable.commitBucketed(root, Map(
           "locations" -> ((t.locations.withColumn("s2cell",
             graft.spatial.SpatialScan.s2CellOfFixed($"lat", $"lon")),
@@ -1119,8 +1111,7 @@ object OsmQueries {
         import s.implicits._
         graft.functions.GraftFunctions.register(s)
         val t = SyntheticOsm.materialized(s, d)
-        val root = java.nio.file.Files
-          .createTempDirectory("graft-q84-db").toString
+        val root = graft.TempDirs.create("graft-q84-db")
         VersionedTable.commitBucketed(root,
           Map("nodes" -> ((t.nodes, "id"))), nBuckets = 16)
         val changes = t.locations.where($"id" % 17 <= 1).select(
@@ -1174,8 +1165,7 @@ object OsmQueries {
         import s.implicits._
         graft.functions.GraftFunctions.register(s)
         val t = SyntheticOsm.materialized(s, d)
-        val root = java.nio.file.Files
-          .createTempDirectory("graft-q93-db").toString
+        val root = graft.TempDirs.create("graft-q93-db")
         VersionedTable.commitBucketed(root,
           Map("nodes" -> ((t.nodes, "id"))), nBuckets = 16)
         val metaT = "struct<version:int,timestamp:bigint," +

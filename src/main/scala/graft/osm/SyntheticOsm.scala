@@ -69,8 +69,7 @@ object SyntheticOsm {
     * to [[tables]]: every derivation is deterministic. */
   def materialized(s: SparkSession, dir: String): Tables = {
     val base = materializedDirs.getOrElseUpdate(dir, {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-osm-mat").toString
+      val tmp = graft.TempDirs.create("graft-osm-mat")
       val t = tables(s, dir)
       Seq("locations" -> t.locations, "nodes" -> t.nodes,
         "ways" -> t.ways, "relations" -> t.relations,

@@ -90,6 +90,51 @@ class PlanSpec extends AnyFunSuite {
       s"profiling must be one scan, not one per column:\n$plan")
   }
 
+  test("near-dup verify pipeline: no cartesian, one pair-kernel pass") {
+    val docs = graft.Queries.T(spark, SF, "documents")
+    val pairs = graft.llm.Dedup.minhashNearDuplicates(
+      docs, "text", "doc_id", threshold = 0.5, ngram = 3)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"LSH verify must stay bucketed, never all-pairs:\n$plan")
+    assert("lsh_first_band_pairs".r.findAllIn(plan).size == 1,
+      s"pairs must be emitted by exactly one kernel pass:\n$plan")
+  }
+
+  test("staged dedup components: consumers read the artifact, not the pipeline") {
+    val docs = graft.Queries.T(spark, SF, "documents")
+    // first call stages (runs the pipeline once, writes parquet)...
+    graft.llm.Dedup.stagedComponents(docs, "text", "doc_id",
+      cacheKey = SF, threshold = 0.5, ngram = 3)
+    // ...every subsequent call must be a bare parquet read
+    val again = graft.llm.Dedup.stagedComponents(docs, "text", "doc_id",
+      cacheKey = SF, threshold = 0.5, ngram = 3)
+    val plan = again.queryExecution.executedPlan.toString
+    assert(plan.contains("FileScan parquet") &&
+      !plan.contains("lsh_first_band_pairs"),
+      s"staged components must not re-run LSH:\n$plan")
+    // q57 and q70 both consume it: neither final plan re-runs the
+    // LSH->verify chain, and neither ever plans a cartesian
+    for (name <- Seq("q57_dedup_components", "q70_dedup_keep_best")) {
+      val p = q(name).queryExecution.executedPlan.toString
+      assert(!p.contains("lsh_first_band_pairs"),
+        s"$name must consume the staged artifact:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name cartesian:\n$p")
+    }
+  }
+
+  test("q100 manifest consumes materialized artifacts, not live pipelines") {
+    val plan = q("q100_training_build")
+      .queryExecution.executedPlan.toString
+    // every stage is staged through parquet: if a curation/dedup/
+    // decontamination kernel shows up in the FINAL stage's plan, a
+    // pipeline is being re-executed per consumer instead of read back
+    for (marker <- Seq("lsh_first_band_pairs", "minhash_signature",
+      "ngram_hash48", "jaccard_sorted"))
+      assert(!plan.contains(marker),
+        s"$marker leaked into the final stage:\n$plan")
+  }
+
   test("projection + filter push down into the parquet scan") {
     val df = graft.Queries.T(spark, SF, "lineitem")
       .where(org.apache.spark.sql.functions.col("l_orderkey") === 1L)
