@@ -1813,6 +1813,56 @@ object LlmQueries {
               |  CAST(ceil(CAST(coalesce(sum(t.t), 0) AS DOUBLE) / 512)
               |       AS BIGINT) AS n_seqs
               |FROM splits sl LEFT JOIN tok t ON t.split = sl.split
-              |GROUP BY sl.split ORDER BY sl.split""".stripMargin))
+              |GROUP BY sl.split ORDER BY sl.split""".stripMargin)),
+
+    // ---- q104: STREAMING exact dedup, oracle-gated — the corpus
+    // replayed as a 4-batch file feed through flatMapGroupsWithState
+    // (checkpointed per-fingerprint state, parquet sink), compared
+    // against the BATCH dedup oracle. Batches are ascending doc_id
+    // ranges with strictly ascending mtimes, so the batch holding a
+    // fingerprint's minimal id always arrives first and the first-seen
+    // winner equals the batch semantics (min doc_id per content) —
+    // making the unbounded-feed operator exactly comparable ----
+    Q("q104_streaming_dedup",
+      (s, d) => {
+        import s.implicits._
+        val docs = T(s, d, "documents").select($"doc_id", $"text")
+        val feed = graft.TempDirs.create("graft-q104-feed")
+        val ckpt = graft.TempDirs.create("graft-q104-ckpt")
+        val outDir = graft.TempDirs.create("graft-q104-out")
+        val maxId = docs.agg(max($"doc_id")).head().getLong(0)
+        val nb = 4L
+        val span = maxId / nb + 1L
+        val base = new java.io.File(feed).lastModified()
+        (0L until nb).foreach { k =>
+          val stage = graft.TempDirs.create("graft-q104-stage")
+          docs.where($"doc_id" >= k * span &&
+              $"doc_id" < (k + 1) * span)
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+          val part = new java.io.File(stage).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dst = new java.io.File(feed, f"batch-$k%02d.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          dst.setLastModified(base + k * 10000L)
+        }
+        val stream = s.readStream
+          .schema("doc_id BIGINT, text STRING")
+          .option("maxFilesPerTrigger", "1").parquet(feed)
+        val sq = graft.streaming.StreamingDedup
+          .keepers(stream, "text", "doc_id")
+          .writeStream.outputMode("append").format("parquet")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(outDir)
+        sq.awaitTermination()
+        s.read.schema("fingerprint STRING, keep_id BIGINT")
+          .parquet(outDir)
+          .orderBy($"fingerprint")
+      },
+      Some("""SELECT md5(regexp_replace(lower(trim(text)),
+             |           '\s+', ' ', 'g')) AS fingerprint,
+             |       min(doc_id) AS keep_id
+             |FROM documents GROUP BY 1
+             |ORDER BY fingerprint""".stripMargin))
   )
 }
