@@ -33,6 +33,33 @@ object LlmQueries {
       s"list_min(list_transform(h, x -> ($a * x + $b) % $P))"
     }.mkString("[", ",\n  ", "]")
 
+  /** Stage `docs` (doc_id, text) as an nb-file parquet feed for the
+    * streaming queries: ascending doc_id ranges with strictly
+    * ascending mtimes, so `maxFilesPerTrigger=1` replays the corpus in
+    * id order. q104's first-seen-wins compare needs that order (the
+    * batch holding a fingerprint's minimal id must arrive first);
+    * q105's pair-set compare is order-invariant but shares the feed. */
+  private def stageFileFeed(docs: org.apache.spark.sql.DataFrame,
+                            nb: Long): String = {
+    import org.apache.spark.sql.functions.{col, max => smax}
+    val feed = graft.TempDirs.create("graft-stream-feed")
+    val maxId = docs.agg(smax(col("doc_id"))).head().getLong(0)
+    val span = maxId / nb + 1L
+    val base = new java.io.File(feed).lastModified()
+    (0L until nb).foreach { k =>
+      val stage = graft.TempDirs.create("graft-stream-stage")
+      docs.where(col("doc_id") >= k * span &&
+          col("doc_id") < (k + 1) * span)
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(feed, f"batch-$k%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(base + k * 10000L)
+    }
+    feed
+  }
+
   /** DuckDB fragment: 64-bit simhash bit string from a CTE column `h`
     * of per-token md5 hex strings (mirrors
     * [[graft.functions.TextHashImpl.simhash64]], incl. the zero-token
@@ -1827,24 +1854,9 @@ object LlmQueries {
       (s, d) => {
         import s.implicits._
         val docs = T(s, d, "documents").select($"doc_id", $"text")
-        val feed = graft.TempDirs.create("graft-q104-feed")
+        val feed = stageFileFeed(docs, nb = 4)
         val ckpt = graft.TempDirs.create("graft-q104-ckpt")
         val outDir = graft.TempDirs.create("graft-q104-out")
-        val maxId = docs.agg(max($"doc_id")).head().getLong(0)
-        val nb = 4L
-        val span = maxId / nb + 1L
-        val base = new java.io.File(feed).lastModified()
-        (0L until nb).foreach { k =>
-          val stage = graft.TempDirs.create("graft-q104-stage")
-          docs.where($"doc_id" >= k * span &&
-              $"doc_id" < (k + 1) * span)
-            .coalesce(1).write.mode("overwrite").parquet(stage)
-          val part = new java.io.File(stage).listFiles()
-            .filter(_.getName.endsWith(".parquet")).head
-          val dst = new java.io.File(feed, f"batch-$k%02d.parquet")
-          java.nio.file.Files.move(part.toPath, dst.toPath)
-          dst.setLastModified(base + k * 10000L)
-        }
         val stream = s.readStream
           .schema("doc_id BIGINT, text STRING")
           .option("maxFilesPerTrigger", "1").parquet(feed)
@@ -1863,6 +1875,39 @@ object LlmQueries {
              |           '\s+', ' ', 'g')) AS fingerprint,
              |       min(doc_id) AS keep_id
              |FROM documents GROUP BY 1
-             |ORDER BY fingerprint""".stripMargin))
+             |ORDER BY fingerprint""".stripMargin)),
+
+    // ---- q105: STREAMING LSH near-dup candidates, oracle-gated — the
+    // same 4-batch replay through StreamingNearDup (per-(band,bucket)
+    // state) -> parquet sink. A streaming pair is emitted once per
+    // colliding band and whenever the LATER member arrives, so the
+    // emitted multiset depends on replay order — but the dedup'd PAIR
+    // SET is order-invariant and equals the batch candidate set (q25's
+    // oracle) as long as no bucket hits maxBucket (sf0.01: max bucket
+    // <= corpus size 500 < 1000; capped buckets drop prefix-wise in
+    // streaming vs whole-bucket in batch, by design) ----
+    Q("q105_streaming_lsh",
+      (s, d) => {
+        import s.implicits._
+        val docs = T(s, d, "documents").select($"doc_id", $"text")
+        val feed = stageFileFeed(docs, nb = 4)
+        val ckpt = graft.TempDirs.create("graft-q105-ckpt")
+        val outDir = graft.TempDirs.create("graft-q105-out")
+        val stream = s.readStream
+          .schema("doc_id BIGINT, text STRING")
+          .option("maxFilesPerTrigger", "1").parquet(feed)
+        val sq = graft.streaming.StreamingNearDup
+          .candidatePairs(stream, "text", "doc_id")
+          .writeStream.outputMode("append").format("parquet")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(outDir)
+        sq.awaitTermination()
+        s.read.schema("a BIGINT, b BIGINT, band INT").parquet(outDir)
+          .select($"a", $"b").dropDuplicates("a", "b")
+          .orderBy($"a", $"b")
+      },
+      Some(s"""WITH $dCandidateCtes
+              |SELECT a, b FROM cand ORDER BY a, b""".stripMargin))
   )
 }
