@@ -43,7 +43,10 @@ object LlmQueries {
                             nb: Long): String = {
     import org.apache.spark.sql.functions.{col, max => smax}
     val feed = graft.TempDirs.create("graft-stream-feed")
-    val maxId = docs.agg(smax(col("doc_id"))).head().getLong(0)
+    val maxIdRow = docs.agg(smax(col("doc_id"))).head()
+    if (maxIdRow.isNullAt(0)) throw new IllegalArgumentException(
+      "stageFileFeed: empty corpus — nothing to stage as a stream feed")
+    val maxId = maxIdRow.getLong(0)
     val span = maxId / nb + 1L
     val base = new java.io.File(feed).lastModified()
     (0L until nb).foreach { k =>
@@ -51,11 +54,23 @@ object LlmQueries {
       docs.where(col("doc_id") >= k * span &&
           col("doc_id") < (k + 1) * span)
         .coalesce(1).write.mode("overwrite").parquet(stage)
+      // an empty id range still yields one (zero-row) part file, so a
+      // missing part means the write itself went wrong — say so
       val part = new java.io.File(stage).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
+        .filter(_.getName.endsWith(".parquet"))
+        .headOption.getOrElse(throw new IllegalStateException(
+          s"stageFileFeed: no parquet part written for batch $k " +
+            s"(ids [${k * span}, ${(k + 1) * span})) under $stage"))
       val dst = new java.io.File(feed, f"batch-$k%02d.parquet")
       java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(base + k * 10000L)
+      // q104's first-seen-wins compare depends on mtime replay order;
+      // if the filesystem refuses the stamp, the zero-padded batch-NN
+      // names still sort correctly (Spark breaks mtime ties by path),
+      // but fail loudly rather than degrade silently
+      if (!dst.setLastModified(base + k * 10000L))
+        throw new IllegalStateException(
+          s"stageFileFeed: setLastModified failed for $dst — " +
+            "mtime-ordered replay cannot be guaranteed here")
     }
     feed
   }
@@ -1883,13 +1898,16 @@ object LlmQueries {
     // colliding band and whenever the LATER member arrives, so the
     // emitted multiset depends on replay order — but the dedup'd PAIR
     // SET is order-invariant and equals the batch candidate set (q25's
-    // oracle) as long as no bucket hits maxBucket (sf0.01: max bucket
-    // <= corpus size 500 < 1000; capped buckets drop prefix-wise in
-    // streaming vs whole-bucket in batch, by design) ----
+    // oracle) as long as no bucket hits maxBucket. The oracle is
+    // uncapped, so the gated query passes an explicit cap above the
+    // corpus size — no scale factor can shear off oracle pairs. (Capped
+    // buckets drop prefix-wise in streaming vs whole-bucket in batch,
+    // by design — pinned in StreamingSpec.) ----
     Q("q105_streaming_lsh",
       (s, d) => {
         import s.implicits._
         val docs = T(s, d, "documents").select($"doc_id", $"text")
+        val corpusSize = docs.count()
         val feed = stageFileFeed(docs, nb = 4)
         val ckpt = graft.TempDirs.create("graft-q105-ckpt")
         val outDir = graft.TempDirs.create("graft-q105-out")
@@ -1897,7 +1915,8 @@ object LlmQueries {
           .schema("doc_id BIGINT, text STRING")
           .option("maxFilesPerTrigger", "1").parquet(feed)
         val sq = graft.streaming.StreamingNearDup
-          .candidatePairs(stream, "text", "doc_id")
+          .candidatePairs(stream, "text", "doc_id",
+            maxBucket = (corpusSize + 1L).min(Int.MaxValue).toInt)
           .writeStream.outputMode("append").format("parquet")
           .option("checkpointLocation", ckpt)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -141,14 +141,9 @@ object Similarity {
     * LITERAL centroid matrix — a pure map-side projection, no shuffle
     * of the big side. Persist with `.write.partitionBy("centroid")`
     * and a probe reads only `nprobe` partitions (the same pruned-scan
-    * shape AnnIndexSpec proves for the signature index).
-    *
-    * Cost note: the per-centroid dot runs through interpreted
-    * higher-order functions (zip_with/aggregate don't codegen); the
-    * shape is already one parallel map pass, and if index BUILD time
-    * ever dominates, the next lever is a native `Expression` computing
-    * the whole argmax in one codegen'd loop (the TextHash.scala
-    * precedent: 10-50x on exactly this pattern). */
+    * shape AnnIndexSpec proves for the signature index). The whole
+    * argmax is one codegen'd loop — the native `ivf_assign` expression
+    * (`functions/VectorOps.scala`). */
   def ivfAssign(embeddings: DataFrame, vecCol: String, idCol: String,
                 centroids: Seq[Seq[Double]]): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)

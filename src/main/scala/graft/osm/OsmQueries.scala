@@ -1269,6 +1269,69 @@ object OsmQueries {
               |  CAST(coalesce(count(DISTINCT c.parent), 0) AS BIGINT)
               |    AS n_parents
               |FROM kinds k LEFT JOIN checks c ON c.kind = k.kind
-              |GROUP BY k.kind ORDER BY k.kind""".stripMargin))
+              |GROUP BY k.kind ORDER BY k.kind""".stripMargin)),
+
+    // ---- q106: F7/F8 data-plane — replication path formatting and
+    // timestamp->seqnum as-of resolution over a synthetic state-file
+    // table (one state file per distinct event time, seqnums ascending
+    // with time and striding all three path segments). The %09d pad +
+    // 3/3/3 split is the SAME arithmetic as `Replication.url`
+    // (`utils/server.py:153-172`'s `%03i/%03i/%03i`), and the per-target
+    // max-seqnum-with-ts<=target (lo-clamped for pre-horizon targets) is
+    // `Replication.timestampToSeqnum`'s contract — both parities pinned
+    // in ManifestSpec. State files are metadata-scale (one per diff
+    // interval, bounded here at 5000), so the single-partition
+    // row_number window and the broadcast non-equi join are the honest
+    // shapes, not scale hazards. ----
+    Q("q106_replication_seq",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val ev = graft.Queries.T(s, d, "events")
+        val state = ev.select($"ts").distinct()
+          .select($"ts",
+            row_number().over(Window.orderBy($"ts")).cast("long").as("rn"))
+          .where($"rn" <= 5000L)
+          .select($"ts", ($"rn" * 199999L).as("seqnum"))
+        val targets = ev.where($"event_id" % 97 === 0)
+          .select($"event_id".cast("long").as("target_id"),
+            $"ts".as("target_ts"))
+          .unionByName(ev.agg(
+            (min($"ts") - expr("interval 1 second")).as("target_ts"))
+            .select(lit(-1L).as("target_id"), $"target_ts"))
+        val lo = state.agg(min($"seqnum").as("lo"))
+        val asof = targets
+          .join(state.select($"ts", $"seqnum"),
+            state("ts") <= targets("target_ts"), "left_outer")
+          .groupBy($"target_id").agg(max($"seqnum").as("m"))
+          .crossJoin(broadcast(lo))
+          .select($"target_id", coalesce($"m", $"lo").as("seqnum"))
+        val padded = format_string("%09d", $"seqnum")
+        asof.select($"target_id", $"seqnum",
+          concat_ws("/", substring(padded, 1, 3), substring(padded, 4, 3),
+            substring(padded, 7, 3)).as("repl_path"))
+          .orderBy($"target_id")
+      },
+      Some("""WITH st0 AS (
+             |  SELECT ts, row_number() OVER (ORDER BY ts) AS rn
+             |  FROM (SELECT DISTINCT ts FROM events)),
+             |state AS (
+             |  SELECT ts, rn * 199999 AS seqnum FROM st0 WHERE rn <= 5000),
+             |targets AS (
+             |  SELECT CAST(event_id AS BIGINT) AS target_id,
+             |         ts AS target_ts
+             |  FROM events WHERE event_id % 97 = 0
+             |  UNION ALL
+             |  SELECT -1, min(ts) - INTERVAL 1 SECOND FROM events),
+             |resolved AS (
+             |  SELECT t.target_id,
+             |    coalesce(max(s.seqnum),
+             |             (SELECT min(seqnum) FROM state)) AS seqnum
+             |  FROM targets t LEFT JOIN state s ON s.ts <= t.target_ts
+             |  GROUP BY t.target_id)
+             |SELECT target_id, CAST(seqnum AS BIGINT) AS seqnum,
+             |  printf('%03d/%03d/%03d', seqnum // 1000000,
+             |         (seqnum // 1000) % 1000, seqnum % 1000) AS repl_path
+             |FROM resolved ORDER BY target_id""".stripMargin))
   )
 }

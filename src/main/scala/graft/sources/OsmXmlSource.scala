@@ -116,8 +116,15 @@ object OsmXmlSource {
     val conf = new Configuration()
     def keep(f: String): Boolean = {
       val bare = f.stripSuffix(".gz").stripSuffix(".bz2")
-      bare.endsWith(".osm") || bare.endsWith(".xml") ||
-        bare.endsWith(".osc") || bare.endsWith(".pbf")
+      if (bare != f)
+        // only XML-family payloads are inflatable for parsing; a
+        // whole-file-compressed PBF can't be range-split (its blobs
+        // carry their own compression) and is rejected, not inflated
+        bare.endsWith(".osm") || bare.endsWith(".xml") ||
+          bare.endsWith(".osc")
+      else
+        f.endsWith(".osm") || f.endsWith(".xml") ||
+          f.endsWith(".osc") || f.endsWith(".pbf")
     }
     paths.flatMap { p =>
       val hp = new Path(p)
@@ -243,10 +250,10 @@ final class OsmXmlScanBuilder(entity: String, changes: Boolean,
       // convention is present, prune other entities' files at plan time
       // (otherwise every entity scan re-parses the whole directory)
       val named = files.filter(_.matches(
-        s".*part-$entity-\\d+\\.(osm(\\.pbf)?|osc\\.xml)(\\.gz|\\.bz2)?$$"))
+        s".*part-$entity-\\d+\\.(osm\\.pbf|(osm|osc\\.xml)(\\.gz|\\.bz2)?)$$"))
       val anyNamed = files.exists(_.matches(
-        ".*part-(node|way|relation)-\\d+\\.(osm(\\.pbf)?|osc\\.xml)" +
-          "(\\.gz|\\.bz2)?$"))
+        ".*part-(node|way|relation)-\\d+" +
+          "\\.(osm\\.pbf|(osm|osc\\.xml)(\\.gz|\\.bz2)?)$"))
       val mine = if (anyNamed) named else files
       val splitBytes = options.get("pbf.split.bytes").map(_.toLong)
         .getOrElse(OsmXmlSource.DefaultPbfSplitBytes)
@@ -255,7 +262,12 @@ final class OsmXmlScanBuilder(entity: String, changes: Boolean,
         // many blob-range partitions (the reference's parallel block
         // decode, `src/expand.cpp:273-295`). XML has no delimiters — one
         // partition per file, streamed.
-        if (f.endsWith(".pbf"))
+        if (f.endsWith(".pbf.gz") || f.endsWith(".pbf.bz2"))
+          throw new IllegalArgumentException(
+            s"osmxml: whole-file-compressed PBF is not supported ($f); " +
+              "PBF blobs carry their own compression — decompress the " +
+              "file, or use per-blob zlib (the format's native layout)")
+        else if (f.endsWith(".pbf"))
           OsmXmlSource.pbfRangePartitions(f, splitBytes)
         else Seq(OsmXmlFilePartition(f): InputPartition)
       }.toArray

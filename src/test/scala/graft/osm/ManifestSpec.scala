@@ -317,6 +317,49 @@ class ManifestSpec extends AnyFunSuite {
     assert(Replication.url("b", 999999999L) == "b/999/999/999")
   }
 
+  // q106 is the data-plane face of F7/F8; this pins its column
+  // arithmetic to the driver-side functions it mirrors, so the oracle
+  // gate on q106 transitively gates Replication.url/timestampToSeqnum.
+  test("q106 column logic == Replication.url / timestampToSeqnum") {
+    val sf = "/root/testdata/sf0.001"
+    val res = OsmQueries.all.find(_.name == "q106_replication_seq").get
+      .fn(spark, sf).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      val seq = r.getAs[Long]("seqnum")
+      assert(Replication.url("", seq) == "/" + r.getAs[String]("repl_path"))
+    }
+    // rebuild the state-file timeline the query derives and check the
+    // binary search lands on the same seqnum for each target
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.Queries.T(spark, sf, "events")
+    val state = ev.select(col("ts")).distinct()
+      .select(col("ts"), row_number().over(Window.orderBy(col("ts")))
+        .cast("long").as("rn"))
+      .where(col("rn") <= 5000L)
+      .select(unix_micros(col("ts")).as("us"),
+        (col("rn") * 199999L).as("seqnum"))
+      .collect().map(r => (r.getLong(1), r.getLong(0))).sortBy(_._1)
+    val bySeq = state.toMap
+    val targets = ev.where(col("event_id") % 97 === 0)
+      .select(col("event_id").cast("long"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val loTs = state.head._2
+    val expected = res.map { r =>
+      val tid = r.getAs[Long]("target_id")
+      val targetUs = if (tid == -1L) loTs - 1000000L else targets(tid)
+      val found = Replication.timestampToSeqnum(
+        i => bySeq(i * 199999L), 1L, state.length.toLong,
+        targetUs) * 199999L
+      (tid, found)
+    }.toMap
+    res.foreach { r =>
+      assert(r.getAs[Long]("seqnum") ==
+        expected(r.getAs[Long]("target_id")))
+    }
+  }
+
   test("timestamp->seqnum binary search finds the last seq <= ts (F8)") {
     // synthetic monotone timeline: seq n has timestamp 1000 + 60n
     def ts(seq: Long): Long = 1000 + 60 * seq

@@ -345,4 +345,55 @@ class StreamingSpec extends AnyFunSuite {
       .select($"a", $"b").distinct().as[(Long, Long)].collect().toSet
     assert(all == Set((10L, 11L), (10L, 13L), (11L, 13L)))
   }
+
+  test("LSH maxBucket: streaming caps prefix-wise, batch drops whole " +
+    "bucket — the documented divergence") {
+    import org.apache.spark.sql.functions._
+    val inDir = Files.createTempDirectory("graft-slshcap-in").toString
+    val ckpt = Files.createTempDirectory("graft-slshcap-ckpt").toString
+
+    // five identical docs -> every band has one 5-member bucket;
+    // maxBucket=3 forces the cap in both engines
+    val same = "the quick brown fox jumps over the lazy dog again"
+    Seq((1L, same), (2L, same), (3L, same), (4L, same))
+      .toDF("doc_id", "text").write.mode("append").parquet(inDir)
+
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(inDir)
+    val q = StreamingNearDup
+      .candidatePairs(stream, "text", "doc_id", maxBucket = 3)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("slsh_cap")
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    // a later batch can't re-enter the full bucket either
+    Seq((5L, same)).toDF("doc_id", "text")
+      .write.mode("append").parquet(inDir)
+    q.processAllAvailable()
+    q.stop()
+
+    // streaming: the first maxBucket members (in-batch sorted order)
+    // are admitted and pair among themselves; 4 and 5 arrive after the
+    // cap and emit NOTHING — drop-and-cap applied prefix-wise
+    val streamed = spark.table("slsh_cap")
+      .select($"a", $"b").distinct().as[(Long, Long)].collect().toSet
+    assert(streamed == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+
+    // batch on the same 5-doc corpus: the whole oversized bucket is
+    // dropped (size 5 > 3), so NO pairs survive
+    val docs = Seq((1L, same), (2L, same), (3L, same), (4L, same),
+      (5L, same)).toDF("doc_id", "text")
+    val batch = graft.llm.Dedup
+      .minhashCandidatePairs(docs, "text", "doc_id", maxBucket = 3)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(batch.isEmpty)
+
+    // and with the cap clear of the bucket size both engines agree —
+    // the q105 gate relies on exactly this equivalence
+    val batchUncapped = graft.llm.Dedup
+      .minhashCandidatePairs(docs, "text", "doc_id", maxBucket = 5)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(batchUncapped ==
+      (for (a <- 1L to 5L; b <- a + 1 to 5L) yield (a, b)).toSet)
+  }
 }

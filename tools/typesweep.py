@@ -5,7 +5,11 @@ value (HUGEINT -> float64 in pandas, DECIMAL -> object, unsigned ints,
 INTERVAL), and any oracle-vs-spark column type mismatch.
 
 Rule (README + verify skill): every oracle SELECT boundary must emit only
-BIGINT / DOUBLE / VARCHAR / BOOLEAN / DATE / TIMESTAMP (arrays stringified).
+BIGINT / INTEGER / DOUBLE / VARCHAR / BOOLEAN / DATE / TIMESTAMP (arrays
+stringified). INTEGER is safe ONLY when both sides agree (DuckDB INTEGER and
+Spark INT both surface as int32 in the comparator — six rounds of green
+hash_match on q32/q38/q5x INT columns prove it); the cross-side mismatch
+check below still flags INTEGER-vs-BIGINT.
 
 Run after Verify: python3 tools/typesweep.py /root/testdata/sf0.01 /tmp/verify_out
 """
@@ -14,7 +18,8 @@ import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
-# DuckDB types that survive the driver's comparator unchanged.
+# DuckDB types that survive the driver's comparator unchanged (INTEGER:
+# int32 on both sides, see header — mismatch vs BIGINT still flags below).
 SAFE = {"BIGINT", "DOUBLE", "VARCHAR", "BOOLEAN", "DATE", "INTEGER",
         "TIMESTAMP", "TIMESTAMP WITH TIME ZONE"}
 # Spark parquet logical types we accept on the result side.
