@@ -34,14 +34,16 @@ object Closure {
     * relation closure are bounded by the relation count), the closure
     * runs DRIVER-SIDE over collected edges and seeds, exactly like the
     * reference's in-memory bitmap loop (`src/extract.cpp:211-237`) —
-    * zero per-round job overhead. Callers whose seed sets dwarf the
-    * edge set should pass `driverEdgeLimit = 0` to force the
-    * distributed checkpointed loop.
+    * zero per-round job overhead. The default limit is byte-derived
+    * from the driver heap ([[DriverBudget.edgeRowBudget]]); callers
+    * whose seed sets dwarf the edge set should pass
+    * `driverEdgeLimit = 0` to force the distributed checkpointed loop.
     */
   def reachable(seeds: DataFrame, edges: DataFrame,
                 childCol: String, parentCol: String,
                 maxIters: Int = 50,
-                driverEdgeLimit: Long = 4000000L): DataFrame = {
+                driverEdgeLimit: Long = DriverBudget.edgeRowBudget())
+  : DataFrame = {
     val spark = seeds.sparkSession
     val e = edges.select(col(childCol).cast("long").as("child"),
       col(parentCol).cast("long").as("parent"))

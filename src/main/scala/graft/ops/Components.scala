@@ -44,7 +44,8 @@ object Components {
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIters: Int = 25,
-                          driverEdgeLimit: Long = 4000000L): DataFrame = {
+                          driverEdgeLimit: Long =
+                            DriverBudget.edgeRowBudget()): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val e0 = edges

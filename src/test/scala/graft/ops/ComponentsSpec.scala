@@ -86,4 +86,25 @@ class ComponentsSpec extends AnyFunSuite {
       assert(labelsOf(edges, 0L) == ref, s"distributed path, seed $seed")
     }
   }
+
+  test("byte-derived edge budget: arithmetic and the fallback boundary") {
+    import graft.ops.DriverBudget
+    // 2 GiB heap at 5% / 128 B per collected row -> 838,860 rows
+    assert(DriverBudget.edgeRowBudget(2L * 1024 * 1024 * 1024) == 838860L)
+    // 16 GiB -> ~6.7M: same order as the old flat 4M, but heap-aware
+    assert(DriverBudget.edgeRowBudget(16L * 1024 * 1024 * 1024)
+      == 6710886L)
+    // degenerate heap -> budget 0 -> adaptive collect disabled entirely
+    assert(DriverBudget.edgeRowBudget(0L) == 0L)
+
+    // boundary pin: canonical distinct edge count is 3; a limit of
+    // exactly 3 takes the driver path, 2 falls back to distributed —
+    // and both label identically (the contract the budget swap relies
+    // on)
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L,
+      11L -> 10L)
+    assert(labelsOf(edges, 3L) == expect)  // == limit: driver union-find
+    assert(labelsOf(edges, 2L) == expect)  // > limit: distributed loop
+  }
 }
