@@ -86,9 +86,14 @@ object Replication {
 
   /** Apply one change micro-batch as a single copy-on-write commit.
     * Tables absent from the store's manifest are skipped, so a
-    * node-only store and the full 8-table store both work. */
+    * node-only store and the full 8-table store both work.
+    * `dryRun` computes every delta but rolls back instead of
+    * publishing (the reference's default update mode,
+    * `src/update.cpp:280-291`); `extraMeta` adds CLI-supplied keys
+    * (e.g. the replication timestamp) to the committed manifest. */
   def applyBatch(spark: SparkSession, root: String, batch: DataFrame,
-                 batchId: Long): Unit = {
+                 batchId: Long, dryRun: Boolean = false,
+                 extraMeta: Map[String, String] = Map.empty): Unit = {
     if (batch.isEmpty) return
     val prev = VersionedTable.current(root).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
@@ -164,7 +169,7 @@ object Replication {
       val maxSeq = changes.agg(max("seqnum")).head().getLong(0)
       VersionedTable.commitDelta(spark, root, deltas.toMap, Map(
         SeqKey -> maxSeq.toString,
-        BatchIdKey -> batchId.toString))
+        BatchIdKey -> batchId.toString) ++ extraMeta, dryRun = dryRun)
       ()
     } finally { changes.unpersist(blocking = false); () }
   }
