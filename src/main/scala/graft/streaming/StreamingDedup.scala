@@ -88,15 +88,19 @@ object StreamingNearDup {
           // (redelivered batches emit nothing new)
           val fresh = rows.map(_.doc_id).toSeq.distinct.sorted
             .filterNot(prev.contains)
-          val out = Seq.newBuilder[CandidatePair]
-          var seen = prev
-          for (id <- fresh if seen.size < maxBucket) {
-            seen.foreach(p => out += CandidatePair(
-              math.min(p, id), math.max(p, id), key._1))
-            seen = seen :+ id
+          // prefix-wise cap: admit only up to maxBucket members total
+          val admitted = fresh.take(math.max(0, maxBucket - prev.size))
+          if (admitted.nonEmpty) st.update(prev ++ admitted)
+          // LAZY pair stream: a dense bucket of m members emits C(m,2)
+          // pairs — materializing them per group (the old Seq builder)
+          // is O(m^2) heap PER TASK and OOMs on pathological buckets
+          // exactly when the cap is raised for oracle fidelity (q105).
+          // The iterator keeps per-task memory O(m); state was already
+          // updated above, before consumption.
+          admitted.iterator.zipWithIndex.flatMap { case (id, k) =>
+            (prev.iterator ++ admitted.iterator.take(k)).map(p =>
+              CandidatePair(math.min(p, id), math.max(p, id), key._1))
           }
-          if (seen.size != prev.size) st.update(seen)
-          out.result().iterator
       }
   }
 }
