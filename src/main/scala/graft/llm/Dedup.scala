@@ -12,14 +12,24 @@ import org.apache.spark.sql.functions._
   *     keys are computed map-side (zero shuffle, see [[TextFunctions]]),
   *     then ONE shuffle groups by band key, and pairs are emitted only
   *     within buckets. Bucket skew (a pathological band key shared by
-  *     millions of docs) is bounded by `maxBucket`: oversized buckets are
-  *     dropped and reported rather than exploding quadratically — the same
-  *     guardrail production dedup pipelines use;
+  *     millions of docs) is bounded by `maxBucket`: an oversized bucket is
+  *     TRUNCATED to its `maxBucket` smallest ids rather than exploding
+  *     quadratically — the guardrail production dedup pipelines use. (An
+  *     oversized bucket is near-identical boilerplate; its smallest-id
+  *     head still seeds the duplicate cluster, at C(maxBucket,2) bounded
+  *     cost. Measured: uncapped, the sf1 bench corpus emits 1.0e9 pairs
+  *     from its degenerate buckets — the cap is the difference between
+  *     O(n) and O(n^2) candidate volume in a heavy-collision regime.)
   *   - SimHash gives a per-doc 64-bit sketch; near-dup candidates come
   *     from banding the bit-string (4 x 16-bit bands => Hamming distance
   *     <= 3 is always caught in at least one band by pigeonhole).
   */
 object Dedup {
+
+  /** Default LSH bucket-truncation cap — shared with the DuckDB oracle
+    * fragments in [[LlmQueries]] so engine and oracle cap identically
+    * at every scale factor. */
+  val DefaultMaxBucket = 1000
 
   /** Exact duplicate groups by normalized-content fingerprint.
     * Output: fingerprint, keep_id (min id), n_dups. */
@@ -43,12 +53,18 @@ object Dedup {
     * per-pair `exists` over earlier bands), so no distinct() shuffle over
     * the redundant 4x pair stream is needed. numHashes = bands *
     * rowsPerBand; one shuffle total (the band groupBy).
-    * With maxBucket capping, a pair whose first colliding band was in a
-    * dropped oversized bucket is dropped even if a later band also
-    * collides — consistent drop-and-report approximation semantics. */
+    *
+    * Cap semantics (exact, oracle-mirrored): each (band, bucket) admits
+    * only its `maxBucket` SMALLEST ids; a pair is emitted iff both
+    * members are admitted in the pair's first colliding band. Under an
+    * id-ordered arrival the admitted sets equal the streaming
+    * prefix-cap's ([[graft.streaming.StreamingNearDup]]) — the batch
+    * first-band rule can still skip a pair the streaming any-band rule
+    * keeps when crowding differs across bands (pinned in
+    * StreamingSpec). */
   def minhashCandidatePairs(docs: DataFrame, textCol: String, idCol: String,
                             bands: Int = 4, rowsPerBand: Int = 4,
-                            maxBucket: Int = 1000): DataFrame = {
+                            maxBucket: Int = DefaultMaxBucket): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val n = bands * rowsPerBand
     val withBands = docs
@@ -60,11 +76,14 @@ object Dedup {
       .select(col("doc_id"), col("bands"),
         posexplode(col("bands")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-    // group docs per (band, bkey); cap bucket size to bound the quadratic
+    // group docs per (band, bkey); truncate each bucket to its
+    // maxBucket smallest ids (sort_array orders by doc_id) to bound
+    // the quadratic — C(maxBucket,2) worst case per bucket
     val buckets = withBands.groupBy("band", "bkey")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("bands"))))
         .as("ms"))
-      .where(size(col("ms")).between(2, maxBucket))
+      .where(size(col("ms")) >= 2)
+      .select(col("band"), slice(col("ms"), 1, maxBucket).as("ms"))
     // native per-bucket pair emission (the m^2 hot loop; interpreted
     // HOFs don't codegen — see functions/LshPairs.scala)
     buckets
@@ -146,7 +165,7 @@ object Dedup {
   /** SimHash near-dup candidate pairs: band the 64 bits into 4 x 16-bit
     * chunks; Hamming distance <= 3 implies >= 1 identical chunk. */
   def simhashCandidatePairs(docs: DataFrame, textCol: String, idCol: String,
-                            maxBucket: Int = 1000): DataFrame = {
+                            maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val sk = simhashSketch(docs, textCol, idCol)
       .select(col("doc_id"), posexplode(
         transform(sequence(lit(0), lit(3)),

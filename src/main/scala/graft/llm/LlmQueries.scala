@@ -39,7 +39,7 @@ object LlmQueries {
     * id order. q104's first-seen-wins compare needs that order (the
     * batch holding a fingerprint's minimal id must arrive first);
     * q105's pair-set compare is order-invariant but shares the feed. */
-  private def stageFileFeed(docs: org.apache.spark.sql.DataFrame,
+  private[graft] def stageFileFeed(docs: org.apache.spark.sql.DataFrame,
                             nb: Long): String = {
     import org.apache.spark.sql.functions.{col, max => smax}
     val feed = graft.TempDirs.create("graft-stream-feed")
@@ -91,20 +91,49 @@ object LlmQueries {
       |      THEN '1' ELSE '0' END), '')
       |  END""".stripMargin
 
+  /** The engine's LSH bucket-truncation cap, mirrored into every
+    * oracle so engine and oracle cap IDENTICALLY at any scale factor
+    * (at the sf0.01 gate no bucket reaches it; at sf1 one degenerate
+    * bucket family would otherwise emit 1e9 uncapped pairs). */
+  private val dMaxBucket = graft.llm.Dedup.DefaultMaxBucket
+
   /** DuckDB CTE prelude shared by the minhash queries: token hashes,
-    * signatures (token-bearing docs only), band keys, candidate pairs.
+    * signatures (token-bearing docs only), per-band bucket keys, and
+    * each doc's id-rank within its (band, bucket) — the oracle twin of
+    * the engine's smallest-id bucket truncation.
     * `src` is the doc table/CTE (needs doc_id + text columns). */
-  private def dCandidateCtesFrom(src: String): String =
+  private def dBandCtesFrom(src: String): String =
     s"""hs AS (SELECT doc_id, $dHashes AS h FROM $src),
        |sig AS (SELECT doc_id, $dSig AS sig FROM hs WHERE len(h) > 0),
        |bands AS (
        |  SELECT doc_id, b,
        |         md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS bkey
        |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) bs),
-       |cand AS (
-       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |ranked AS (
+       |  SELECT doc_id, b, bkey,
+       |         row_number() OVER (PARTITION BY b, bkey
+       |                            ORDER BY doc_id) AS rk
+       |  FROM bands)"""
+      .stripMargin
+
+  /** Batch candidate-pair CTEs: `cand` is the EXACT batch-engine rule —
+    * a pair is a candidate iff BOTH members are within the first
+    * `dMaxBucket` ids of the bucket at the pair's FIRST colliding band
+    * (`Dedup.minhashCandidatePairs`: truncated membership, first-band
+    * dedup on full signatures). Where no bucket exceeds the cap this
+    * reduces to the plain DISTINCT band self-join. */
+  private def dCandidateCtesFrom(src: String): String =
+    s"""${dBandCtesFrom(src)},
+       |fb AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, min(x.b) AS fband
        |  FROM bands x JOIN bands y
-       |    ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id)"""
+       |    ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+       |  GROUP BY x.doc_id, y.doc_id),
+       |cand AS (
+       |  SELECT f.a, f.b FROM fb f
+       |  JOIN ranked ra ON ra.doc_id = f.a AND ra.b = f.fband
+       |  JOIN ranked rb ON rb.doc_id = f.b AND rb.b = f.fband
+       |  WHERE ra.rk <= $dMaxBucket AND rb.rk <= $dMaxBucket)"""
       .stripMargin
 
   private val dCandidateCtes = dCandidateCtesFrom("documents")
@@ -1895,19 +1924,22 @@ object LlmQueries {
     // ---- q105: STREAMING LSH near-dup candidates, oracle-gated — the
     // same 4-batch replay through StreamingNearDup (per-(band,bucket)
     // state) -> parquet sink. A streaming pair is emitted once per
-    // colliding band and whenever the LATER member arrives, so the
-    // emitted multiset depends on replay order — but the dedup'd PAIR
-    // SET is order-invariant and equals the batch candidate set (q25's
-    // oracle) as long as no bucket hits maxBucket. The oracle is
-    // uncapped, so the gated query passes an explicit cap above the
-    // corpus size — no scale factor can shear off oracle pairs. (Capped
-    // buckets drop prefix-wise in streaming vs whole-bucket in batch,
-    // by design — pinned in StreamingSpec.) ----
+    // colliding band and whenever the LATER member arrives; the dedup'd
+    // PAIR SET is what's gated. The cap stays at the production default
+    // (uncapped, the sf1 bench corpus emits 1.0e9 pairs — 64x
+    // superlinear; see Dedup scaladoc), and the ORACLE mirrors the
+    // streaming cap rule exactly instead of being uncapped: a pair is
+    // a candidate iff both members are within the first maxBucket ids
+    // of a shared (band, bucket) — the id-ordered replay makes the
+    // streaming prefix-cap identical to the id-rank filter, at ANY
+    // scale factor. (Streaming emits per ANY admitted band; batch
+    // dedups to the FIRST colliding band — the residual batch/stream
+    // divergence under cross-band crowding is pinned in
+    // StreamingSpec.) ----
     Q("q105_streaming_lsh",
       (s, d) => {
         import s.implicits._
         val docs = T(s, d, "documents").select($"doc_id", $"text")
-        val corpusSize = docs.count()
         val feed = stageFileFeed(docs, nb = 4)
         val ckpt = graft.TempDirs.create("graft-q105-ckpt")
         val outDir = graft.TempDirs.create("graft-q105-out")
@@ -1916,7 +1948,7 @@ object LlmQueries {
           .option("maxFilesPerTrigger", "1").parquet(feed)
         val sq = graft.streaming.StreamingNearDup
           .candidatePairs(stream, "text", "doc_id",
-            maxBucket = (corpusSize + 1L).min(Int.MaxValue).toInt)
+            maxBucket = graft.llm.Dedup.DefaultMaxBucket)
           .writeStream.outputMode("append").format("parquet")
           .option("checkpointLocation", ckpt)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1926,7 +1958,11 @@ object LlmQueries {
           .select($"a", $"b").dropDuplicates("a", "b")
           .orderBy($"a", $"b")
       },
-      Some(s"""WITH $dCandidateCtes
-              |SELECT a, b FROM cand ORDER BY a, b""".stripMargin))
+      Some(s"""WITH ${dBandCtesFrom("documents")}
+              |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              |FROM ranked x JOIN ranked y
+              |  ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+              |WHERE x.rk <= $dMaxBucket AND y.rk <= $dMaxBucket
+              |ORDER BY a, b""".stripMargin))
   )
 }

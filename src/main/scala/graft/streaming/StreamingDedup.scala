@@ -52,8 +52,14 @@ final case class CandidatePair(a: Long, b: Long, band: Int)
   *     consumers `dropDuplicates("a","b")` per batch or verify
   *     idempotently);
   *   - per-bucket state is capped at `maxBucket` ids: a pathological
-  *     bucket stops ADMITTING new members past the cap (drop-and-cap,
-  *     the same guardrail as batch `maxBucket`, applied prefix-wise).
+  *     bucket stops ADMITTING new members past the cap. Under an
+  *     id-ordered feed the admitted prefix equals the batch path's
+  *     smallest-id truncation ([[graft.llm.Dedup.minhashCandidatePairs]]),
+  *     so capped batch and capped streaming admit the SAME members;
+  *     the residual difference is pair-level (first-band vs any-band
+  *     emission when bucket crowding differs across bands — pinned in
+  *     StreamingSpec). Under arbitrary arrival order the prefix is
+  *     arrival-order, the documented streaming semantics.
   *
   * Scale: state is hash-partitioned by (band, bkey); per-key state is
   * <= maxBucket longs. Checkpointing makes the seen-set durable, so a
@@ -84,10 +90,14 @@ object StreamingNearDup {
         (key: (Int, String), rows: Iterator[BandDoc],
          st: org.apache.spark.sql.streaming.GroupState[Seq[Long]]) =>
           val prev = st.getOption.getOrElse(Seq.empty)
+          // O(1) membership: prev is a Seq for the state encoder, but
+          // a linear `prev.contains` per fresh id is O(m^2) per batch
+          // on a dense bucket
+          val prevSet = prev.toSet
           // deterministic in-batch order; skip ids already in state
           // (redelivered batches emit nothing new)
           val fresh = rows.map(_.doc_id).toSeq.distinct.sorted
-            .filterNot(prev.contains)
+            .filterNot(prevSet)
           // prefix-wise cap: admit only up to maxBucket members total
           val admitted = fresh.take(math.max(0, maxBucket - prev.size))
           if (admitted.nonEmpty) st.update(prev ++ admitted)

@@ -346,8 +346,8 @@ class StreamingSpec extends AnyFunSuite {
     assert(all == Set((10L, 11L), (10L, 13L), (11L, 13L)))
   }
 
-  test("LSH maxBucket: streaming caps prefix-wise, batch drops whole " +
-    "bucket — the documented divergence") {
+  test("LSH maxBucket: id-ordered streaming prefix-cap equals the batch " +
+    "smallest-id truncation; arrival-order feeds diverge by design") {
     import org.apache.spark.sql.functions._
     val inDir = Files.createTempDirectory("graft-slshcap-in").toString
     val ckpt = Files.createTempDirectory("graft-slshcap-ckpt").toString
@@ -372,28 +372,54 @@ class StreamingSpec extends AnyFunSuite {
     q.processAllAvailable()
     q.stop()
 
-    // streaming: the first maxBucket members (in-batch sorted order)
-    // are admitted and pair among themselves; 4 and 5 arrive after the
-    // cap and emit NOTHING — drop-and-cap applied prefix-wise
+    // streaming: the first maxBucket members (id-ordered arrival) are
+    // admitted and pair among themselves; 4 and 5 arrive after the cap
+    // and emit NOTHING
     val streamed = spark.table("slsh_cap")
       .select($"a", $"b").distinct().as[(Long, Long)].collect().toSet
     assert(streamed == Set((1L, 2L), (1L, 3L), (2L, 3L)))
 
-    // batch on the same 5-doc corpus: the whole oversized bucket is
-    // dropped (size 5 > 3), so NO pairs survive
+    // batch on the same 5-doc corpus: the oversized bucket is truncated
+    // to its 3 SMALLEST ids — the same member set the id-ordered
+    // streaming feed admitted, so capped batch == capped streaming here
+    // (the equivalence the q105 oracle rests on)
     val docs = Seq((1L, same), (2L, same), (3L, same), (4L, same),
       (5L, same)).toDF("doc_id", "text")
     val batch = graft.llm.Dedup
       .minhashCandidatePairs(docs, "text", "doc_id", maxBucket = 3)
       .select($"a", $"b").as[(Long, Long)].collect().toSet
-    assert(batch.isEmpty)
+    assert(batch == streamed)
 
-    // and with the cap clear of the bucket size both engines agree —
-    // the q105 gate relies on exactly this equivalence
+    // with the cap clear of the bucket size nothing is truncated
     val batchUncapped = graft.llm.Dedup
       .minhashCandidatePairs(docs, "text", "doc_id", maxBucket = 5)
       .select($"a", $"b").as[(Long, Long)].collect().toSet
     assert(batchUncapped ==
       (for (a <- 1L to 5L; b <- a + 1 to 5L) yield (a, b)).toSet)
+
+    // NOT-id-ordered arrival: 4 and 5 arrive first and occupy the
+    // bucket with 1 — prefix-cap is ARRIVAL order, so streaming admits
+    // {4,5,1} where batch truncation admits {1,2,3}. The documented
+    // divergence for out-of-order feeds (q105's replay is id-ordered
+    // exactly so this cannot bite its oracle).
+    val inDir2 = Files.createTempDirectory("graft-slshcap2-in").toString
+    val ckpt2 = Files.createTempDirectory("graft-slshcap2-ckpt").toString
+    Seq((4L, same), (5L, same))
+      .toDF("doc_id", "text").write.mode("append").parquet(inDir2)
+    val stream2 = spark.readStream
+      .schema("doc_id LONG, text STRING").parquet(inDir2)
+    val q2 = StreamingNearDup
+      .candidatePairs(stream2, "text", "doc_id", maxBucket = 3)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("slsh_cap2")
+      .option("checkpointLocation", ckpt2).start()
+    q2.processAllAvailable()
+    Seq((1L, same), (2L, same), (3L, same))
+      .toDF("doc_id", "text").write.mode("append").parquet(inDir2)
+    q2.processAllAvailable()
+    q2.stop()
+    val streamed2 = spark.table("slsh_cap2")
+      .select($"a", $"b").distinct().as[(Long, Long)].collect().toSet
+    assert(streamed2 == Set((4L, 5L), (1L, 4L), (1L, 5L)))
   }
 }
