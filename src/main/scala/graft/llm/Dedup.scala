@@ -171,9 +171,14 @@ object Dedup {
         transform(sequence(lit(0), lit(3)),
           b => col("simhash").substr(b * 16 + 1, lit(16)))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    // truncate to the maxBucket smallest ids — same cap semantics as
+    // minhashCandidatePairs (any-band rule here: pairs are distinct()'d
+    // across bands, so a pair survives iff both ids are admitted in
+    // SOME shared band bucket)
     sk.groupBy("band", "bkey")
       .agg(sort_array(collect_list("doc_id")).as("ids"))
-      .where(size(col("ids")).between(2, maxBucket))
+      .where(size(col("ids")) >= 2)
+      .select(slice(col("ids"), 1, maxBucket).as("ids"))
       .select(explode(expr(
         """flatten(transform(ids, (a, i) ->
           |  transform(slice(ids, i + 2, size(ids)), b ->

@@ -371,11 +371,17 @@ object LlmQueries {
               |sk AS (SELECT doc_id, $dSimhashExpr AS sh FROM hs),
               |bands AS (
               |  SELECT doc_id, b, substr(sh, b*16 + 1, 16) AS bkey
-              |  FROM sk, (SELECT unnest(generate_series(0, 3)) AS b) bs)
+              |  FROM sk, (SELECT unnest(generate_series(0, 3)) AS b) bs),
+              |rkd AS (
+              |  SELECT doc_id, b, bkey,
+              |         row_number() OVER (PARTITION BY b, bkey
+              |                            ORDER BY doc_id) AS rk
+              |  FROM bands)
               |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-              |FROM bands x JOIN bands y
+              |FROM rkd x JOIN rkd y
               |  ON x.b = y.b AND x.bkey = y.bkey
               | AND x.doc_id < y.doc_id
+              | AND x.rk <= $dMaxBucket AND y.rk <= $dMaxBucket
               |ORDER BY a, b""".stripMargin)),
 
     // ---- n-gram Jaccard near-dups: LSH candidates -> exact verify ----
@@ -593,10 +599,16 @@ object LlmQueries {
            |             * m[CAST(p AS INT)][CAST(j AS INT)])) >= 0
            |      THEN '1' ELSE '0' END), '') AS sig
            |  FROM embeddings, pm),
+           |rkd AS (
+           |  SELECT vec_id, v, sig,
+           |         row_number() OVER (PARTITION BY sig
+           |                            ORDER BY vec_id) AS rk
+           |  FROM sig),
            |cand AS (
            |  SELECT x.vec_id AS a, y.vec_id AS b, x.v AS va, y.v AS vb
-           |  FROM sig x JOIN sig y
-           |    ON x.sig = y.sig AND x.vec_id < y.vec_id),
+           |  FROM rkd x JOIN rkd y
+           |    ON x.sig = y.sig AND x.vec_id < y.vec_id
+           |   AND x.rk <= 10000 AND y.rk <= 10000),
            |sc AS (
            |  SELECT a, b,
            |    list_sum(list_transform(generate_series(1, 64), j ->

@@ -189,7 +189,10 @@ object Similarity {
     * hyperplane-signature bucket (ONE shuffle on the signature — never
     * all-pairs), verified by exact cosine >= threshold. The same
     * bucketed candidate->verify shape as minhash dedup, over vectors.
-    * `maxBucket` caps pathological buckets (drop-and-report). */
+    * `maxBucket` truncates a pathological bucket to its smallest
+    * vec_ids (same cap semantics as `Dedup.minhashCandidatePairs`):
+    * bounded C(maxBucket,2) cost, and the bucket head still surfaces
+    * the near-dup cluster instead of vanishing wholesale. */
   def embeddingNearDuplicates(embeddings: DataFrame, vecCol: String,
                               idCol: String, dim: Int,
                               threshold: Double, planes: Int = 8,
@@ -199,7 +202,8 @@ object Similarity {
       .groupBy(col("sig"))
       .agg(sort_array(collect_list(struct(col("vec_id"),
         col("embedding").cast("array<double>").as("v")))).as("ms"))
-      .where(size(col("ms")).between(2, maxBucket))
+      .where(size(col("ms")) >= 2)
+      .select(slice(col("ms"), 1, maxBucket).as("ms"))
     buckets
       .select(explode(expr(
         """flatten(transform(ms, (x, i) ->
