@@ -1975,6 +1975,54 @@ object LlmQueries {
               |FROM ranked x JOIN ranked y
               |  ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id
               |WHERE x.rk <= $dMaxBucket AND y.rk <= $dMaxBucket
-              |ORDER BY a, b""".stripMargin))
+              |ORDER BY a, b""".stripMargin)),
+
+    // ---- q107: REAL image decode, oracle-gated — one true PNG per
+    // document (pixels derived from the text by the shared pixelByte
+    // rule), staged to parquet as stored binaries, then decoded back
+    // through javax.imageio in mapPartitions. The oracle computes the
+    // expected per-channel pixel sums from the TEXT alone (never
+    // touching PNG), so an exact match proves the engine decoded real
+    // codec bytes correctly — the formerly sandbox-blocked decode
+    // surface, now closed (PNG is lossless; sums are exact BIGINTs) ----
+    Q("q107_image_decode",
+      (s, d) => {
+        import s.implicits._
+        val pngs = Multimodal.imagesFromText(
+          T(s, d, "documents"), "text", "doc_id")
+        // stage: decode must read REAL stored binaries, not an
+        // in-memory column handed straight back
+        val dir = graft.TempDirs.create("graft-q107-png")
+        pngs.write.mode("overwrite").parquet(dir)
+        Multimodal.imageChannelStats(s.read.parquet(dir), "png",
+            "asset_id")
+          .select($"asset_id", $"w".cast("long").as("w"),
+            $"h".cast("long").as("h"), $"sum_r", $"sum_g", $"sum_b")
+          .orderBy($"asset_id")
+      },
+      Some("""WITH px AS (
+             |  SELECT doc_id, text, length(text) AS len,
+             |         4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+             |  FROM documents WHERE length(text) > 0),
+             |sums AS (
+             |  SELECT doc_id, w, h,
+             |    list_sum(list_transform(generate_series(0, w*h - 1),
+             |      i -> unicode(text[CAST((3*i + 0) % len AS INT) + 1
+             |                        : CAST((3*i + 0) % len AS INT) + 1])
+             |           % 256)) AS sum_r,
+             |    list_sum(list_transform(generate_series(0, w*h - 1),
+             |      i -> unicode(text[CAST((3*i + 1) % len AS INT) + 1
+             |                        : CAST((3*i + 1) % len AS INT) + 1])
+             |           % 256)) AS sum_g,
+             |    list_sum(list_transform(generate_series(0, w*h - 1),
+             |      i -> unicode(text[CAST((3*i + 2) % len AS INT) + 1
+             |                        : CAST((3*i + 2) % len AS INT) + 1])
+             |           % 256)) AS sum_b
+             |  FROM px)
+             |SELECT doc_id AS asset_id, w, h,
+             |       CAST(sum_r AS BIGINT) AS sum_r,
+             |       CAST(sum_g AS BIGINT) AS sum_g,
+             |       CAST(sum_b AS BIGINT) AS sum_b
+             |FROM sums ORDER BY asset_id""".stripMargin))
   )
 }

@@ -6,11 +6,17 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video travel as opaque BINARY
   * columns plus typed metadata, processed in partition-sized batches.
   *
-  * The decode step is STUBBED (this container has no image/audio codecs):
-  * [[decodeStub]] derives deterministic fake features from the bytes so
-  * the Spark-side plumbing — schema, batch shape, partitioning, typed
-  * mapPartitions signature — is real and testable. A production build
-  * swaps `decodeStub` for a JNI/FFI codec call; nothing else changes.
+  * IMAGE decode is REAL: [[imageChannelStats]] decodes PNG/JPEG/BMP/GIF
+  * binaries through `javax.imageio` inside `mapPartitions` (one reader
+  * context per partition), and [[imagesFromText]] encodes real PNGs, so
+  * the pair round-trips actual codec bytes end-to-end (oracle-gated by
+  * q107: the DuckDB side computes the expected pixel sums from the
+  * source text without ever touching PNG). AUDIO/VIDEO decode stays
+  * STUBBED ([[decodeStub]] — no audio/video codecs in this container):
+  * deterministic fake features keep the schema, batch shape,
+  * partitioning and typed mapPartitions signature real and testable; a
+  * production build swaps `decodeStub` for an FFI codec call and
+  * nothing else changes.
   *
   * Scale design (100 TB):
   *   - binaries stay columnar (Parquet BINARY) and are NEVER collected;
@@ -33,8 +39,10 @@ object Multimodal {
                                  feature: Array[Double])
 
   /** Deterministic fake "decode": 8 doubles derived from evenly-spaced
-    * byte probes. STUB for a real image/audio decoder (no codecs in this
-    * environment); deterministic so tests and re-runs agree. */
+    * byte probes. STUB for the audio/video decoders (no such codecs in
+    * this environment — images decode for real, see
+    * [[imageChannelStats]]); deterministic so tests and re-runs
+    * agree. */
   def decodeStub(bytes: Array[Byte]): Array[Double] = {
     val n = bytes.length
     if (n == 0) Array.fill(8)(0.0)
@@ -71,6 +79,82 @@ object Multimodal {
           decodeStub(a.bytes))
       }
     }
+  }
+
+  /** One decoded image's channel statistics (sums are exact BIGINTs so
+    * the oracle compare is drift-free). */
+  final case class ImageStats(asset_id: Long, w: Int, h: Int,
+                              sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Deterministic pixel rule shared by the PNG encoder and the q107
+    * oracle: channel c of pixel i is the code point of
+    * `text[(3*i + c) mod len]` masked to a byte — so the expected
+    * channel sums are computable from the TEXT alone, while the engine
+    * must round-trip real PNG bytes to reproduce them. */
+  private def pixelByte(text: String, i: Int, c: Int): Int =
+    text.charAt((3 * i + c) % text.length).toInt & 0xff
+
+  /** Encode one real PNG per row: a (4 + id%5) x (3 + id%4) truecolor
+    * image whose pixels derive from the row's text by [[pixelByte]].
+    * Runs in `mapPartitions` (one encoder context per partition); PNG
+    * is lossless, so decode recovers the exact pixel values. Rows with
+    * empty text are dropped (no pixels to derive). */
+  def imagesFromText(docs: DataFrame, textCol: String, idCol: String)
+  : DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long").as("asset_id"),
+        col(textCol).cast("string").as("text"))
+      .where(length(col("text")) > 0)
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val w = (4 + id % 5).toInt
+          val h = (3 + id % 4).toInt
+          val im = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var i = 0
+          while (i < w * h) {
+            val rgb = (pixelByte(text, i, 0) << 16) |
+              (pixelByte(text, i, 1) << 8) | pixelByte(text, i, 2)
+            im.setRGB(i % w, i / w, rgb)
+            i += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(im, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF("asset_id", "png")
+  }
+
+  /** REAL image decode: read each binary through `javax.imageio`
+    * (PNG/JPEG/BMP/GIF) and emit exact per-channel pixel sums plus the
+    * decoded dimensions. mapPartitions so reader setup amortizes per
+    * partition; undecodable binaries fail loudly (a curation pipeline
+    * must not silently count garbage as pixels). */
+  def imageChannelStats(images: DataFrame, bytesCol: String,
+                        idCol: String): Dataset[ImageStats] = {
+    import images.sparkSession.implicits._
+    images.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val im = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(im != null, s"asset $id: undecodable image bytes")
+          val (w, h) = (im.getWidth, im.getHeight)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var i = 0
+          while (i < w * h) {
+            val rgb = im.getRGB(i % w, i / w)
+            sr += (rgb >> 16) & 0xff
+            sg += (rgb >> 8) & 0xff
+            sb += rgb & 0xff
+            i += 1
+          }
+          ImageStats(id, w, h, sr, sg, sb)
+        }
+      }
   }
 
   /** Deterministic "resize" STUB: sample the source binary at

@@ -280,6 +280,35 @@ class LlmSpec extends AnyFunSuite {
     assert(resized(2L).isEmpty)
   }
 
+  test("multimodal: REAL png encode/decode round trip recovers exact " +
+    "pixel sums; garbage bytes fail loudly") {
+    import Multimodal._
+    // doc_id 7 -> w = 4 + 7%5 = 6, h = 3 + 7%4 = 6; "ab" alternates
+    // char codes 97/98 across channels: channel c of pixel i is
+    // text[(3i + c) % 2] -> r,g,b cycle deterministically
+    val d = docs((7L, "ab"))
+    val pngs = imagesFromText(d, "text", "doc_id")
+    val raw = pngs.as[(Long, Array[Byte])].head()
+    // real PNG magic, not a stub payload
+    assert(raw._2.take(4).toSeq ==
+      Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    val st = imageChannelStats(pngs, "png", "asset_id").head()
+    assert((st.w, st.h) == (6, 6))
+    val expected = (0 until 36).foldLeft((0L, 0L, 0L)) {
+      case ((r, g, b), i) =>
+        def px(c: Int) = "ab".charAt((3 * i + c) % 2).toInt & 0xff
+        (r + px(0), g + px(1), b + px(2))
+    }
+    assert((st.sum_r, st.sum_g, st.sum_b) == expected)
+    // empty text emits no image row at all
+    assert(imagesFromText(docs((1L, "")), "text", "doc_id").count() == 0)
+    // undecodable binaries must throw, not count garbage as pixels
+    val bad = Seq((9L, Array[Byte](1, 2, 3))).toDF("asset_id", "png")
+    assertThrows[org.apache.spark.SparkException] {
+      imageChannelStats(bad, "png", "asset_id").collect()
+    }
+  }
+
   test("int8 quantization: codes exact, fidelity high, zero vector safe") {
     val df = Seq(
       (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
