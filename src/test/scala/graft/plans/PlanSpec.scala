@@ -101,6 +101,20 @@ class PlanSpec extends AnyFunSuite {
       s"pairs must be emitted by exactly one kernel pass:\n$plan")
   }
 
+  test("bucket truncation is a projection, not an extra exchange") {
+    // the maxBucket cap (slice after the bucket agg) must not add a
+    // shuffle or a window: the candidate pipeline keeps exactly ONE
+    // exchange (the band groupBy) regardless of cap value
+    val docs = graft.Queries.T(spark, SF, "documents")
+    val pairs = graft.llm.Dedup.minhashCandidatePairs(
+      docs, "text", "doc_id", maxBucket = 3)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"truncated candidate pairs must keep the single band shuffle:\n$plan")
+    assert(!plan.contains("Window"),
+      s"the cap is a slice(), not a windowed rank:\n$plan")
+  }
+
   test("staged dedup components: consumers read the artifact, not the pipeline") {
     val docs = graft.Queries.T(spark, SF, "documents")
     // first call stages (runs the pipeline once, writes parquet)...
