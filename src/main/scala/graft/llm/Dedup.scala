@@ -127,6 +127,33 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  private val stagedPairDirs =
+    scala.collection.concurrent.TrieMap[(String, Double, Int), String]()
+
+  /** Verified near-dup pairs (`a`, `b`, `jaccard`) materialized to
+    * parquet ONCE per JVM per (cacheKey, threshold, ngram) and read
+    * back by every consumer. The LSH -> Jaccard-verify stage is the
+    * most expensive shared intermediate in the curation suite (q27
+    * emits it, q44 anti-joins it, the component labels build on it) —
+    * at 100 TB you materialize this artifact once per corpus snapshot
+    * and fan consumers out from it, exactly as here.
+    * `cacheKey` must identify the corpus (the source dir). */
+  def stagedNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
+                         cacheKey: String, threshold: Double = 0.6,
+                         ngram: Int = 3): DataFrame = {
+    val s = docs.sparkSession
+    val dir = stagedPairDirs.getOrElseUpdate(
+      (cacheKey, threshold, ngram), {
+        val tmp = graft.TempDirs.create("graft-dedup-pairs")
+        minhashNearDuplicates(docs, textCol, idCol, threshold, ngram)
+          .write.mode("overwrite").parquet(tmp)
+        tmp
+      })
+    // explicit schema: a corpus with zero near-dup pairs writes no
+    // parquet files and inference would fail on read-back
+    s.read.schema("a BIGINT, b BIGINT, jaccard DOUBLE").parquet(dir)
+  }
+
   private val stagedComponentDirs =
     scala.collection.concurrent.TrieMap[(String, Double, Int), String]()
 
@@ -145,8 +172,10 @@ object Dedup {
     val dir = stagedComponentDirs.getOrElseUpdate(
       (cacheKey, threshold, ngram), {
         val tmp = graft.TempDirs.create("graft-dedup-comp")
-        val pairs =
-          minhashNearDuplicates(docs, textCol, idCol, threshold, ngram)
+        // build from the staged pair artifact: one verify pass per
+        // corpus serves pairs-consumers AND the component labels
+        val pairs = stagedNearDupPairs(docs, textCol, idCol, cacheKey,
+          threshold, ngram)
         graft.ops.Components.connectedComponents(pairs, "a", "b")
           .write.mode("overwrite").parquet(tmp)
         tmp
@@ -193,10 +222,19 @@ object Dedup {
     * minimum). The standard curation step after exact dedup. */
   def nearDupSurvivors(docs: DataFrame, textCol: String, idCol: String,
                        threshold: Double = 0.6, ngram: Int = 3,
-                       maxBroadcastBytes: Long = 64L << 20)
+                       maxBroadcastBytes: Long = 64L << 20,
+                       cacheKey: Option[String] = None)
   : DataFrame = {
-    val dropped = minhashNearDuplicates(docs, textCol, idCol, threshold,
-      ngram, maxBroadcastBytes).select(col("b").as(idCol)).distinct()
+    // with a cacheKey, read the per-corpus staged pair artifact
+    // instead of re-running LSH + verify
+    val pairs = cacheKey match {
+      case Some(k) =>
+        stagedNearDupPairs(docs, textCol, idCol, k, threshold, ngram)
+      case None =>
+        minhashNearDuplicates(docs, textCol, idCol, threshold, ngram,
+          maxBroadcastBytes)
+    }
+    val dropped = pairs.select(col("b").as(idCol)).distinct()
     docs.join(dropped, Seq(idCol), "left_anti")
   }
 

@@ -391,8 +391,8 @@ object LlmQueries {
     Q("q27_ngram_jaccard",
       (s, d) => {
         import s.implicits._
-        Dedup.minhashNearDuplicates(T(s, d, "documents"), "text", "doc_id",
-          threshold = 0.5, ngram = 3)
+        Dedup.stagedNearDupPairs(T(s, d, "documents"), "text", "doc_id",
+          cacheKey = d, threshold = 0.5, ngram = 3)
           .orderBy($"a", $"b")
       },
       Some(s"""WITH $dCandidateCtes,
@@ -631,7 +631,7 @@ object LlmQueries {
       (s, d) => {
         import s.implicits._
         Dedup.nearDupSurvivors(T(s, d, "documents"), "text", "doc_id",
-          threshold = 0.5, ngram = 3)
+          threshold = 0.5, ngram = 3, cacheKey = Some(d))
           .select($"doc_id", $"lang", $"n_chars")
           .orderBy($"doc_id")
       },

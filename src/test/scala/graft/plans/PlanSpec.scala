@@ -127,9 +127,11 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("FileScan parquet") &&
       !plan.contains("lsh_first_band_pairs"),
       s"staged components must not re-run LSH:\n$plan")
-    // q57 and q70 both consume it: neither final plan re-runs the
-    // LSH->verify chain, and neither ever plans a cartesian
-    for (name <- Seq("q57_dedup_components", "q70_dedup_keep_best")) {
+    // q27/q44 (verified pairs) and q57/q70 (component labels) all
+    // consume the staged chain: no final plan re-runs LSH->verify,
+    // none ever plans a cartesian
+    for (name <- Seq("q27_ngram_jaccard", "q44_dedup_survivors",
+      "q57_dedup_components", "q70_dedup_keep_best")) {
       val p = q(name).queryExecution.executedPlan.toString
       assert(!p.contains("lsh_first_band_pairs"),
         s"$name must consume the staged artifact:\n$p")
