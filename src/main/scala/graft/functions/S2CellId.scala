@@ -94,6 +94,10 @@ object GraftFunctions {
     "st_within_region" ->
       ((args: Seq[Expression]) =>
         StWithinRegion(args(0), args(1), args(2), args(3))),
+    "bloom_agg" ->
+      ((args: Seq[Expression]) => BloomAgg(args(0), args(1), args(2))),
+    "bloom_contains" ->
+      ((args: Seq[Expression]) => BloomContains(args(0), args(1))),
     "bitmap_agg" -> ((args: Seq[Expression]) => BitmapAgg(args(0))),
     "bitmap_contains" ->
       ((args: Seq[Expression]) => BitmapContains(args(0), args(1))),

@@ -96,6 +96,47 @@ object Curate {
       .drop("sh", "ns")
   }
 
+  /** Contamination HIT LIST (train docs sharing >= 1 shingle
+    * occurrence with the benchmark) via a Bloom-prefiltered exact
+    * join — the [[contaminationScores]] shape for when the benchmark
+    * shingle union is bounded but too large to broadcast raw. The
+    * benchmark side builds a ~10-bit/key Bloom filter (OR-merged
+    * partials, one single-row shuffle of `numBits/8` bytes per map
+    * task); the exploded train side is filtered MAP-SIDE by the
+    * codegen'd `bloom_contains` probe BELOW the verify join's
+    * exchange, so ~99% of train shingle occurrences never shuffle.
+    * The verify join against the exact benchmark set then kills the
+    * Bloom's false positives — the output is EXACT (oracle-equal to
+    * the plain join) at any scale factor; only the shuffled volume is
+    * probabilistic. At 100 TB, stage `bench`'s distinct shingles once
+    * (it is scanned for the count, the filter build, and the verify). */
+  def contaminationHitsBloom(train: DataFrame, bench: DataFrame,
+                             textCol: String, idCol: String, ngram: Int,
+                             forceBits: Option[Int] = None)
+  : DataFrame = {
+    graft.functions.GraftFunctions.register(train.sparkSession)
+    val bs = bench.select(explode(
+        TextFunctions.ngramShingleHashes(col(textCol), ngram)).as("h"))
+      .distinct()
+    val bits = forceBits.getOrElse(
+      graft.functions.BloomImpl.suggestBits(bs.count()))
+    val bloom = bs
+      .agg(call_function("bloom_agg", col("h"), lit(bits), lit(7)))
+      .head().getAs[Array[Byte]](0)
+    val tr = train.withColumn("sh",
+      TextFunctions.ngramShingleHashes(col(textCol), ngram))
+    val shared = tr.select(col(idCol), explode(col("sh")).as("h"))
+      .where(call_function("bloom_contains", lit(bloom), col("h")))
+      .join(bs, "h") // exact verify: false positives die here
+      .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
+    tr.join(shared, Seq(idCol)) // inner: hit list only
+      .withColumn("n_sh", size(col("sh")).cast("long"))
+      .withColumn("contaminated",
+        round(col("n_shared").cast("double") / col("n_sh"), 6) >= 0.5)
+      .select(col(idCol), col("n_sh"), col("n_shared"),
+        col("contaminated"))
+  }
+
   /** `train` rows whose benchmark shared-shingle fraction is below
     * `threshold` (the decontamination filter itself). */
   def decontaminate(train: DataFrame, bench: DataFrame,

@@ -2023,6 +2023,125 @@ object LlmQueries {
              |       CAST(sum_r AS BIGINT) AS sum_r,
              |       CAST(sum_g AS BIGINT) AS sum_g,
              |       CAST(sum_b AS BIGINT) AS sum_b
-             |FROM sums ORDER BY asset_id""".stripMargin))
+             |FROM sums ORDER BY asset_id""".stripMargin)),
+
+    // ---- q108: Bloom-prefiltered decontamination hit list. Same
+    // contamination semantics as q63, different 100 TB plan: the
+    // benchmark shingle union builds a ~10-bit/key Bloom filter
+    // (bloom_agg, OR-merged partials) inlined as a literal, the
+    // exploded train side is rejected MAP-SIDE by the codegen'd
+    // bloom_contains probe below the verify join's exchange, and the
+    // exact join then kills the Bloom's false positives — output is
+    // exact at any SF (no cap/guardrail semantics to mirror: FPs are
+    // provably removed), only the shuffled volume is probabilistic.
+    // The oracle is the plain exact join the construct must equal ----
+    Q("q108_bloom_decontaminate",
+      (s, d) => {
+        import s.implicits._
+        val docs = T(s, d, "documents")
+        Curate.contaminationHitsBloom(
+            docs.where($"doc_id" % 50 =!= 0),
+            docs.where($"doc_id" % 50 === 0),
+            "text", "doc_id", ngram = 3)
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH sh AS (SELECT doc_id, $dShingles3 AS sh
+              |           FROM documents),
+              |bs AS (SELECT DISTINCT unnest(sh) AS h FROM sh
+              |       WHERE doc_id % 50 = 0),
+              |tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % 50 != 0),
+              |shared AS (
+              |  SELECT t.doc_id, count(*) AS ns
+              |  FROM (SELECT doc_id, unnest(sh) AS h FROM tr) t
+              |  JOIN bs USING (h)
+              |  GROUP BY t.doc_id)
+              |SELECT s.doc_id, CAST(len(tr.sh) AS BIGINT) AS n_sh,
+              |  s.ns AS n_shared,
+              |  round(CAST(s.ns AS DOUBLE) / len(tr.sh), 6) >= 0.5
+              |    AS contaminated
+              |FROM shared s JOIN tr ON tr.doc_id = s.doc_id
+              |ORDER BY s.doc_id""".stripMargin)),
+
+    // ---- q109: SemDeDup semantic dedup — distributed Lloyd's k-means
+    // (deterministic first-k init, codegen'd ivf_assign argmax, exact
+    // DECIMAL per-(cluster,dim) means rounded to 6 dp so both engines
+    // iterate on bit-identical centroid matrices), then pairwise
+    // cosine WITHIN clusters only, capped to each cluster's 48
+    // smallest ids (cap semantics mirrored in the oracle's
+    // row_number() <= 48), dropping the larger id of any pair >=
+    // 0.25. The oracle unrolls the single Lloyd round in SQL,
+    // including the empty-cluster keep-previous-centroid fallback ----
+    Q("q109_semantic_dedup",
+      (s, d) => {
+        import s.implicits._
+        Similarity.semanticDedup(T(s, d, "embeddings"),
+            "embedding", "vec_id", k = 8, iters = 1,
+            threshold = 0.25, maxCluster = 48)
+          .orderBy($"vec_id")
+      },
+      Some("""WITH emb AS (SELECT vec_id,
+             |    CAST(embedding AS DOUBLE[]) AS v, embedding
+             |  FROM embeddings),
+             |init AS (SELECT row_number() OVER (ORDER BY vec_id) AS cidx,
+             |    v AS cv
+             |  FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 8)),
+             |p0 AS (SELECT e.vec_id, c.cidx,
+             |    list_sum(list_transform(generate_series(1, 64), j ->
+             |      c.cv[CAST(j AS INT)] * e.v[CAST(j AS INT)])) AS dt,
+             |    sqrt(list_sum(list_transform(c.cv, x -> x * x))) AS nc,
+             |    sqrt(list_sum(list_transform(e.v, x -> x * x))) AS ne
+             |  FROM emb e, init c),
+             |a0 AS (SELECT vec_id, cidx FROM (
+             |    SELECT vec_id, cidx, row_number() OVER (
+             |      PARTITION BY vec_id ORDER BY
+             |        (CASE WHEN nc = 0 OR ne = 0 THEN 0
+             |              ELSE dt / (nc * ne) END) DESC, cidx ASC) AS rk
+             |    FROM p0) WHERE rk = 1),
+             |m1 AS (SELECT a0.cidx, u.pos,
+             |    round(CAST(sum(CAST(u.x AS DECIMAL(27,12))) AS DOUBLE)
+             |      / count(*), 6) AS m
+             |  FROM a0 JOIN (SELECT vec_id, unnest(embedding) AS x,
+             |      generate_subscripts(embedding, 1) AS pos
+             |    FROM emb) u USING (vec_id)
+             |  GROUP BY a0.cidx, u.pos),
+             |ipos AS (SELECT cidx, unnest(cv) AS x,
+             |    generate_subscripts(cv, 1) AS pos FROM init),
+             |c1 AS (SELECT ipos.cidx,
+             |    list(coalesce(m1.m, ipos.x) ORDER BY ipos.pos) AS cv
+             |  FROM ipos LEFT JOIN m1
+             |    ON m1.cidx = ipos.cidx AND m1.pos = ipos.pos
+             |  GROUP BY ipos.cidx),
+             |p1 AS (SELECT e.vec_id, c.cidx,
+             |    list_sum(list_transform(generate_series(1, 64), j ->
+             |      c.cv[CAST(j AS INT)] * e.v[CAST(j AS INT)])) AS dt,
+             |    sqrt(list_sum(list_transform(c.cv, x -> x * x))) AS nc,
+             |    sqrt(list_sum(list_transform(e.v, x -> x * x))) AS ne
+             |  FROM emb e, c1 c),
+             |a1 AS (SELECT vec_id, cidx FROM (
+             |    SELECT vec_id, cidx, row_number() OVER (
+             |      PARTITION BY vec_id ORDER BY
+             |        (CASE WHEN nc = 0 OR ne = 0 THEN 0
+             |              ELSE dt / (nc * ne) END) DESC, cidx ASC) AS rk
+             |    FROM p1) WHERE rk = 1),
+             |ranked AS (SELECT vec_id, cidx, row_number() OVER (
+             |    PARTITION BY cidx ORDER BY vec_id) AS rk FROM a1),
+             |head AS (SELECT r.vec_id, r.cidx, e.v
+             |  FROM ranked r JOIN emb e USING (vec_id) WHERE r.rk <= 48),
+             |pairs AS (SELECT s.yid AS b,
+             |    round((CASE WHEN nx = 0 OR ny = 0 THEN 0
+             |           ELSE dt / (nx * ny) END), 6) AS score
+             |  FROM (SELECT y.vec_id AS yid,
+             |      list_sum(list_transform(generate_series(1, 64), j ->
+             |        x.v[CAST(j AS INT)] * y.v[CAST(j AS INT)])) AS dt,
+             |      sqrt(list_sum(list_transform(x.v, t -> t * t))) AS nx,
+             |      sqrt(list_sum(list_transform(y.v, t -> t * t))) AS ny
+             |    FROM head x JOIN head y
+             |      ON x.cidx = y.cidx AND x.vec_id < y.vec_id) s),
+             |dropped AS (SELECT DISTINCT b FROM pairs
+             |  WHERE score >= 0.25)
+             |SELECT a1.vec_id, CAST(a1.cidx AS BIGINT) AS cluster,
+             |  (d.b IS NULL) AS kept
+             |FROM a1 LEFT JOIN dropped d ON d.b = a1.vec_id
+             |ORDER BY a1.vec_id""".stripMargin))
   )
 }

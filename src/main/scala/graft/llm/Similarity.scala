@@ -237,6 +237,86 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         e => round(e("m"), 6)).as("centroid"))
 
+  /** Distributed Lloyd's k-means over the embedding column — the
+    * clustering stage of SemDeDup-style semantic dedup (Abbas et al.,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"). Deterministic and engine-portable end to end:
+    * init centroids are the first `k` vectors by id; each round
+    * assigns via the codegen'd `ivf_assign` argmax (map-side, no
+    * shuffle of the big side) and recomputes per-(cluster, dim) means
+    * through exact DECIMAL sums (the [[centroids]] shape — one
+    * skew-free shuffle keyed by (cluster, dim)), rounded to 6 dp so
+    * the next round's literal matrix is bit-identical on any engine.
+    * A cluster that loses all members keeps its previous centroid.
+    *
+    * 100 TB shape per round: one map-side projection + one partial-agg
+    * shuffle of k*dim DECIMAL cells per map task; only the k*dim
+    * centroid matrix (a few KB) ever reaches the driver.
+    *
+    * Returns (final assignment via [[ivfAssign]], final centroids). */
+  def kmeans(embeddings: DataFrame, vecCol: String, idCol: String,
+             k: Int, iters: Int): (DataFrame, Seq[Seq[Double]]) = {
+    var cents: Seq[Seq[Double]] = embeddings.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0)).toSeq
+    (1 to iters).foreach { _ =>
+      val assigned = ivfAssign(embeddings, vecCol, idCol, cents)
+      val means = assigned
+        .select(col("centroid"), posexplode(col("embedding")))
+        .groupBy(col("centroid"), col("pos"))
+        .agg(round(sum(col("col").cast("decimal(27,12)")).cast("double") /
+          count(lit(1)), 6).as("m"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      cents = cents.zipWithIndex.map { case (old, i) =>
+        if (means.contains((i + 1, 0)))
+          old.indices.map(j => means((i + 1, j)))
+        else old // empty cluster: keep previous centroid
+      }
+    }
+    (ivfAssign(embeddings, vecCol, idCol, cents), cents)
+  }
+
+  /** SemDeDup semantic near-duplicate removal: k-means cluster, then
+    * pairwise-cosine within each cluster only — never across — so the
+    * quadratic verify is bounded per cluster, and `maxCluster`
+    * truncates a pathological cluster to its smallest vec_ids (the
+    * suite-wide cap rule: smallest-id head, semantics mirrored exactly
+    * in the oracle's `row_number() <= cap`). A pair scoring >=
+    * `threshold` drops the larger id. Output: (vec_id, cluster, kept).
+    *
+    * 100 TB shape: kmeans rounds as above, then ONE shuffle on the
+    * cluster id with an in-partition sorted pairwise pass — the
+    * all-pairs cost C(maxCluster,2) per cluster, same contract as the
+    * LSH bucket verify. */
+  def semanticDedup(embeddings: DataFrame, vecCol: String, idCol: String,
+                    k: Int, iters: Int, threshold: Double,
+                    maxCluster: Int = 10000): DataFrame = {
+    val (assigned, _) = kmeans(embeddings, vecCol, idCol, k, iters)
+    val heads = assigned
+      .groupBy(col("centroid"))
+      .agg(sort_array(collect_list(struct(col("vec_id"),
+        col("embedding").cast("array<double>").as("v")))).as("ms"))
+      .select(col("centroid"), slice(col("ms"), 1, maxCluster).as("ms"))
+      .where(size(col("ms")) >= 2)
+    val dropped = heads
+      .select(explode(expr(
+        """flatten(transform(ms, (x, i) ->
+          |  transform(slice(ms, i + 2, size(ms)),
+          |    y -> struct(x.vec_id AS a, y.vec_id AS b,
+          |                x.v AS va, y.v AS vb))))""".stripMargin))
+        .as("p"))
+      .select(col("p.b").as("b"),
+        round(cosine(col("p.va"), col("p.vb")), 6).as("score"))
+      .where(col("score") >= threshold)
+      .select(col("b")).distinct()
+    assigned
+      .join(dropped, assigned("vec_id") === dropped("b"), "left")
+      .select(assigned("vec_id"),
+        col("centroid").cast("long").as("cluster"),
+        col("b").isNull.as("kept"))
+  }
+
   /** Symmetric per-vector int8 scalar quantization: scale = max|x|/127,
     * q_i = clamp(round(x_i/scale), -127, 127). The standard 4x memory
     * cut for vector search at scale (a 100 TB float corpus becomes 25 TB

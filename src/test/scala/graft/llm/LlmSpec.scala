@@ -487,4 +487,55 @@ class LlmSpec extends AnyFunSuite {
       (2L, 6L, 25L, 11L)  // doc 2: shared at offset 5 (1-based 6)
     ))
   }
+
+  private def vecs(rows: (Long, Seq[Float])*): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("kmeans separates two obvious blobs and is partition-invariant") {
+    // blob A hugs e1, blob B hugs e2; ids interleaved so first-k init
+    // picks one seed from each blob
+    val rows = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) Seq(1f, 0f, 0f) else Seq(0f, 1f, 0f)
+      (i.toLong, base.map(_ + i * 1e-3f))
+    }
+    val (assigned, cents) = Similarity.kmeans(
+      vecs(rows: _*), "embedding", "vec_id", k = 2, iters = 2)
+    val byCluster = assigned.select("vec_id", "centroid")
+      .as[(Long, Int)].collect().toMap
+    assert((0 until 20).forall(i =>
+      byCluster(i.toLong) == byCluster((i % 2).toLong)))
+    assert(byCluster(0L) != byCluster(1L))
+    assert(cents.length == 2)
+    // partition-invariant: DECIMAL sums + 6dp rounding make centroids
+    // independent of partitioning/merge order
+    val (_, cents7) = Similarity.kmeans(
+      vecs(rows: _*).repartition(7), "embedding", "vec_id",
+      k = 2, iters = 2)
+    assert(cents == cents7)
+  }
+
+  test("kmeans keeps the previous centroid for an emptied cluster") {
+    // all vectors identical: first-wins argmax sends every vector to
+    // centroid 1, so cluster 2 empties and must keep its init value
+    val rows = (0L until 6L).map(i => (i, Seq(1f, 1f)))
+    val (_, cents) = Similarity.kmeans(
+      vecs(rows: _*), "embedding", "vec_id", k = 2, iters = 1)
+    assert(cents(0) == Seq(1.0, 1.0))
+    assert(cents(1) == Seq(1.0, 1.0)) // kept, not NaN/zeroed
+  }
+
+  test("semanticDedup drops only larger ids of within-cluster near-dups") {
+    val rows = Seq(
+      0L -> Seq(1f, 0f, 0f), 1L -> Seq(0f, 1f, 0f), // seeds
+      2L -> Seq(0.99f, 0.01f, 0f),                  // near-dup of 0
+      3L -> Seq(0.01f, 0.99f, 0f),                  // near-dup of 1
+      4L -> Seq(0f, 0.2f, 0.8f))                    // own corner-ish
+    val out = Similarity.semanticDedup(vecs(rows: _*), "embedding",
+        "vec_id", k = 2, iters = 1, threshold = 0.98)
+      .select("vec_id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(out(0L) && out(1L)) // smallest ids always kept
+    assert(!out(2L) && !out(3L)) // cosine(0,2) and (1,3) ~0.9999
+  }
 }
