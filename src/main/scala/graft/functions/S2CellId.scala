@@ -96,6 +96,10 @@ object GraftFunctions {
         StWithinRegion(args(0), args(1), args(2), args(3))),
     "bloom_agg" ->
       ((args: Seq[Expression]) => BloomAgg(args(0), args(1), args(2))),
+    "cms_agg" ->
+      ((args: Seq[Expression]) => CmsAgg(args(0), args(1), args(2))),
+    "cms_estimate" ->
+      ((args: Seq[Expression]) => CmsEstimate(args(0), args(1))),
     "bloom_contains" ->
       ((args: Seq[Expression]) => BloomContains(args(0), args(1))),
     "bitmap_agg" -> ((args: Seq[Expression]) => BitmapAgg(args(0))),

@@ -137,6 +137,47 @@ object Curate {
         col("contaminated"))
   }
 
+  /** Corpus-wide heavy-hitter word n-grams (exact counts >= `minCount`)
+    * via a count-min-sketch prefilter — the two-pass heavy-hitter
+    * pattern for key spaces too wide to exact-count in one shuffle.
+    * Pass 1 aggregates every n-gram occurrence's hash into a CMS
+    * (partials ADD elementwise; the single-row shuffle carries sketch
+    * bytes, never keys). Pass 2 re-scans occurrences, drops those whose
+    * sketch estimate is already below `minCount` MAP-SIDE below the
+    * exact count's exchange, and exact-counts only the survivors. CMS
+    * never undercounts, so the candidate set is a SUPERSET of the true
+    * heavy hitters and the final `HAVING count >= minCount` output is
+    * EXACT at any scale factor — only the shuffled volume is
+    * probabilistic (collisions admit some light keys; they die at the
+    * exact count). At 100 TB, stage the tokenized occurrence stream
+    * once (both passes scan it); the internal hash is engine-local
+    * (xxhash64) and never oracle-visible. */
+  def heavyHitterNgrams(docs: DataFrame, textCol: String, n: Int,
+                        minCount: Long, width: Int = 1 << 14,
+                        depth: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    // tokens staged as a projected attribute: an interpreted lambda
+    // re-evaluates embedded subtrees per element (the q59/q60 hazard),
+    // so the split/filter tree must never appear inside the transform
+    val grams = docs
+      .select(TextFunctions.tokens(col(textCol)).as("t"))
+      .select(when(size(col("t")) >= n,
+        transform(sequence(lit(0), size(col("t")) - n),
+          i => concat_ws(" ",
+            (0 until n).map(j => element_at(col("t"), i + j + 1)): _*)))
+        .otherwise(array().cast("array<string>")).as("grams"))
+      .select(explode(col("grams")).as("gram"))
+    val occ = grams.withColumn("h", xxhash64(col("gram")))
+    val cms = occ
+      .agg(call_function("cms_agg", col("h"), lit(width), lit(depth)))
+      .head().getAs[Array[Byte]](0)
+    occ
+      .where(call_function("cms_estimate", lit(cms), col("h")) >= minCount)
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+  }
+
   /** `train` rows whose benchmark shared-shingle fraction is below
     * `threshold` (the decontamination filter itself). */
   def decontaminate(train: DataFrame, bench: DataFrame,

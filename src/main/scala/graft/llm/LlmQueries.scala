@@ -2142,6 +2142,35 @@ object LlmQueries {
              |SELECT a1.vec_id, CAST(a1.cidx AS BIGINT) AS cluster,
              |  (d.b IS NULL) AS kept
              |FROM a1 LEFT JOIN dropped d ON d.b = a1.vec_id
-             |ORDER BY a1.vec_id""".stripMargin))
+             |ORDER BY a1.vec_id""".stripMargin)),
+
+    // ---- q110: heavy-hitter word trigrams via a count-min-sketch
+    // prefilter (Cormode-Muthukrishnan two-pass): pass 1 sketches every
+    // occurrence hash (partials ADD, single-row shuffle of sketch
+    // bytes), pass 2 drops light occurrences MAP-SIDE below the exact
+    // count's exchange. CMS never undercounts, so candidates are a
+    // superset of the true heavy hitters and the exact count's HAVING
+    // makes the output exact at any SF — the oracle is the plain
+    // GROUP BY ... HAVING the construct must equal; the sketch hash
+    // is engine-internal and never oracle-visible ----
+    Q("q110_heavy_hitters",
+      (s, d) => {
+        import s.implicits._
+        Curate.heavyHitterNgrams(T(s, d, "documents"), "text",
+            n = 3, minCount = 5L)
+          .orderBy($"gram")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $dTokens AS t
+              |             FROM documents),
+              |occ AS (
+              |  SELECT unnest(list_transform(
+              |    generate_series(1, len(t) - 2),
+              |    i -> t[CAST(i AS INT)] || ' ' ||
+              |         t[CAST(i AS INT) + 1] || ' ' ||
+              |         t[CAST(i AS INT) + 2])) AS gram
+              |  FROM toks WHERE len(t) >= 3)
+              |SELECT gram, count(*) AS n FROM occ
+              |GROUP BY gram HAVING count(*) >= 5
+              |ORDER BY gram""".stripMargin))
   )
 }
