@@ -2171,6 +2171,152 @@ object LlmQueries {
               |  FROM toks WHERE len(t) >= 3)
               |SELECT gram, count(*) AS n FROM occ
               |GROUP BY gram HAVING count(*) >= 5
-              |ORDER BY gram""".stripMargin))
+              |ORDER BY gram""".stripMargin)),
+
+    // ---- q111: bigram-LM familiarity — the conditional-probability
+    // step up from q65's unigram score (the CCNet-style LM quality
+    // filter, minus the external model). Per bigram occurrence the MLE
+    // P(w2|w1) is c(bigram)/c(context); the per-doc score is the
+    // ratio-of-sums Σc(bigram)/Σc(context) — BOTH numerator and
+    // denominator are EXACT integer sums, so the score is
+    // partitioning-independent and ln-free (libm-drift rule). The
+    // occurrence table feeds three hash-aggs (bigram counts, context
+    // counts, per-doc sums) — all map-side partial, joins are
+    // vocabulary-sized so deliberately NOT broadcast (corpus-
+    // proportional; sort-merge scales). At 100 TB stage `occ` to
+    // parquet once instead of recomputing the tokenize lineage ----
+    Q("q111_bigram_familiarity",
+      (s, d) => {
+        import s.implicits._
+        val docs = T(s, d, "documents")
+        val occ = docs
+          .select($"doc_id", TextFunctions.tokens($"text").as("t"))
+          .where(size($"t") >= 2)
+          .select($"doc_id", explode(zip_with(
+            slice($"t", lit(1), size($"t") - 1),
+            slice($"t", lit(2), size($"t") - 1),
+            (a, b) => concat(a, lit(" "), b))).as("bigram"))
+          .select($"doc_id", $"bigram",
+            split($"bigram", " ").getItem(0).as("w1"))
+        val bc = occ.groupBy($"bigram").agg(count(lit(1)).as("cb"))
+        val cc = occ.groupBy($"w1").agg(count(lit(1)).as("cw"))
+        val ds = occ.join(bc, "bigram").join(cc, "w1")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n"), sum($"cb").as("sb"),
+            sum($"cw").as("sc"))
+        docs.select($"doc_id").join(ds, Seq("doc_id"), "left")
+          .select($"doc_id",
+            coalesce($"n", lit(0L)).as("n_bigrams"),
+            coalesce($"sb", lit(0L)).as("sum_bigram_freq"),
+            coalesce($"sc", lit(0L)).as("sum_ctx_freq"),
+            when(coalesce($"n", lit(0L)) > 0,
+              round($"sb".cast("double") / $"sc".cast("double"), 6))
+              .otherwise(lit(0.0)).as("bigram_familiarity"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $dTokens AS t
+              |             FROM documents),
+              |occ0 AS (
+              |  SELECT doc_id, unnest(list_transform(
+              |    generate_series(1, len(t) - 1),
+              |    i -> t[CAST(i AS INT)] || ' ' ||
+              |         t[CAST(i AS INT) + 1])) AS bigram
+              |  FROM toks WHERE len(t) >= 2),
+              |occ AS (SELECT doc_id, bigram,
+              |         split_part(bigram, ' ', 1) AS w1 FROM occ0),
+              |bc AS (SELECT bigram, count(*) AS cb FROM occ
+              |       GROUP BY bigram),
+              |cc AS (SELECT w1, count(*) AS cw FROM occ GROUP BY w1),
+              |ds AS (SELECT occ.doc_id, count(*) AS n,
+              |         CAST(sum(bc.cb) AS BIGINT) AS sb,
+              |         CAST(sum(cc.cw) AS BIGINT) AS sc
+              |       FROM occ JOIN bc USING (bigram) JOIN cc USING (w1)
+              |       GROUP BY occ.doc_id)
+              |SELECT d.doc_id,
+              |  coalesce(ds.n, 0) AS n_bigrams,
+              |  coalesce(ds.sb, 0) AS sum_bigram_freq,
+              |  coalesce(ds.sc, 0) AS sum_ctx_freq,
+              |  CASE WHEN coalesce(ds.n, 0) > 0 THEN
+              |    round(CAST(ds.sb AS DOUBLE) / CAST(ds.sc AS DOUBLE), 6)
+              |  ELSE 0.0 END AS bigram_familiarity
+              |FROM documents d LEFT JOIN ds ON d.doc_id = ds.doc_id
+              |ORDER BY d.doc_id""".stripMargin)),
+
+    // ---- q112: mergeable HLL cardinality sketches — the 100 TB answer
+    // to countDistinct. Per-source Datasketches HLL sketches (partials
+    // merge map-side, the shuffle moves KB-sized sketch bytes, never
+    // values) are UNIONED via hll_union_agg into the corpus-wide 'ALL'
+    // row — the mergeability that lets 1000 executors sketch shards
+    // independently. The oracle-checked contract: the exact distinct
+    // count (BIGINT, exact on both engines) plus `est_ok`, the
+    // accuracy gate |est - exact| <= 5% * exact (lgK=12 gives ~1.6%
+    // standard error, so the gate holds at any SF; the estimate itself
+    // is engine-internal and never oracle-visible) ----
+    Q("q112_sketch_distinct",
+      (s, d) => {
+        import s.implicits._
+        val f = T(s, d, "documents").select($"source",
+          TextFunctions.fingerprint($"text").as("fp"))
+        val per = f.groupBy($"source").agg(
+          countDistinct($"fp").as("n_exact"),
+          hll_sketch_agg($"fp", lit(12)).as("sk"))
+        def gate(est: org.apache.spark.sql.Column,
+                 exact: org.apache.spark.sql.Column)
+            : org.apache.spark.sql.Column =
+          abs(est.cast("double") - exact.cast("double")) <=
+            exact.cast("double") * 0.05
+        val perOut = per.select($"source", $"n_exact",
+          gate(hll_sketch_estimate($"sk"), $"n_exact").as("est_ok"))
+        val allRow = f.agg(countDistinct($"fp").as("n_exact"))
+          .crossJoin(per.agg(
+            hll_union_agg($"sk", lit(false)).as("sk")))
+          .select(lit("ALL").as("source"), $"n_exact",
+            gate(hll_sketch_estimate($"sk"), $"n_exact").as("est_ok"))
+        perOut.unionByName(allRow).orderBy($"source")
+      },
+      Some("""WITH f AS (SELECT source,
+             |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+             |    AS fp FROM documents),
+             |per AS (SELECT source, count(DISTINCT fp) AS n_exact
+             |        FROM f GROUP BY source),
+             |tot AS (SELECT count(DISTINCT fp) AS n_exact FROM f)
+             |SELECT source, n_exact, true AS est_ok FROM per
+             |UNION ALL SELECT 'ALL' AS source, n_exact, true FROM tot
+             |ORDER BY source""".stripMargin)),
+
+    // ---- q113: GK quantile sketch — the scale path q64's comment
+    // promises. percentile_approx (Greenwald-Khanna, accuracy 10000:
+    // rank error <= n/10000, sketch partials merge map-side) next to
+    // the exact interpolated deciles. Oracle-checked contract: the
+    // exact decile values plus `approx_ok`, gating the sketch value
+    // into the exact quantile envelope at p +/- 0.004 (> one rank step
+    // at sf0.01's n=500 and the rank-error bound at any larger SF; the
+    // sketch value itself is engine-internal, never oracle-visible) ----
+    Q("q113_quantile_sketch",
+      (s, d) => {
+        import s.implicits._
+        val ps = (1 to 9).map(_ / 10.0)
+        val lo = ps.map(p => math.max(0.0, p - 0.004))
+        val hi = ps.map(p => math.min(1.0, p + 0.004))
+        T(s, d, "documents")
+          .agg(percentile($"n_chars", typedlit(ps)).as("ex"),
+            percentile($"n_chars", typedlit(lo)).as("exlo"),
+            percentile($"n_chars", typedlit(hi)).as("exhi"),
+            percentile_approx($"n_chars", typedlit(ps), lit(10000))
+              .as("ap"))
+          .select(posexplode(arrays_zip($"ex", $"exlo", $"exhi", $"ap")))
+          .select(($"pos" + 1).cast("long").as("decile"),
+            round($"col.ex", 6).as("n_chars_q"),
+            ($"col.ap".cast("double") >= $"col.exlo" &&
+              $"col.ap".cast("double") <= $"col.exhi").as("approx_ok"))
+          .orderBy($"decile")
+      },
+      Some("""WITH q AS (SELECT quantile_cont(n_chars,
+             |  [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+             |  FROM documents)
+             |SELECT CAST(generate_subscripts(qs, 1) AS BIGINT) AS decile,
+             |  round(unnest(qs), 6) AS n_chars_q,
+             |  true AS approx_ok
+             |FROM q ORDER BY decile""".stripMargin))
   )
 }

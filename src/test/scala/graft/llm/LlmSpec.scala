@@ -538,4 +538,61 @@ class LlmSpec extends AnyFunSuite {
     assert(out(0L) && out(1L)) // smallest ids always kept
     assert(!out(2L) && !out(3L)) // cosine(0,2) and (1,3) ~0.9999
   }
+
+  /** Stage a tiny documents.parquet fixture dir for the q111-q113
+    * query-level tests (they read `<dir>/documents.parquet`). */
+  private def docsDir(rows: (Long, String, String)*): String = {
+    val dir = graft.TempDirs.create("graft-llmspec-docs")
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q111 bigram familiarity: hand-computed MLE ratios") {
+    // bigram counts: "a b" -> 2, "a c" -> 1; context 'a' -> 3
+    val dir = docsDir((0L, "a b", "s"), (1L, "a b", "s"),
+      (2L, "a c", "s"), (3L, "x", "s"))
+    val out = graft.SparkEntry.queries("q111_bigram_familiarity")(
+        spark, dir)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (0L, 1L, 2L, 3L, 0.666667), (1L, 1L, 2L, 3L, 0.666667),
+      (2L, 1L, 1L, 3L, 0.333333),
+      (3L, 0L, 0L, 0L, 0.0))) // 1-token doc: no bigrams, score 0
+  }
+
+  test("hll sketches: shard-union estimate within 5% of true distinct") {
+    // the mergeability contract q112 rests on: sketch each shard
+    // independently, union the sketch BYTES, estimate the whole
+    val df = (1 to 1000)
+      .map(i => (s"v$i", if (i % 2 == 0) "a" else "b"))
+      .toDF("v", "shard")
+    val est = df.groupBy($"shard")
+      .agg(hll_sketch_agg($"v", lit(12)).as("sk"))
+      .agg(hll_union_agg($"sk", lit(false)).as("u"))
+      .select(hll_sketch_estimate($"u")).as[Long].head()
+    assert(math.abs(est - 1000L) <= 50, s"estimate $est vs 1000")
+    val dir = docsDir((1 to 60).map(i =>
+      (i.toLong, s"doc text $i", s"src${i % 3}")): _*)
+    val rows = graft.SparkEntry.queries("q112_sketch_distinct")(
+        spark, dir)
+      .as[(String, Long, Boolean)].collect().toSeq
+    assert(rows.map(_._1) == Seq("ALL", "src0", "src1", "src2"))
+    assert(rows.map(_._2) == Seq(60L, 20L, 20L, 20L))
+    assert(rows.forall(_._3), s"accuracy gate tripped: $rows")
+  }
+
+  test("q113 quantile sketch: approx decile inside the exact envelope") {
+    val dir = docsDir((1 to 500).map(i =>
+      (i.toLong, "x" * i, "s")): _*) // n_chars = 1..500
+    val out = graft.SparkEntry.queries("q113_quantile_sketch")(
+        spark, dir)
+      .as[(Long, Double, Boolean)].collect().toSeq
+    assert(out.map(_._1) == (1L to 9L))
+    // exact interpolated median of 1..500: (n-1)*0.5 -> 250.5
+    assert(out(4)._2 == 250.5)
+    assert(out.forall(_._3), s"approx outside envelope: $out")
+  }
 }
