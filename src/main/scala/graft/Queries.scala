@@ -756,6 +756,157 @@ object Queries {
              |FROM w GROUP BY 1, 2
              |ORDER BY win_start, event_type""".stripMargin)),
 
+    // ---- q114: WATERMARKED streaming windowed aggregation,
+    // oracle-gated — the `withWatermark + window() + Append` shape run
+    // over a deterministic 5-batch replay of `events`: time-ordered
+    // thirds (batches 1-3), a deliberately LATE batch 4 (the first
+    // third's user_id%7==0 rows arriving after everything else), and a
+    // far-future sentinel (batch 5) whose watermark advance closes
+    // every real window so Append emits them all. The oracle mirrors
+    // Spark's exact late-drop rule — late filtering uses the PREVIOUS
+    // batch's watermark (SPARK-40925), so a row in batch k is dropped
+    // iff its window end <= floor(max_us(batches <= k-2)/1000) ms -
+    // delay — in pure integer arithmetic. With delay = 40% of the time
+    // range, the late batch's filter watermark sits at lo + 27% of the
+    // range: ~80% of the late rows drop, ~20% survive and MERGE into
+    // their still-live windows (never evicted below that same
+    // watermark, so append emits each key exactly once) — both paths
+    // and the merge are exercised value-exactly at any SF. Constants
+    // (window size ~1/48 of the range, delay, span cuts) derive from
+    // min/max epoch micros by integer division on both sides ----
+    Q("q114_streaming_window",
+      (s, d) => {
+        import s.implicits._
+        val ev = T(s, d, "events")
+          .select($"ts", $"event_type", $"value", $"user_id",
+            unix_micros($"ts").as("us"))
+        val r = ev.agg(min($"us"), max($"us")).head()
+        val (loUs, hiUs) = (r.getLong(0), r.getLong(1))
+        val rangeS = hiUs / 1000000L + 1L - loUs / 1000000L
+        val wS = math.max(rangeS / 48L, 1L)
+        val delayS = math.max(rangeS * 2L / 5L, 1L)
+        val span = (hiUs - loUs) / 3L + 1L
+        val (cut1, cut2) = (loUs + span, loUs + 2L * span)
+        val late = $"user_id" % 7 === 0
+        val cols = Seq($"ts", $"event_type", $"value")
+        // sentinel ts: watermark lands 2 windows past hi — every real
+        // window closes; the sentinel's own window never does (its end
+        // is above its own watermark), so Append never emits it
+        val sentinel = s.range(1).select(
+          timestamp_micros(lit(hiUs + (delayS + 2L * wS) * 1000000L))
+            .as("ts"),
+          lit("SENTINEL").as("event_type"), lit(0.0).as("value"))
+        val feed = graft.streaming.FeedStage.stageBatches(Seq(
+          ev.where($"us" < cut1 && !late).select(cols: _*),
+          ev.where($"us" >= cut1 && $"us" < cut2).select(cols: _*),
+          ev.where($"us" >= cut2).select(cols: _*),
+          ev.where($"us" < cut1 && late).select(cols: _*), // late
+          sentinel))
+        graft.streaming.StreamingWindow.windowedAgg(s, feed, wS, delayS)
+          .select(date_format($"win_start", "yyyy-MM-dd HH:mm:ss")
+              .as("win_start"),
+            $"event_type", $"n", $"sum_value")
+          .orderBy($"win_start", $"event_type")
+      },
+      Some("""WITH b AS (SELECT epoch_us(min(ts)) AS lo,
+             |                  epoch_us(max(ts)) AS hi FROM events),
+             |c AS (SELECT lo, hi,
+             |        greatest((hi // 1000000 + 1 - lo // 1000000) // 48,
+             |                 1) AS ws,
+             |        greatest((hi // 1000000 + 1 - lo // 1000000) * 2 // 5,
+             |                 1) AS dl,
+             |        (hi - lo) // 3 + 1 AS span
+             |      FROM b),
+             |r AS (SELECT epoch_us(ts) AS us, event_type, value,
+             |        CASE WHEN epoch_us(ts) < lo + span THEN
+             |               CASE WHEN user_id % 7 = 0 THEN 4 ELSE 1 END
+             |             WHEN epoch_us(ts) < lo + 2 * span THEN 2
+             |             ELSE 3 END AS batch,
+             |        ws, dl
+             |      FROM events, c),
+             |mx AS (SELECT batch, max(us) AS mb FROM r GROUP BY batch),
+             |wm AS (SELECT r2.batch, max(mx.mb) AS prevmax
+             |       FROM (SELECT DISTINCT batch FROM r) r2
+             |       LEFT JOIN mx ON mx.batch < r2.batch - 1
+             |       GROUP BY r2.batch),
+             |k AS (SELECT r.us, r.event_type, r.value, r.ws
+             |      FROM r JOIN wm ON wm.batch = r.batch
+             |      WHERE wm.prevmax IS NULL
+             |         OR ((r.us // (r.ws * 1000000)) + 1) * r.ws * 1000000
+             |            > (wm.prevmax // 1000) * 1000 - r.dl * 1000000)
+             |SELECT strftime(make_timestamp(
+             |         (us // (ws * 1000000)) * ws * 1000000),
+             |         '%Y-%m-%d %H:%M:%S') AS win_start,
+             |  event_type, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+             |    AS sum_value
+             |FROM k GROUP BY 1, 2
+             |ORDER BY win_start, event_type""".stripMargin)),
+
+    // ---- q115: STREAMING session windows, oracle-gated — q67's
+    // native `session_window` run as a real watermarked stream
+    // (Append) over a TIME-ORDERED 4-batch replay of `events` plus a
+    // far-future sentinel. Ordered replay makes the stream equal batch
+    // sessionization EXACTLY (nothing is ever late, and an emitted
+    // session is provably unreopenable — see StreamingWindow
+    // .sessionAgg), so the oracle is q67's gaps-and-islands SQL
+    // verbatim; what the stream adds, and what this gates, is the
+    // cross-batch session STATE MERGE (sessions spanning batch
+    // boundaries must reassemble from the session state store) and
+    // watermark-driven emission (the sentinel pushes the watermark
+    // past every real session's end+gap so Append emits them all;
+    // the sentinel's own session stays open and is never emitted) ----
+    Q("q115_streaming_sessions",
+      (s, d) => {
+        import s.implicits._
+        val ev = T(s, d, "events")
+          .select($"ts", $"user_id", $"value",
+            unix_micros($"ts").as("us"))
+        val r = ev.agg(min($"us"), max($"us")).head()
+        val (loUs, hiUs) = (r.getLong(0), r.getLong(1))
+        val (gapS, delayS) = (7200L, 3600L)
+        val qspan = (hiUs - loUs) / 4L + 1L
+        val cols = Seq($"ts", $"user_id", $"value")
+        val sentinel = s.range(1).select(
+          timestamp_micros(lit(hiUs + (delayS + 2L * gapS) * 1000000L))
+            .as("ts"),
+          lit(-1L).as("user_id"), lit(0.0).as("value"))
+        val feed = graft.streaming.FeedStage.stageBatches(
+          (0L until 4L).map(k =>
+            ev.where($"us" >= loUs + k * qspan &&
+              $"us" < loUs + (k + 1) * qspan).select(cols: _*)) :+
+            sentinel)
+        graft.streaming.StreamingWindow
+          .sessionAgg(s, feed, gapS, delayS)
+          .where($"user_id" >= 0) // drop the sentinel defensively
+          .select($"user_id",
+            date_format($"session_start", "yyyy-MM-dd HH:mm:ss")
+              .as("session_start"),
+            date_format($"session_end", "yyyy-MM-dd HH:mm:ss")
+              .as("session_end"),
+            $"n_events", $"sum_value")
+          .orderBy($"user_id", $"session_start")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, ts, value,
+             |  CASE WHEN lag(ts) OVER w IS NULL
+             |         OR ts - lag(ts) OVER w >= INTERVAL 2 HOUR
+             |       THEN 1 ELSE 0 END AS brk
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |g AS (SELECT user_id, ts, value,
+             |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                 ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM e)
+             |SELECT user_id,
+             |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             |  strftime(max(ts) + INTERVAL 2 HOUR,
+             |           '%Y-%m-%d %H:%M:%S') AS session_end,
+             |  count(*) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+             |    AS sum_value
+             |FROM g GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin)),
+
     // ---- as-of (point-in-time) join: each purchase picks up the most
     // recent prior-or-equal click of the same user — the feature-store
     // join Spark has no native operator for. Implemented as the SCALABLE

@@ -42,37 +42,15 @@ object LlmQueries {
   private[graft] def stageFileFeed(docs: org.apache.spark.sql.DataFrame,
                             nb: Long): String = {
     import org.apache.spark.sql.functions.{col, max => smax}
-    val feed = graft.TempDirs.create("graft-stream-feed")
     val maxIdRow = docs.agg(smax(col("doc_id"))).head()
     if (maxIdRow.isNullAt(0)) throw new IllegalArgumentException(
       "stageFileFeed: empty corpus — nothing to stage as a stream feed")
     val maxId = maxIdRow.getLong(0)
     val span = maxId / nb + 1L
-    val base = new java.io.File(feed).lastModified()
-    (0L until nb).foreach { k =>
-      val stage = graft.TempDirs.create("graft-stream-stage")
+    graft.streaming.FeedStage.stageBatches((0L until nb).map { k =>
       docs.where(col("doc_id") >= k * span &&
-          col("doc_id") < (k + 1) * span)
-        .coalesce(1).write.mode("overwrite").parquet(stage)
-      // an empty id range still yields one (zero-row) part file, so a
-      // missing part means the write itself went wrong — say so
-      val part = new java.io.File(stage).listFiles()
-        .filter(_.getName.endsWith(".parquet"))
-        .headOption.getOrElse(throw new IllegalStateException(
-          s"stageFileFeed: no parquet part written for batch $k " +
-            s"(ids [${k * span}, ${(k + 1) * span})) under $stage"))
-      val dst = new java.io.File(feed, f"batch-$k%02d.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      // q104's first-seen-wins compare depends on mtime replay order;
-      // if the filesystem refuses the stamp, the zero-padded batch-NN
-      // names still sort correctly (Spark breaks mtime ties by path),
-      // but fail loudly rather than degrade silently
-      if (!dst.setLastModified(base + k * 10000L))
-        throw new IllegalStateException(
-          s"stageFileFeed: setLastModified failed for $dst — " +
-            "mtime-ordered replay cannot be guaranteed here")
-    }
-    feed
+        col("doc_id") < (k + 1) * span)
+    })
   }
 
   /** DuckDB fragment: 64-bit simhash bit string from a CTE column `h`

@@ -422,4 +422,68 @@ class StreamingSpec extends AnyFunSuite {
       .select($"a", $"b").distinct().as[(Long, Long)].collect().toSet
     assert(streamed2 == Set((4L, 5L), (1L, 4L), (1L, 5L)))
   }
+
+  test("watermarked window: late rows drop iff window closed (q114 rule)") {
+    import org.apache.spark.sql.functions.{lit, timestamp_seconds,
+      unix_timestamp}
+    // 10 s tumbling windows, 15 s watermark delay. Late filtering uses
+    // the PREVIOUS batch's watermark, eviction the current one
+    // (SPARK-40925) — so a drop needs the closing batch to be two
+    // batches back. Replay order (wm_k = watermark DURING batch k):
+    //   batch 1: t=5 (a), t=12 (a)            wm_1 = 0
+    //   batch 2: t=47 (b)                     wm_2 = 0 (12-15 < 0)
+    //   batch 3: t=25 (lk1), t=38 (lk2)       wm_3 = 32; late filter
+    //     uses wm_2 = 0 -> both KEPT (one batch behind survives)
+    //   batch 4: t=8 (ld) late filter wm_3 = 32 >= window end 10:
+    //     DROPPED; t=39 (lk2) end 40 > 32: KEPT, merges into the
+    //     still-live [30,40) state with t=38 -> n=2, emitted ONCE
+    //   batch 5: t=100 sentinel -> final watermark 85 closes all real
+    //     windows; its own window [100,110) stays open, never emitted
+    def b(rows: (Long, String)*) = rows.toSeq
+      .toDF("t", "event_type")
+      .select(timestamp_seconds($"t").as("ts"), $"event_type",
+        lit(1.0).as("value"))
+    val feed = FeedStage.stageBatches(Seq(
+      b((5L, "a"), (12L, "a")), b((47L, "b")),
+      b((25L, "lk1"), (38L, "lk2")),
+      b((8L, "ld"), (39L, "lk2")),
+      b((100L, "sentinel"))))
+    val out = StreamingWindow.windowedAgg(spark, feed, 10L, 15L)
+      .select(unix_timestamp($"win_start").as("w"), $"event_type",
+        $"n", $"sum_value")
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(out == Set(
+      (0L, "a", 1L, 1.0),    // t=5
+      (10L, "a", 1L, 1.0),   // t=12
+      (20L, "lk1", 1L, 1.0), // t=25, one batch behind: kept
+      (30L, "lk2", 2L, 2.0), // t=38 + late t=39 merged, single row
+      (40L, "b", 1L, 1.0)))  // t=47; no ld, no sentinel
+  }
+
+  test("streaming sessions merge across batches (q115 rule)") {
+    import org.apache.spark.sql.functions.{lit, timestamp_seconds,
+      unix_timestamp}
+    // gap 10 s, delay 5 s, time-ordered replay:
+    //   batch 1: user 1 at t=0, t=8        open session [0, 18)
+    //   batch 2: user 1 at t=15 -> within gap of t=8, must merge with
+    //     the batch-1 state -> [0, 25); user 2 at t=16
+    //   batch 3: user 1 at t=40 -> 40-15 >= gap: NEW session [40, 50)
+    //   batch 4: sentinel user -1 at t=200 -> watermark 195 closes all
+    //     real sessions; its own stays open, never emitted
+    def b(rows: (Long, Long)*) = rows.toSeq.toDF("u", "t")
+      .select(timestamp_seconds($"t").as("ts"), $"u".as("user_id"),
+        lit(1.0).as("value"))
+    val feed = FeedStage.stageBatches(Seq(
+      b((1L, 0L), (1L, 8L)), b((1L, 15L), (2L, 16L)),
+      b((1L, 40L)), b((-1L, 200L))))
+    val out = StreamingWindow.sessionAgg(spark, feed, 10L, 5L)
+      .select($"user_id", unix_timestamp($"session_start").as("ss"),
+        unix_timestamp($"session_end").as("se"), $"n_events",
+        $"sum_value")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(out == Set(
+      (1L, 0L, 25L, 3L, 3.0),  // cross-batch merge: 0,8 + 15
+      (1L, 40L, 50L, 1L, 1.0), // past the gap: separate session
+      (2L, 16L, 26L, 1L, 1.0)))
+  }
 }
