@@ -2295,6 +2295,52 @@ object LlmQueries {
              |SELECT CAST(generate_subscripts(qs, 1) AS BIGINT) AS decile,
              |  round(unnest(qs), 6) AS n_chars_q,
              |  true AS approx_ok
-             |FROM q ORDER BY decile""".stripMargin))
+             |FROM q ORDER BY decile""".stripMargin)),
+
+    // ---- q116: REAL audio decode, oracle-gated — one true RIFF/WAVE
+    // clip per document (16-bit mono PCM samples derived from the text
+    // by the shared sampleValue rule), staged to parquet as stored
+    // binaries, then decoded back through javax.sound.sampled. The
+    // oracle computes the expected sample sums from the TEXT alone
+    // (never touching WAV), so an exact match proves the engine decoded
+    // real codec bytes correctly — closes the audio half of the media
+    // stub the same way q107 closed images (PCM is lossless; sums are
+    // exact BIGINTs). Video remains the only stubbed decode ----
+    Q("q116_audio_decode",
+      (s, d) => {
+        import s.implicits._
+        val wavs = Multimodal.wavFromText(
+          T(s, d, "documents"), "text", "doc_id")
+        // stage: decode must read REAL stored binaries, not an
+        // in-memory column handed straight back
+        val dir = graft.TempDirs.create("graft-q116-wav")
+        wavs.write.mode("overwrite").parquet(dir)
+        Multimodal.audioSampleStats(s.read.parquet(dir), "wav",
+            "asset_id")
+          .toDF()
+          .orderBy($"asset_id")
+      },
+      Some("""WITH au AS (
+             |  SELECT doc_id, text, length(text) AS len,
+             |         160 + doc_id % 5 * 40 AS n
+             |  FROM documents WHERE length(text) > 0),
+             |sums AS (
+             |  SELECT doc_id, n,
+             |    list_sum(list_transform(generate_series(0,
+             |        CAST(n - 1 AS INT)),
+             |      i -> (unicode(text[CAST(i % len AS INT) + 1
+             |                         : CAST(i % len AS INT) + 1])
+             |            % 256 - 128) * 256)) AS s,
+             |    list_sum(list_transform(generate_series(0,
+             |        CAST(n - 1 AS INT)),
+             |      i -> abs((unicode(text[CAST(i % len AS INT) + 1
+             |                             : CAST(i % len AS INT) + 1])
+             |                % 256 - 128) * 256))) AS sa
+             |  FROM au)
+             |SELECT doc_id AS asset_id, CAST(n AS BIGINT) AS n_samples,
+             |       CAST(8000 AS BIGINT) AS sample_rate,
+             |       CAST(s AS BIGINT) AS sum_samples,
+             |       CAST(sa AS BIGINT) AS sum_abs
+             |FROM sums ORDER BY asset_id""".stripMargin))
   )
 }

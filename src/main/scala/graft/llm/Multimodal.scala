@@ -11,12 +11,14 @@ import org.apache.spark.sql.functions._
   * context per partition), and [[imagesFromText]] encodes real PNGs, so
   * the pair round-trips actual codec bytes end-to-end (oracle-gated by
   * q107: the DuckDB side computes the expected pixel sums from the
-  * source text without ever touching PNG). AUDIO/VIDEO decode stays
-  * STUBBED ([[decodeStub]] — no audio/video codecs in this container):
-  * deterministic fake features keep the schema, batch shape,
-  * partitioning and typed mapPartitions signature real and testable; a
-  * production build swaps `decodeStub` for an FFI codec call and
-  * nothing else changes.
+  * source text without ever touching PNG). AUDIO decode is REAL too:
+  * [[audioSampleStats]] parses RIFF/WAVE PCM through
+  * `javax.sound.sampled` (in the JDK), paired with [[wavFromText]] and
+  * oracle-gated by q116 the same way. Only VIDEO decode stays STUBBED
+  * ([[decodeStub]] — no video codecs in this container): deterministic
+  * fake features keep the schema, batch shape, partitioning and typed
+  * mapPartitions signature real and testable; a production build swaps
+  * `decodeStub` for an FFI codec call and nothing else changes.
   *
   * Scale design (100 TB):
   *   - binaries stay columnar (Parquet BINARY) and are NEVER collected;
@@ -153,6 +155,95 @@ object Multimodal {
             i += 1
           }
           ImageStats(id, w, h, sr, sg, sb)
+        }
+      }
+  }
+
+  /** One decoded audio clip's exact PCM statistics (integer sums, so
+    * the oracle compare is drift-free). */
+  final case class AudioStats(asset_id: Long, n_samples: Long,
+                              sample_rate: Long, sum_samples: Long,
+                              sum_abs: Long)
+
+  /** Deterministic sample rule shared by the WAV encoder and the q116
+    * oracle: sample i is the code point of `text[i mod len]` masked to
+    * a byte, centered and scaled to 16-bit — so the expected sample
+    * sums are computable from the TEXT alone, while the engine must
+    * round-trip real RIFF/WAVE bytes to reproduce them. */
+  private def sampleValue(text: String, i: Int): Int =
+    ((text.charAt(i % text.length).toInt & 0xff) - 128) * 256
+
+  /** Encode one real WAV clip per row: 160 + (id%5)*40 samples of
+    * 16-bit mono PCM at 8 kHz derived from the row's text by
+    * [[sampleValue]], written through `javax.sound.sampled`
+    * (RIFF/WAVE is in the JDK — no external codecs needed, same move
+    * as [[imagesFromText]]). PCM is lossless, so decode recovers the
+    * exact sample values. Rows with empty text are dropped. */
+  def wavFromText(docs: DataFrame, textCol: String, idCol: String)
+  : DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long").as("asset_id"),
+        col(textCol).cast("string").as("text"))
+      .where(length(col("text")) > 0)
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        import javax.sound.sampled._
+        // one format object per partition (codec-init amortization)
+        val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          8000f, 16, 1, 2, 8000f, false)
+        it.map { case (id, text) =>
+          val n = (160 + id % 5 * 40).toInt
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val v = sampleValue(text, i)
+            pcm(2 * i) = (v & 0xff).toByte
+            pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          val ais = new AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF("asset_id", "wav")
+  }
+
+  /** REAL audio decode: parse each binary as RIFF/WAVE through
+    * `javax.sound.sampled`, read the PCM frames back and emit the
+    * exact sample count, rate, sum and abs-sum. mapPartitions so
+    * decoder setup amortizes per partition; undecodable or
+    * unexpected-format binaries fail loudly. */
+  def audioSampleStats(audio: DataFrame, bytesCol: String,
+                       idCol: String): Dataset[AudioStats] = {
+    import audio.sparkSession.implicits._
+    audio.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        import javax.sound.sampled._
+        it.map { case (id, bytes) =>
+          val ais = AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1
+              && !fmt.isBigEndian
+              && fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED,
+            s"asset $id: unexpected WAV format $fmt")
+          val data = ais.readAllBytes()
+          ais.close()
+          val n = data.length / 2
+          var (sum, sabs) = (0L, 0L)
+          var i = 0
+          while (i < n) {
+            val v = (((data(2 * i + 1) & 0xff) << 8) |
+              (data(2 * i) & 0xff)).toShort.toInt
+            sum += v
+            sabs += math.abs(v)
+            i += 1
+          }
+          AudioStats(id, n.toLong, fmt.getSampleRate.toLong, sum, sabs)
         }
       }
   }

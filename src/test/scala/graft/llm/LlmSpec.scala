@@ -309,6 +309,29 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: REAL wav encode/decode round trip recovers exact " +
+    "sample sums; garbage bytes fail loudly") {
+    import Multimodal._
+    // doc_id 7 -> n = 160 + 7%5*40 = 240 samples; "ab" alternates
+    // sample values ((97|98 & 0xff) - 128) * 256 = -7936 / -7680
+    val wavs = wavFromText(docs((7L, "ab")), "text", "doc_id")
+    val raw = wavs.as[(Long, Array[Byte])].head()
+    // real RIFF/WAVE container, not a stub payload
+    assert(new String(raw._2.take(4)) == "RIFF")
+    assert(new String(raw._2.slice(8, 12)) == "WAVE")
+    val st = audioSampleStats(wavs, "wav", "asset_id").head()
+    assert(st.n_samples == 240L && st.sample_rate == 8000L)
+    assert(st.sum_samples == 120L * -7936 + 120L * -7680)
+    assert(st.sum_abs == 120L * 7936 + 120L * 7680)
+    // empty text emits no clip at all
+    assert(wavFromText(docs((1L, "")), "text", "doc_id").count() == 0)
+    // undecodable binaries must throw, not count garbage as samples
+    val bad = Seq((9L, Array[Byte](1, 2, 3))).toDF("asset_id", "wav")
+    assertThrows[org.apache.spark.SparkException] {
+      audioSampleStats(bad, "wav", "asset_id").collect()
+    }
+  }
+
   test("int8 quantization: codes exact, fidelity high, zero vector safe") {
     val df = Seq(
       (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
