@@ -33,13 +33,25 @@ object Bench {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
     // Warmup: touch every table (pays one-time listing/footer/codegen
-    // costs) plus one shuffle to warm the exchange path.
+    // costs) plus one shuffle to warm the exchange path. A warmup failure
+    // is NOT swallowed silently — a schema drift in the driver's testdata
+    // (e.g. the round-7 events ts re-encode) must surface here, named,
+    // not as 15 opaque failed bench rows.
+    import org.apache.spark.sql.functions._
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")) {
+      try {
+        val df = Queries.T(spark, sfDir, t)
+        // one-line schema-drift probe per table in the bench log
+        System.err.println(s"[bench] $t: " + df.schema.map(f =>
+          s"${f.name}:${f.dataType.simpleString}").mkString(", "))
+        df.limit(1).write.format("noop").mode("overwrite").save()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] WARMUP FAILED for table '$t': " +
+          s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    }
     try {
-      import org.apache.spark.sql.functions._
-      for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings"))
-        Queries.T(spark, sfDir, t).limit(1)
-          .write.format("noop").mode("overwrite").save()
       spark.read.parquet(s"$sfDir/nation.parquet")
         .groupBy(col("n_regionkey")).count()
         .write.format("noop").mode("overwrite").save()
@@ -51,7 +63,10 @@ object Bench {
       // benches of non-OSM queries.
       if (!sys.env.contains("SPARK_GRAFT_BENCH_NO_OSM_WARMUP"))
         graft.osm.SyntheticOsm.materialized(spark, sfDir)
-    } catch { case _: Throwable => }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] WARMUP FAILED (osm bundle/shuffle): " +
+        s"${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
 
     // Between-query JVM hygiene, OUTSIDE the timed regions: drop leaked
     // cache entries / persisted RDDs (localCheckpoints pin heap blocks)

@@ -26,17 +26,27 @@ object Queries {
   /** Load one testdata table. Plain parquet scan: filters/projections above
     * this are pushed down by Catalyst into the scan.
     *
-    * `events.ts` is TIMESTAMP(NANOS) parquet, which Spark only reads as a
-    * raw long (legacy conf); the data itself is microsecond-precision, so
-    * we convert ns -> us with integer division (the epoch-ns magnitude
-    * ~1.7e18 exceeds double's 2^53 exact range — float division would
-    * corrupt it). */
+    * `events.ts` has shipped in two encodings across testdata generations:
+    * TIMESTAMP(NANOS) (which Spark only reads as a raw long under the
+    * legacy conf; ns -> us via integer division — the epoch-ns magnitude
+    * ~1.7e18 exceeds double's 2^53 exact range, so float division would
+    * corrupt it) and plain timestamp[us] (TIMESTAMP_NTZ / TIMESTAMP, no
+    * conversion needed). Branch on the ACTUAL loaded type so a testdata
+    * re-provision can't break every events query at analysis time. */
   def T(s: SparkSession, dir: String, name: String): DataFrame = {
     graft.functions.GraftFunctions.register(s) // idempotent, cheap
     if (name == "events") {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val df = s.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case LongType => // legacy TIMESTAMP(NANOS) surfaced as raw ns long
+          df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType => // timestamp[us] without tz: align with the
+          // session-local TimestampType the rest of the suite (and the
+          // DuckDB oracle, which reads it as naive-UTC) expects
+          df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df // TimestampType: use as-is
+      }
     } else s.read.parquet(s"$dir/$name.parquet")
   }
 

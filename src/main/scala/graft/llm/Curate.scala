@@ -155,7 +155,8 @@ object Curate {
   def heavyHitterNgrams(docs: DataFrame, textCol: String, n: Int,
                         minCount: Long, width: Int = 1 << 14,
                         depth: Int = 4): DataFrame = {
-    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val s = docs.sparkSession
+    graft.functions.GraftFunctions.register(s)
     // tokens staged as a projected attribute: an interpreted lambda
     // re-evaluates embedded subtrees per element (the q59/q60 hazard),
     // so the split/filter tree must never appear inside the transform
@@ -167,7 +168,17 @@ object Curate {
             (0 until n).map(j => element_at(col("t"), i + j + 1)): _*)))
         .otherwise(array().cast("array<string>")).as("grams"))
       .select(explode(col("grams")).as("gram"))
-    val occ = grams.withColumn("h", xxhash64(col("gram")))
+    // Stage the tokenize -> n-gram -> explode stream ONCE: both passes
+    // scan it, and re-running the gram build per pass measured as the
+    // suite's slowest row (round-7 q110, 46s — 2x tokenize + explode).
+    // The CMS pass prunes to just `h` (columnar read); the exact pass
+    // reads (gram, h). At 100 TB this artifact is the materialize-once
+    // occurrence table the Scaladoc prescribes.
+    val occDir = graft.TempDirs.create("graft-cms-occ")
+    grams.withColumn("h", xxhash64(col("gram")))
+      .write.mode("overwrite").parquet(occDir)
+    // explicit schema: an empty corpus writes no files (q100 rule)
+    val occ = s.read.schema("gram STRING, h BIGINT").parquet(occDir)
     val cms = occ
       .agg(call_function("cms_agg", col("h"), lit(width), lit(depth)))
       .head().getAs[Array[Byte]](0)

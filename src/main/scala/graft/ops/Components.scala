@@ -45,7 +45,7 @@ object Components {
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIters: Int = 25,
                           driverEdgeLimit: Long =
-                            DriverBudget.edgeRowBudget()): DataFrame = {
+                            DriverBudget.edgeCollectLimit()): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val e0 = edges
@@ -65,30 +65,55 @@ object Components {
     if (taken.length <= driverEdgeLimit) {
       // driver union-find (path-halving); same adaptive pattern as
       // Closure.reachable — the collected set is the VERIFIED pair
-      // list, already a tiny fraction of the corpus
-      val pairs = taken.map(r => (r.getLong(0), r.getLong(1)))
-      e0.unpersist(blocking = false)
-      val parent = scala.collection.mutable.HashMap[Long, Long]()
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) {
-          val p = parent.getOrElse(r, r)
-          parent(r) = parent.getOrElse(p, p) // path halving
-          r = parent.getOrElse(r, r)
-        }
-        r
+      // list, already a tiny fraction of the corpus. All-primitive:
+      // node ids are mapped to dense ints via one sorted long array +
+      // binary search, and union-find runs over an Array[Int] — no
+      // boxed HashMap (the round-7 33.7s q57 was the boxed version at
+      // 1.7M edges).
+      val n = taken.length
+      val eu = new Array[Long](n); val ev = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val r = taken(i); eu(i) = r.getLong(0); ev(i) = r.getLong(1)
+        i += 1
       }
-      pairs.foreach { case (a, b) =>
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) { // union by min id so the root IS the label
+      e0.unpersist(blocking = false)
+      // sorted distinct node ids (primitive sort + in-place unique)
+      val all = new Array[Long](2 * n)
+      System.arraycopy(eu, 0, all, 0, n)
+      System.arraycopy(ev, 0, all, n, n)
+      java.util.Arrays.sort(all)
+      var m = 0
+      i = 0
+      while (i < all.length) {
+        if (m == 0 || all(i) != all(m - 1)) { all(m) = all(i); m += 1 }
+        i += 1
+      }
+      val ids = java.util.Arrays.copyOf(all, m)
+      val parent = Array.tabulate(m)(identity)
+      def find(x0: Int): Int = {
+        var x = x0
+        while (parent(x) != x) {
+          parent(x) = parent(parent(x)) // path halving
+          x = parent(x)
+        }
+        x
+      }
+      i = 0
+      while (i < n) {
+        // ids is ascending, so smaller index == smaller node id:
+        // union toward the smaller index and the root IS the min id
+        val ra = find(java.util.Arrays.binarySearch(ids, eu(i)))
+        val rb = find(java.util.Arrays.binarySearch(ids, ev(i)))
+        if (ra != rb) {
           if (ra < rb) parent(rb) = ra else parent(ra) = rb
         }
-        parent.getOrElseUpdate(a, find(a))
-        parent.getOrElseUpdate(b, find(b))
+        i += 1
       }
-      val nodes = pairs.iterator.flatMap(p => Iterator(p._1, p._2))
-        .toArray.distinct
-      return nodes.map(n => (n, find(n))).toSeq.toDF("id", "component")
+      val out = new Array[(Long, Long)](m)
+      i = 0
+      while (i < m) { out(i) = (ids(i), ids(find(i))); i += 1 }
+      return out.toSeq.toDF("id", "component")
     }
 
     def canon(df: DataFrame): DataFrame = df

@@ -29,4 +29,16 @@ object DriverBudget {
     * force the distributed loop) where tests need to pin the branch. */
   def edgeRowBudget(maxHeapBytes: Long = Runtime.getRuntime.maxMemory())
   : Long = ((maxHeapBytes * HeapFraction) / EdgeRowBytes).toLong
+
+  /** TIME-honest ceiling on the driver edge collect, independent of
+    * heap: a 16 GiB driver FITS ~6.7M boxed rows in 5% of heap, but a
+    * multi-million-row `take()` + single-threaded union-find is a
+    * latency cost memory budgets can't see (round-7 q57 regressed
+    * 9.6s -> 33.7s exactly this way). 500K edges union-find in
+    * ~tens of ms with the primitive-array implementation; above that
+    * the distributed large-star/small-star loop amortizes better. */
+  val EdgeRowTimeCap: Long = 500000L
+
+  /** Effective driver-collect limit: memory-honest AND time-honest. */
+  def edgeCollectLimit(): Long = math.min(edgeRowBudget(), EdgeRowTimeCap)
 }

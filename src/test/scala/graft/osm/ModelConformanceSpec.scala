@@ -39,6 +39,37 @@ class ModelConformanceSpec extends AnyFunSuite {
         "adjacency"))
   }
 
+  /** Pins Queries.T against testdata re-provisions: the driver has shipped
+    * `events.ts` both as TIMESTAMP(NANOS) (read as raw long under the
+    * legacy conf) and as timestamp[us] (NTZ). The loader must normalize
+    * every encoding to the same TimestampType instants. */
+  test("Queries.T loads events.ts identically across parquet encodings") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val base = java.nio.file.Files.createTempDirectory("events-enc")
+      .toFile.getAbsolutePath
+    val us = Seq(0L, 946684800000000L, 1700000000000000L, 1700000000123456L)
+    // legacy: TIMESTAMP(NANOS), surfaced by Spark as a raw ns long
+    us.map(_ * 1000L).toDF("ts")
+      .coalesce(1).write.parquet(s"$base/nanos/events.parquet")
+    // current: timestamp[us] without timezone (TIMESTAMP_NTZ)
+    us.toDF("u").select(timestamp_micros($"u").cast("timestamp_ntz").as("ts"))
+      .coalesce(1).write.parquet(s"$base/ntz/events.parquet")
+    // instant-typed timestamp[us] (isAdjustedToUTC=true)
+    us.toDF("u").select(timestamp_micros($"u").as("ts"))
+      .coalesce(1).write.parquet(s"$base/tz/events.parquet")
+    val loaded = Seq("nanos", "ntz", "tz").map { enc =>
+      val df = graft.Queries.T(spark, s"$base/$enc", "events")
+      assert(df.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType, s"$enc: not TimestampType")
+      enc -> df.select(unix_micros($"ts")).as[Long].collect().sorted.toSeq
+    }
+    loaded.foreach { case (enc, got) =>
+      assert(got == us.sorted, s"$enc: $got != $us")
+    }
+  }
+
   test("osmxml relation member struct conforms to Model.memberType") {
     assertConforms(
       StructType(Seq(org.apache.spark.sql.types.StructField("m",
