@@ -76,6 +76,8 @@ object GraftFunctions {
       ((args: Seq[Expression]) => Hash48SortDedup(args(0))),
     "ngram_hash48" ->
       ((args: Seq[Expression]) => NgramHash48(args(0), args(1))),
+    "ngram_join" ->
+      ((args: Seq[Expression]) => NgramJoin(args(0), args(1))),
     "winnow_fingerprint" ->
       ((args: Seq[Expression]) =>
         WinnowFingerprint(args(0), args(1), args(2))),

@@ -34,6 +34,29 @@ object TextHashImpl {
     ThreadLocal.withInitial[java.security.MessageDigest](() =>
       java.security.MessageDigest.getInstance("MD5"))
 
+  private val SpaceSep = UTF8String.fromString(" ")
+
+  /** Adjacent word n-grams over a token array, joined with a single
+    * space — byte-for-byte what `concat_ws(" ", t[i..i+n-1])` builds,
+    * but one tight JVM loop instead of an interpreted higher-order
+    * `transform` (which costs ~4x the tokenize itself at sf0.1; q110
+    * round-7 history). Empty below `n` tokens; null tokens skipped by
+    * concatWs exactly as concat_ws skips them. */
+  def ngramJoin(tokens: ArrayData, n: Int): ArrayData = {
+    val m = tokens.numElements()
+    if (m < n) return new GenericArrayData(new Array[Any](0))
+    val out = new Array[Any](m - n + 1)
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i <= m - n) {
+      var j = 0
+      while (j < n) { parts(j) = tokens.getUTF8String(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(SpaceSep, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** MinHash signature over a token array: one md5 per token, `n`
     * affine-permutation running minima. Null iff zero tokens. */
   def minhashSignature(tokens: ArrayData, n: Int): ArrayData = {
@@ -462,6 +485,60 @@ case class NgramHash48(text: Expression, n: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(text = newLeft, n = newRight)
+}
+
+/** `ngram_join(tokens ARRAY<STRING>, n literal INT) -> ARRAY<STRING>`:
+  * adjacent word n-grams joined with a single space (the gram stream
+  * of heavy-hitter / n-gram-LM queries). Native so the join loop runs
+  * inside whole-stage codegen instead of an interpreted `transform`
+  * lambda re-evaluating `concat_ws`+`element_at` per element. */
+case class NgramJoin(tokens: Expression, n: Expression)
+  extends BinaryExpression {
+
+  override def left: Expression = tokens
+  override def right: Expression = n
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "ngram_join"
+
+  private lazy val nVal: Int = n.eval().asInstanceOf[Int]
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    tokens.dataType match {
+      case ArrayType(StringType, _)
+        if n.foldable && n.dataType == IntegerType =>
+        val nv = n.eval().asInstanceOf[Int]
+        if (nv >= 1) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"ngram_join n must be >= 1, got $nv")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"ngram_join expects (ARRAY<STRING>, literal INT), got $other")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val t = tokens.eval(input)
+    if (t == null) null
+    else TextHashImpl.ngramJoin(t.asInstanceOf[ArrayData], nVal)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val tokGen = tokens.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${tokGen.code}
+        boolean ${ev.isNull} = ${tokGen.isNull};
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.functions.TextHashImpl.ngramJoin(
+            ${tokGen.value}, $nVal);
+        }
+      """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(tokens = newLeft, n = newRight)
 }
 
 /** `winnow_fingerprint(text, n, w) -> ARRAY<LONG>`: the winnowed

@@ -157,17 +157,13 @@ object Curate {
                         depth: Int = 4): DataFrame = {
     val s = docs.sparkSession
     graft.functions.GraftFunctions.register(s)
-    // tokens staged as a projected attribute: an interpreted lambda
-    // re-evaluates embedded subtrees per element (the q59/q60 hazard),
-    // so the split/filter tree must never appear inside the transform
+    // native gram kernel: the interpreted transform/concat_ws lambda
+    // measured ~13.5s of q110's 46s at sf0.1 — ngram_join runs the
+    // same join loop inside whole-stage codegen
     val grams = docs
       .select(TextFunctions.tokens(col(textCol)).as("t"))
-      .select(when(size(col("t")) >= n,
-        transform(sequence(lit(0), size(col("t")) - n),
-          i => concat_ws(" ",
-            (0 until n).map(j => element_at(col("t"), i + j + 1)): _*)))
-        .otherwise(array().cast("array<string>")).as("grams"))
-      .select(explode(col("grams")).as("gram"))
+      .select(explode(call_function("ngram_join", col("t"), lit(n)))
+        .as("gram"))
     // Stage the tokenize -> n-gram -> explode stream ONCE: both passes
     // scan it, and re-running the gram build per pass measured as the
     // suite's slowest row (round-7 q110, 46s — 2x tokenize + explode).

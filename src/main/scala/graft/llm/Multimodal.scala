@@ -169,7 +169,14 @@ object Multimodal {
     * oracle: sample i is the code point of `text[i mod len]` masked to
     * a byte, centered and scaled to 16-bit — so the expected sample
     * sums are computable from the TEXT alone, while the engine must
-    * round-trip real RIFF/WAVE bytes to reproduce them. */
+    * round-trip real RIFF/WAVE bytes to reproduce them.
+    *
+    * BMP/ASCII-ONLY ASSUMPTION (shared with `pixelByte` above): this
+    * indexes UTF-16 code units (charAt/length) while the DuckDB oracle
+    * uses unicode()/length() code points. Identical for the generator's
+    * BMP-safe vocab; a supplementary-plane char (emoji) would desync
+    * index modulus AND value. If the corpus ever goes non-BMP, switch
+    * both sides to code-point iteration together. */
   private def sampleValue(text: String, i: Int): Int =
     ((text.charAt(i % text.length).toInt & 0xff) - 128) * 256
 
@@ -192,7 +199,10 @@ object Multimodal {
         val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
           8000f, 16, 1, 2, 8000f, false)
         it.map { case (id, text) =>
-          val n = (160 + id % 5 * 40).toInt
+          // floorMod: a negative id must not yield n < 160 (Scala % can
+          // be negative; the oracle mirrors generate_series over the
+          // same non-negative n)
+          val n = 160 + math.floorMod(id, 5L).toInt * 40
           val pcm = new Array[Byte](n * 2)
           var i = 0
           while (i < n) {
@@ -226,13 +236,16 @@ object Multimodal {
         it.map { case (id, bytes) =>
           val ais = AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(bytes))
-          val fmt = ais.getFormat
-          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1
-              && !fmt.isBigEndian
-              && fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED,
-            s"asset $id: unexpected WAV format $fmt")
-          val data = ais.readAllBytes()
-          ais.close()
+          // close on EVERY exit, including the format require throwing
+          // (fail-loudly must not leak the stream)
+          val (fmt, data) = try {
+            val f = ais.getFormat
+            require(f.getSampleSizeInBits == 16 && f.getChannels == 1
+                && !f.isBigEndian
+                && f.getEncoding == AudioFormat.Encoding.PCM_SIGNED,
+              s"asset $id: unexpected WAV format $f")
+            (f, ais.readAllBytes())
+          } finally ais.close()
           val n = data.length / 2
           var (sum, sabs) = (0L, 0L)
           var i = 0

@@ -203,16 +203,16 @@ object TextFunctions {
   }
 
   /** Adjacent word-bigram list ("a b", "b c", ...); empty below 2
-    * tokens (guarded: Spark's `sequence` would happily count DOWN and
-    * fabricate bigrams for a descending range). `toks` should be a
-    * STAGED token-array column (an attribute), not an inline
-    * `tokens(text)` subtree — the lambda would re-split the text per
-    * element. */
+    * tokens. Native [[graft.functions.NgramJoin]] kernel — the
+    * interpreted transform/concat_ws formulation re-evaluated its
+    * lambda body per element (the q59/q60 hazard class; measured 4x
+    * the tokenize cost on the q110 gram stream). Registration is the
+    * caller's via GraftFunctions (Queries.T does it). */
   def bigramsFromTokens(toks: Column): Column =
-    when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-      .otherwise(array().cast("array<string>"))
+    // coalesce preserves the old `when/otherwise` contract: NULL token
+    // array -> empty bigram list, not NULL (size() consumers differ)
+    coalesce(call_function("ngram_join", toks, lit(2)),
+      array().cast("array<string>"))
 
   /** Convenience form over raw text; prefer staging `tokens` first in
     * hot plans (see [[bigramsFromTokens]]). */
