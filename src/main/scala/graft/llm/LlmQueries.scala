@@ -2341,6 +2341,206 @@ object LlmQueries {
              |       CAST(8000 AS BIGINT) AS sample_rate,
              |       CAST(s AS BIGINT) AS sum_samples,
              |       CAST(sa AS BIGINT) AS sum_abs
-             |FROM sums ORDER BY asset_id""".stripMargin))
+             |FROM sums ORDER BY asset_id""".stripMargin)),
+
+    // ---- q117: per-document n-gram novelty — the "how much of this
+    // doc is new text" curation signal (dedup's soft sibling: a doc
+    // whose grams all first appeared in EARLIER docs is boilerplate
+    // even if no single pair crosses the near-dup threshold). Shape:
+    // distinct trigrams per doc (native ngram_join kernel), one
+    // hash-agg for the corpus-wide first-occurrence doc (min doc_id —
+    // associative, partial map-side), one join back, one per-doc agg.
+    // No window over the full gram stream, no self-join; at 100 TB the
+    // first-occurrence table is vocabulary-sized and the join is
+    // sort-merge on gram ----
+    Q("q117_gram_novelty",
+      (s, d) => {
+        import s.implicits._
+        val docs = T(s, d, "documents")
+        val dg = docs
+          .select($"doc_id", explode(array_distinct(
+            call_function("ngram_join",
+              TextFunctions.tokens($"text"), lit(3)))).as("gram"))
+        val first = dg.groupBy($"gram")
+          .agg(min($"doc_id").as("first_doc"))
+        val per = dg.join(first, "gram")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L))
+              .as("n_novel"))
+        docs.select($"doc_id").join(per, Seq("doc_id"), "left")
+          .select($"doc_id",
+            coalesce($"n_grams", lit(0L)).as("n_grams"),
+            coalesce($"n_novel", lit(0L)).as("n_novel"),
+            when(coalesce($"n_grams", lit(0L)) > 0,
+              round($"n_novel".cast("double") /
+                $"n_grams".cast("double"), 6))
+              .otherwise(lit(0.0)).as("novelty"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $dTokens AS t
+              |             FROM documents),
+              |dg AS (SELECT DISTINCT doc_id, gram FROM (
+              |  SELECT doc_id, unnest(list_transform(
+              |    generate_series(1, len(t) - 2),
+              |    i -> t[CAST(i AS INT)] || ' ' ||
+              |         t[CAST(i AS INT) + 1] || ' ' ||
+              |         t[CAST(i AS INT) + 2])) AS gram
+              |  FROM toks WHERE len(t) >= 3)),
+              |first AS (SELECT gram, min(doc_id) AS first_doc
+              |          FROM dg GROUP BY gram),
+              |per AS (SELECT dg.doc_id, count(*) AS n_grams,
+              |  CAST(sum(CASE WHEN f.first_doc = dg.doc_id
+              |                THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+              |  FROM dg JOIN first f USING (gram) GROUP BY dg.doc_id)
+              |SELECT d.doc_id,
+              |  coalesce(per.n_grams, 0) AS n_grams,
+              |  coalesce(per.n_novel, 0) AS n_novel,
+              |  CASE WHEN coalesce(per.n_grams, 0) > 0 THEN
+              |    round(CAST(per.n_novel AS DOUBLE) /
+              |          CAST(per.n_grams AS DOUBLE), 6)
+              |  ELSE 0.0 END AS novelty
+              |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+              |ORDER BY d.doc_id""".stripMargin)),
+
+    // ---- q118: deterministic stratified sampling — the corpus
+    // downsampling step every mix/ablation pipeline needs. Per-source
+    // quota = max(1, n_src div 10) (exact 10% floor, never an empty
+    // stratum); membership is decided by ranking on a salted md5 of
+    // the id — deterministic across engines, partitions and reruns,
+    // uniform within each stratum, and reproducible at any scale (the
+    // hash-order rank is the distributed analogue of a seeded
+    // reservoir). One count agg + one per-stratum window; no global
+    // sort, no driver state ----
+    Q("q118_stratified_sample",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val docs = T(s, d, "documents")
+        val cnts = docs.groupBy($"source")
+          .agg(count(lit(1)).as("n_src"))
+        val w = Window.partitionBy($"source")
+          .orderBy(md5(concat(lit("graft"), $"doc_id".cast("string"))),
+            $"doc_id")
+        docs.join(cnts, "source")
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .where($"rn" <= greatest(lit(1L), expr("n_src div 10")))
+          .select($"source", $"doc_id", $"rn")
+          .orderBy($"source", $"rn")
+      },
+      Some("""WITH c AS (SELECT source, count(*) AS n_src
+             |          FROM documents GROUP BY source),
+             |r AS (SELECT d.source, d.doc_id, c.n_src,
+             |  CAST(row_number() OVER (PARTITION BY d.source
+             |    ORDER BY md5('graft' || CAST(d.doc_id AS VARCHAR)),
+             |             d.doc_id) AS BIGINT) AS rn
+             |  FROM documents d JOIN c USING (source))
+             |SELECT source, doc_id, rn FROM r
+             |WHERE rn <= greatest(1, n_src // 10)
+             |ORDER BY source, rn""".stripMargin)),
+
+    // ---- q119: PageRank over the kNN similarity graph (q92's edges)
+    // — graph centrality as a curation signal (a doc central in the
+    // similarity graph is representative; a peripheral one is an
+    // outlier). All arithmetic is INTEGER (ranks live at scale 1e12;
+    // contributions are (r*85) div 100 div deg) so three unrolled
+    // iterations are bit-exact on both engines — no double sums, no
+    // libm. Shape per iteration: edges join ranks (co-keyed on src)
+    // -> per-dst sum -> left join back to nodes; the node set and
+    // degree table are computed once. At 100 TB: ranks and edges
+    // co-partition on src/dst, each iteration is one shuffle; the
+    // 1-row node count crossJoin is a scalar broadcast ----
+    Q("q119_pagerank",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val emb = T(s, d, "embeddings")
+          .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        val sample = emb.where($"vec_id" % 25 === 0)
+          .select($"vec_id".as("src"), $"v".as("qv"))
+        val est = sample.queryExecution.optimizedPlan.stats.sizeInBytes
+        val hinted =
+          if (est <= (64L << 20)) broadcast(sample) else sample
+        val edges = emb.select($"vec_id".as("dst"), $"v")
+          .join(hinted, $"dst" =!= $"src")
+          .select($"src", $"dst",
+            round(call_function("cosine_sim", $"v", $"qv"), 6)
+              .as("score"))
+          .withColumn("rank", row_number().over(Window
+            .partitionBy($"src")
+            .orderBy($"score".desc, $"dst".asc)))
+          .where($"rank" <= 3)
+          .select($"src", $"dst")
+          .localCheckpoint(eager = true) // 3 consumers per iteration x
+                                         // 3 iterations: cut the lineage
+        val nodes = edges.select($"src".as("id"))
+          .union(edges.select($"dst".as("id"))).distinct()
+        val outdeg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+        val n1 = nodes.agg(count(lit(1)).as("n")) // 1-row scalar
+        val base = nodes.crossJoin(n1)
+          .select($"id", expr("((1000000000000L div n) * 15) div 100")
+            .as("b"))
+        var ranks = nodes.crossJoin(n1)
+          .select($"id", expr("1000000000000L div n").as("r"))
+        for (_ <- 1 to 3) {
+          val contrib = edges
+            .join(ranks.withColumnRenamed("id", "src"), "src")
+            .join(outdeg, "src")
+            .select($"dst".as("id"),
+              expr("((r * 85L) div 100) div deg").as("c"))
+          val sums = contrib.groupBy($"id").agg(sum($"c").as("sc"))
+          ranks = base.join(sums, Seq("id"), "left")
+            .select($"id", ($"b" + coalesce($"sc", lit(0L))).as("r"))
+        }
+        ranks.select($"id", $"r".as("pagerank")).orderBy($"id")
+      },
+      Some("""WITH e AS (SELECT vec_id,
+             |            CAST(embedding AS DOUBLE[]) AS v
+             |          FROM embeddings),
+             |q AS (SELECT vec_id AS src, v AS qv FROM e
+             |      WHERE vec_id % 25 = 0),
+             |sc AS (SELECT q.src, e.vec_id AS dst,
+             |  list_sum(list_transform(generate_series(1, 64), i ->
+             |    v[CAST(i AS INT)] * qv[CAST(i AS INT)])) AS dt,
+             |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nv,
+             |  sqrt(list_sum(list_transform(qv, x -> x * x))) AS nq
+             |  FROM e, q WHERE e.vec_id != q.src),
+             |scored AS (SELECT src, dst,
+             |  round(CASE WHEN nv = 0 OR nq = 0 THEN 0
+             |        ELSE dt / (nv * nq) END, 6) AS score
+             |  FROM sc),
+             |edges AS (SELECT src, dst FROM (
+             |  SELECT src, dst, row_number() OVER (PARTITION BY src
+             |    ORDER BY score DESC, dst ASC) AS rank FROM scored)
+             |  WHERE rank <= 3),
+             |nodes AS (SELECT DISTINCT id FROM (
+             |  SELECT src AS id FROM edges
+             |  UNION ALL SELECT dst FROM edges)),
+             |nn AS (SELECT count(*) AS n FROM nodes),
+             |deg AS (SELECT src, count(*) AS deg FROM edges
+             |        GROUP BY src),
+             |base AS (SELECT id, ((1000000000000 // n) * 15) // 100
+             |           AS b FROM nodes, nn),
+             |r0 AS (SELECT id, 1000000000000 // n AS r FROM nodes, nn),
+             |c1 AS (SELECT e.dst AS id,
+             |  CAST(sum(((r.r * 85) // 100) // d.deg) AS BIGINT) AS sc
+             |  FROM edges e JOIN r0 r ON r.id = e.src
+             |  JOIN deg d ON d.src = e.src GROUP BY e.dst),
+             |r1 AS (SELECT base.id, base.b + coalesce(c1.sc, 0) AS r
+             |       FROM base LEFT JOIN c1 ON c1.id = base.id),
+             |c2 AS (SELECT e.dst AS id,
+             |  CAST(sum(((r.r * 85) // 100) // d.deg) AS BIGINT) AS sc
+             |  FROM edges e JOIN r1 r ON r.id = e.src
+             |  JOIN deg d ON d.src = e.src GROUP BY e.dst),
+             |r2 AS (SELECT base.id, base.b + coalesce(c2.sc, 0) AS r
+             |       FROM base LEFT JOIN c2 ON c2.id = base.id),
+             |c3 AS (SELECT e.dst AS id,
+             |  CAST(sum(((r.r * 85) // 100) // d.deg) AS BIGINT) AS sc
+             |  FROM edges e JOIN r2 r ON r.id = e.src
+             |  JOIN deg d ON d.src = e.src GROUP BY e.dst),
+             |r3 AS (SELECT base.id, base.b + coalesce(c3.sc, 0) AS r
+             |       FROM base LEFT JOIN c3 ON c3.id = base.id)
+             |SELECT id, CAST(r AS BIGINT) AS pagerank FROM r3
+             |ORDER BY id""".stripMargin))
   )
 }

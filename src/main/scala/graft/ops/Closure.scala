@@ -34,15 +34,16 @@ object Closure {
     * relation closure are bounded by the relation count), the closure
     * runs DRIVER-SIDE over collected edges and seeds, exactly like the
     * reference's in-memory bitmap loop (`src/extract.cpp:211-237`) —
-    * zero per-round job overhead. The default limit is byte-derived
-    * from the driver heap ([[DriverBudget.edgeRowBudget]]); callers
-    * whose seed sets dwarf the edge set should pass
-    * `driverEdgeLimit = 0` to force the distributed checkpointed loop.
+    * zero per-round job overhead. The default limit is the memory- AND
+    * time-honest [[DriverBudget.edgeCollectLimit]] (the round-8 q57
+    * lesson: fitting in 5% of heap does not make a multi-million-row
+    * collect fast); callers whose seed sets dwarf the edge set should
+    * pass `driverEdgeLimit = 0` to force the distributed loop.
     */
   def reachable(seeds: DataFrame, edges: DataFrame,
                 childCol: String, parentCol: String,
                 maxIters: Int = 50,
-                driverEdgeLimit: Long = DriverBudget.edgeRowBudget())
+                driverEdgeLimit: Long = DriverBudget.edgeCollectLimit())
   : DataFrame = {
     val spark = seeds.sparkSession
     val e = edges.select(col(childCol).cast("long").as("child"),
