@@ -87,6 +87,8 @@ object GraftFunctions {
       ((args: Seq[Expression]) => CellInRanges(args(0), args(1), args(2))),
     "ivf_assign" ->
       ((args: Seq[Expression]) => IvfAssign(args(0), args(1))),
+    "pq_encode" ->
+      ((args: Seq[Expression]) => PqEncode(args(0), args(1))),
     "cosine_sim" ->
       ((args: Seq[Expression]) => CosineSim(args(0), args(1))),
     "binary_resample" ->

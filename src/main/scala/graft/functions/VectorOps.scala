@@ -77,6 +77,92 @@ object VectorImpl {
     }
     idx
   }
+
+  /** Product-quantization codes: per subspace the 1-based index of the
+    * squared-L2-nearest centroid, first-wins on exact ties (`<` never
+    * admits a later equal distance). Subspace s starts where subspace
+    * s-1's centroid width ended; [[org.apache.spark.sql.catalyst.util.GenericArrayData]]
+    * of Ints so the result is a plain ARRAY<INT>. */
+  def pqEncode(vec: ArrayData,
+               books: Array[Array[Array[Double]]]): ArrayData = {
+    val codes = new Array[Any](books.length)
+    var off = 0
+    var s = 0
+    while (s < books.length) {
+      val book = books(s)
+      val dsub = if (book.length == 0) 0 else book(0).length
+      var best = 0.0
+      var idx = 1
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var acc = 0.0
+        var j = 0
+        val lim = math.min(dsub, math.max(0, vec.numElements() - off))
+        while (j < lim) {
+          val d = vec.getDouble(off + j) - cent(j)
+          acc += d * d
+          j += 1
+        }
+        if (c == 0 || acc < best) { best = acc; idx = c + 1 }
+        c += 1
+      }
+      codes(s) = idx
+      off += dsub
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+}
+
+/** `pq_encode(vec ARRAY<DOUBLE>,
+  * codebooks literal ARRAY<ARRAY<ARRAY<DOUBLE>>>) -> ARRAY<INT>`:
+  * product-quantization codes — per subspace, the 1-based index of the
+  * squared-L2-nearest codebook centroid (first-wins on exact ties).
+  * Subspace s covers dims [sum of earlier centroid widths, +width).
+  * Native for the same reason as [[IvfAssign]]: the m x |C| x d_sub
+  * multiply-add runs as one JVM call in whole-stage codegen. The fold
+  * is `d = x - c; acc += d * d` left-to-right — mirrored verbatim by
+  * the oracle's `list_sum(list_transform(...))`. */
+case class PqEncode(vec: Expression, codebooks: Expression)
+  extends BinaryExpression {
+
+  override def left: Expression = vec
+  override def right: Expression = codebooks
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (vec.dataType, codebooks.dataType) match {
+      case (ArrayType(DoubleType, _),
+            ArrayType(ArrayType(ArrayType(DoubleType, _), _), _))
+        if codebooks.foldable => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "pq_encode expects (ARRAY<DOUBLE>, literal ARRAY<ARRAY<ARRAY<DOUBLE>>>)")
+    }
+
+  @transient private lazy val books: Array[Array[Array[Double]]] = {
+    val ad = codebooks.eval().asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements()) { s =>
+      val b = ad.getArray(s)
+      Array.tabulate(b.numElements())(c => b.getArray(c).toDoubleArray())
+    }
+  }
+
+  override def nullSafeEval(v: Any, c: Any): Any =
+    VectorImpl.pqEncode(v.asInstanceOf[ArrayData], books)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val booksRef = ctx.addReferenceObj("pqBooks", books, "double[][][]")
+    defineCodeGen(ctx, ev, (v, _) =>
+      s"graft.functions.VectorImpl.pqEncode($v, $booksRef)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(vec = newLeft, codebooks = newRight)
 }
 
 /** `ivf_assign(vec ARRAY<DOUBLE>, centroids literal ARRAY<ARRAY<DOUBLE>>)

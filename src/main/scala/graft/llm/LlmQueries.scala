@@ -2541,6 +2541,73 @@ object LlmQueries {
              |r3 AS (SELECT base.id, base.b + coalesce(c3.sc, 0) AS r
              |       FROM base LEFT JOIN c3 ON c3.id = base.id)
              |SELECT id, CAST(r AS BIGINT) AS pagerank FROM r3
-             |ORDER BY id""".stripMargin))
+             |ORDER BY id""".stripMargin)),
+
+    // ---- q120: product-quantization ANN (ADC) — the memory-bound
+    // scale path beyond q49's IVF: a 64-dim float vector (256 B)
+    // becomes 4 small ints. Codebooks are the first 8 vectors by id
+    // split into 4 x 16-dim subspaces (deterministic quantizer, the
+    // ivfCentroids convention); encoding is the native pq_encode
+    // squared-L2 argmin (map-side, codegen'd); the query never touches
+    // vectors at scan time — ADC sums 4 driver-computed lookup-table
+    // literals per row. Ranking uses the 6dp-rounded estimate with
+    // vec_id tiebreak (the q92 determinism rule); the oracle rebuilds
+    // codebooks, codes and the LUT from the same literals, summing
+    // subspace distances in s-order via list(ORDER BY) for the
+    // identical left fold ----
+    Q("q120_pq_ann",
+      (s, d) => {
+        import s.implicits._
+        val emb = T(s, d, "embeddings")
+        val query = emb.where($"vec_id" === 0L)
+          .select($"embedding".cast("array<double>")).head()
+          .getSeq[Double](0)
+        val books = Similarity.pqCodebooks(emb, "embedding", "vec_id",
+          m = 4, k = 8)
+        val encoded = Similarity.pqEncodeDf(emb, "embedding", "vec_id",
+          books)
+        Similarity.pqTopK(encoded, query, books, k = 20)
+      },
+      Some("""WITH cb AS (
+             |  SELECT row_number() OVER (ORDER BY vec_id) AS cid,
+             |         CAST(embedding AS DOUBLE[]) AS cv
+             |  FROM (SELECT vec_id, embedding FROM embeddings
+             |        ORDER BY vec_id LIMIT 8)),
+             |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |      FROM embeddings),
+             |ss AS (SELECT unnest(generate_series(0, 3)) AS s),
+             |pd AS (
+             |  SELECT e.vec_id, ss.s, cb.cid,
+             |    list_sum(list_transform(generate_series(1, 16), j ->
+             |      (v[CAST(ss.s * 16 + j AS INT)]
+             |        - cv[CAST(ss.s * 16 + j AS INT)])
+             |      * (v[CAST(ss.s * 16 + j AS INT)]
+             |        - cv[CAST(ss.s * 16 + j AS INT)]))) AS dist
+             |  FROM e, ss, cb),
+             |codes AS (
+             |  SELECT vec_id, s, cid FROM (
+             |    SELECT vec_id, s, cid, row_number() OVER (
+             |      PARTITION BY vec_id, s
+             |      ORDER BY dist ASC, cid ASC) AS rk FROM pd)
+             |  WHERE rk = 1),
+             |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+             |      FROM embeddings WHERE vec_id = 0),
+             |lut AS (
+             |  SELECT ss.s, cb.cid,
+             |    list_sum(list_transform(generate_series(1, 16), j ->
+             |      (qv[CAST(ss.s * 16 + j AS INT)]
+             |        - cv[CAST(ss.s * 16 + j AS INT)])
+             |      * (qv[CAST(ss.s * 16 + j AS INT)]
+             |        - cv[CAST(ss.s * 16 + j AS INT)]))) AS dist
+             |  FROM q, ss, cb),
+             |est AS (
+             |  SELECT c.vec_id,
+             |    array_to_string(list(CAST(c.cid AS VARCHAR)
+             |      ORDER BY c.s), '-') AS codes,
+             |    round(list_sum(list(l.dist ORDER BY c.s)), 6) AS est
+             |  FROM codes c JOIN lut l ON l.s = c.s AND l.cid = c.cid
+             |  GROUP BY c.vec_id)
+             |SELECT vec_id, codes, est FROM est
+             |ORDER BY est ASC, vec_id LIMIT 20""".stripMargin))
   )
 }

@@ -317,6 +317,69 @@ object Similarity {
         col("b").isNull.as("kept"))
   }
 
+  /** Product-quantization codebooks: the first `k` vectors by id,
+    * each split into `m` equal-width subspaces — a deterministic
+    * quantizer (the [[ivfCentroids]] convention: reproducible across
+    * engines and re-builds with zero training iterations; PQ recall
+    * is governed by m and k). Driver-side O(k * dim) doubles.
+    * Returns books(s)(c) = centroid c's subvector for subspace s. */
+  def pqCodebooks(embeddings: DataFrame, vecCol: String, idCol: String,
+                  m: Int, k: Int): Seq[Seq[Seq[Double]]] = {
+    val vecs = embeddings.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0)).toSeq
+    require(vecs.nonEmpty && vecs.head.length % m == 0,
+      s"pqCodebooks: dim ${vecs.headOption.map(_.length)} not divisible by $m")
+    val dsub = vecs.head.length / m
+    (0 until m).map(s => vecs.map(_.slice(s * dsub, (s + 1) * dsub)))
+  }
+
+  /** PQ-encode every vector: adds an ARRAY<INT> `codes` column (1-based
+    * centroid index per subspace) via the native `pq_encode` argmin —
+    * map-side only, no shuffle of the corpus. A 64-dim float vector
+    * (256 B) becomes m small ints (m bytes at k<=256): the 100 TB
+    * memory story of PQ-ANN. */
+  def pqEncodeDf(embeddings: DataFrame, vecCol: String, idCol: String,
+                 books: Seq[Seq[Seq[Double]]]): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    embeddings.select(col(idCol).as("vec_id"),
+      call_function("pq_encode", col(vecCol).cast("array<double>"),
+        typedlit(books)).as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: the per-subspace
+    * (query, centroid) squared-L2 lookup table is computed DRIVER-side
+    * with the kernel's exact fold and folded into the plan as literals;
+    * the estimated distance is the s-ordered left-fold sum of m table
+    * lookups per row — no vector math on the scan side at all. Output:
+    * vec_id, codes (joined string), est (rounded 6dp), ascending. */
+  def pqTopK(encoded: DataFrame, query: Seq[Double],
+             books: Seq[Seq[Seq[Double]]], k: Int): DataFrame = {
+    val lut: Seq[Seq[Double]] = books.zipWithIndex.map { case (book, s) =>
+      val off = books.take(s).map(_.head.length).sum
+      book.map { cent =>
+        var acc = 0.0
+        var j = 0
+        while (j < cent.length) {
+          val d = query(off + j) - cent(j)
+          acc += d * d
+          j += 1
+        }
+        acc
+      }
+    }
+    val est = lut.indices.map(s =>
+      element_at(typedlit(lut(s)), element_at(col("codes"), s + 1)))
+      .reduce(_ + _)
+    encoded
+      .select(col("vec_id"),
+        array_join(transform(col("codes"), c => c.cast("string")), "-")
+          .as("codes"),
+        round(est, 6).as("est"))
+      .orderBy(col("est").asc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Symmetric per-vector int8 scalar quantization: scale = max|x|/127,
     * q_i = clamp(round(x_i/scale), -127, 127). The standard 4x memory
     * cut for vector search at scale (a 100 TB float corpus becomes 25 TB

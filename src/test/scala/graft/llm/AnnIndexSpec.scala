@@ -94,4 +94,50 @@ class AnnIndexSpec extends AnyFunSuite {
       .as[(Long, Double)].collect().toSeq
     assert(all == brute)
   }
+
+  test("PQ: codes equal a reference argmin; ADC ranks a planted near-dup first") {
+    val rnd = new scala.util.Random(13)
+    val dim = 16
+    val rows = (0L until 300L).map { i =>
+      val v =
+        if (i == 222L) // near-dup of vec 0 (the query)
+          null // filled below once vec 0 exists
+        else Array.fill(dim)(rnd.nextGaussian().toFloat)
+      (i, v)
+    }
+    val v0 = rows.head._2
+    val fixed = rows.map { case (i, v) =>
+      (i, if (i == 222L) v0.map(x => x * 1.001f) else v)
+    }
+    val df = fixed.toDF("vec_id", "embedding")
+    val books = Similarity.pqCodebooks(df, "embedding", "vec_id",
+      m = 4, k = 6)
+    assert(books.length == 4 && books.forall(_.length == 6) &&
+      books.forall(_.forall(_.length == dim / 4)))
+    val encoded = Similarity.pqEncodeDf(df, "embedding", "vec_id", books)
+      .as[(Long, Seq[Int])].collect().toMap
+    // reference argmin in plain Scala (independent of the kernel)
+    def refCodes(v: Seq[Double]): Seq[Int] =
+      books.zipWithIndex.map { case (book, s) =>
+        val off = (0 until s).map(books(_).head.length).sum
+        book.zipWithIndex.map { case (c, ci) =>
+          (c.indices.foldLeft(0.0) { (acc, j) =>
+            val d = v(off + j) - c(j); acc + d * d
+          }, ci + 1)
+        }.minBy { case (dd, ci) => (dd, ci) }._2
+      }
+    fixed.take(50).foreach { case (i, v) =>
+      assert(encoded(i) == refCodes(v.map(_.toDouble).toSeq),
+        s"vec $i codes diverge from reference argmin")
+    }
+    // ADC: the planted near-dup of the query shares all its codes and
+    // lands at estimated distance == query's own (both map to the same
+    // centroids), ahead of random vectors
+    val q = v0.map(_.toDouble).toSeq
+    val top = Similarity.pqTopK(
+      Similarity.pqEncodeDf(df, "embedding", "vec_id", books),
+      q, books, 5).as[(Long, String, Double)].collect()
+    assert(top.map(_._1).take(2).toSet.contains(222L),
+      s"planted near-dup not in ADC top-2: ${top.mkString(", ")}")
+  }
 }
