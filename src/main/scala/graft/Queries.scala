@@ -1347,6 +1347,42 @@ object Queries {
              |        (2, 'gamma'), (NULL, 'unknown')) AS t(k, label))
              |SELECT label, count(*) AS n, min(event_id) AS first_id
              |FROM e JOIN dim ON e.k IS NOT DISTINCT FROM dim.k
-             |GROUP BY label ORDER BY label""".stripMargin))
+             |GROUP BY label ORDER BY label""".stripMargin)),
+
+    // ---- cohort retention matrix: users bucketed by first-activity
+    // week (the cohort), then distinct-user counts per (cohort,
+    // weeks-since-cohort offset) — the canonical product-analytics
+    // operator. Weeks are pure integer epoch-µs division (no calendar
+    // functions), so both engines bucket identically. Shape: one
+    // per-user min agg (co-keyed with the event scan's user join),
+    // one distinct-count agg on the small (cohort, offset) key; at
+    // 100 TB both shuffles key on user_id/cohort and the second input
+    // is already (user, week)-deduplicated, so the wide fact table is
+    // scanned once ----
+    Q("q125_retention_cohorts",
+      (s, d) => {
+        import s.implicits._
+        val ev = T(s, d, "events")
+          .select($"user_id",
+            expr("unix_micros(ts) div 604800000000").as("week"))
+        val cohort = ev.groupBy($"user_id")
+          .agg(min($"week").as("cohort_week"))
+        ev.join(cohort, "user_id")
+          .groupBy($"cohort_week",
+            ($"week" - $"cohort_week").as("offset_weeks"))
+          .agg(countDistinct($"user_id").as("n_users"))
+          .orderBy($"cohort_week", $"offset_weeks")
+      },
+      Some("""WITH ev AS (SELECT user_id,
+             |  epoch_us(ts) // 604800000000 AS week
+             |  FROM events),
+             |cohort AS (SELECT user_id, min(week) AS cohort_week
+             |           FROM ev GROUP BY user_id)
+             |SELECT c.cohort_week,
+             |  ev.week - c.cohort_week AS offset_weeks,
+             |  CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_users
+             |FROM ev JOIN cohort c USING (user_id)
+             |GROUP BY 1, 2 ORDER BY cohort_week, offset_weeks"""
+        .stripMargin))
   )
 }

@@ -2608,6 +2608,201 @@ object LlmQueries {
              |  FROM codes c JOIN lut l ON l.s = c.s AND l.cid = c.cid
              |  GROUP BY c.vec_id)
              |SELECT vec_id, codes, est FROM est
-             |ORDER BY est ASC, vec_id LIMIT 20""".stripMargin))
+             |ORDER BY est ASC, vec_id LIMIT 20""".stripMargin)),
+
+    // ---- q121: contrastive triplet mining — the hard-negative
+    // selection step of embedding-model training data: for each
+    // sampled anchor, the positive is its nearest same-label
+    // neighbour, the negative its nearest OTHER-label neighbour, and
+    // margin = pos - neg ranks how informative the triplet is (small
+    // or negative margin = hard example). Shape: 4% anchor sample
+    // broadcast (stats-gated, degrades to shuffle join) against one
+    // candidate scan; per-(anchor, same?) top-1 via a 2|A|-partition
+    // window. Scores go through the codegen'd cosine_sim kernel and
+    // 6-dp rounding before ranking, so the order is engine-identical ----
+    Q("q121_triplet_mining",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val emb = T(s, d, "embeddings")
+          .select($"vec_id", $"label",
+            $"embedding".cast("array<double>").as("v"))
+        val anch = emb.where($"vec_id" % 25 === 0)
+          .select($"vec_id".as("anchor"), $"label".as("albl"),
+            $"v".as("qv"))
+        val est = anch.queryExecution.optimizedPlan.stats.sizeInBytes
+        val hinted = if (est <= (64L << 20)) broadcast(anch) else anch
+        val scored = emb.join(hinted, $"vec_id" =!= $"anchor")
+          .select($"anchor", $"vec_id",
+            ($"label" === $"albl").as("same"),
+            round(call_function("cosine_sim", $"v", $"qv"), 6)
+              .as("score"))
+        val best = scored
+          .withColumn("rk", row_number().over(Window
+            .partitionBy($"anchor", $"same")
+            .orderBy($"score".desc, $"vec_id".asc)))
+          .where($"rk" === 1)
+        val pos = best.where($"same")
+          .select($"anchor", $"vec_id".as("pos_id"),
+            $"score".as("pos_score"))
+        val neg = best.where(!$"same")
+          .select($"anchor".as("a2"), $"vec_id".as("neg_id"),
+            $"score".as("neg_score"))
+        pos.join(neg, $"anchor" === $"a2")
+          .select($"anchor", $"pos_id", $"pos_score", $"neg_id",
+            $"neg_score",
+            round($"pos_score" - $"neg_score", 6).as("margin"))
+          .orderBy($"anchor")
+      },
+      Some("""WITH e AS (SELECT vec_id, label,
+             |            CAST(embedding AS DOUBLE[]) AS v
+             |          FROM embeddings),
+             |a AS (SELECT vec_id AS anchor, label AS albl, v AS qv
+             |      FROM e WHERE vec_id % 25 = 0),
+             |sc AS (SELECT a.anchor, e.vec_id,
+             |  (e.label = a.albl) AS same,
+             |  list_sum(list_transform(generate_series(1, 64), i ->
+             |    v[CAST(i AS INT)] * qv[CAST(i AS INT)])) AS dt,
+             |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nv,
+             |  sqrt(list_sum(list_transform(qv, x -> x * x))) AS nq
+             |  FROM e, a WHERE e.vec_id != a.anchor),
+             |scored AS (SELECT anchor, vec_id, same,
+             |  round(CASE WHEN nv = 0 OR nq = 0 THEN 0
+             |        ELSE dt / (nv * nq) END, 6) AS score
+             |  FROM sc),
+             |best AS (SELECT anchor, vec_id, same, score FROM (
+             |  SELECT anchor, vec_id, same, score,
+             |    row_number() OVER (PARTITION BY anchor, same
+             |      ORDER BY score DESC, vec_id ASC) AS rk
+             |  FROM scored) WHERE rk = 1)
+             |SELECT p.anchor, p.vec_id AS pos_id, p.score AS pos_score,
+             |  n.vec_id AS neg_id, n.score AS neg_score,
+             |  round(p.score - n.score, 6) AS margin
+             |FROM best p JOIN best n
+             |  ON p.anchor = n.anchor AND p.same AND NOT n.same
+             |ORDER BY p.anchor""".stripMargin)),
+
+    // ---- q122: positional inverted index + exact phrase query — the
+    // search-side operator every corpus-exploration UI needs. The
+    // postings relation (term, doc_id, pos) is the index; a k-word
+    // phrase is a (k-1)-way self-join on doc_id with pos adjacency.
+    // At 100 TB the postings table is bucketed by term so the p1/p2
+    // selections are partition-pruned scans and the adjacency join is
+    // co-keyed on doc_id (one shuffle); here both selections come off
+    // one posexplode projection ----
+    Q("q122_phrase_search",
+      (s, d) => {
+        import s.implicits._
+        val docs = T(s, d, "documents")
+        val post = docs
+          .select($"doc_id", posexplode(TextFunctions.tokens($"text")))
+          .toDF("doc_id", "pos", "term")
+        val p1 = post.where($"term" === "table")
+          .select($"doc_id", $"pos")
+        val p2 = post.where($"term" === "value")
+          .select($"doc_id".as("d2"), $"pos".as("pos2"))
+        p1.join(p2, $"doc_id" === $"d2" && $"pos2" === $"pos" + 1)
+          .groupBy($"doc_id").agg(count(lit(1)).as("hits"))
+          .orderBy($"hits".desc, $"doc_id")
+          .limit(20)
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $dTokens AS t
+              |             FROM documents),
+              |p1 AS (SELECT doc_id,
+              |  unnest(list_filter(generate_series(1, len(t)),
+              |    i -> t[CAST(i AS INT)] = 'table')) AS pos
+              |  FROM toks),
+              |p2 AS (SELECT doc_id,
+              |  unnest(list_filter(generate_series(1, len(t)),
+              |    i -> t[CAST(i AS INT)] = 'value')) AS pos
+              |  FROM toks)
+              |SELECT p1.doc_id, CAST(count(*) AS BIGINT) AS hits
+              |FROM p1 JOIN p2
+              |  ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+              |GROUP BY p1.doc_id
+              |ORDER BY hits DESC, p1.doc_id LIMIT 20""".stripMargin)),
+
+    // ---- q123: per-dimension embedding column profile (mean/std/
+    // min/max over each of the 64 dims) — the feature-drift monitor a
+    // training pipeline runs per shard. Exactness trick: floats are
+    // quantized to exact 1e-6-scaled BIGINTs FIRST (round() of an
+    // identical IEEE product is engine-identical), so the grouped sums
+    // are order-independent integer arithmetic — no float-sum
+    // nondeterminism — and the final mean/std math is one identical
+    // double expression on both engines. One 64-key shuffle with
+    // map-side partial aggs; sums stay in BIGINT range through sf10
+    // (9e12 per element; switch to DECIMAL at larger corpora) ----
+    Q("q123_embedding_stats",
+      (s, d) => {
+        import s.implicits._
+        val x = T(s, d, "embeddings")
+          .select(posexplode($"embedding".cast("array<double>")))
+          .toDF("dim0", "x")
+          .select(($"dim0" + 1).cast("long").as("dim"),
+            round($"x" * 1e6, 0).cast("long").as("xi"))
+        x.groupBy($"dim")
+          .agg(count(lit(1)).as("n"), sum($"xi").as("si"),
+            sum($"xi" * $"xi").as("ssi"),
+            min($"xi").as("mni"), max($"xi").as("mxi"))
+          .withColumn("mean_raw",
+            $"si".cast("double") / $"n" / lit(1e6))
+          .select($"dim", $"n",
+            round($"mean_raw", 6).as("mean"),
+            round(sqrt(greatest(
+              $"ssi".cast("double") / $"n" / lit(1e12) -
+                $"mean_raw" * $"mean_raw", lit(0.0))), 6).as("std"),
+            round($"mni".cast("double") / 1e6, 6).as("min_v"),
+            round($"mxi".cast("double") / 1e6, 6).as("max_v"))
+          .orderBy($"dim")
+      },
+      Some("""WITH ds AS (SELECT unnest(generate_series(1, 64)) AS i),
+             |x AS (SELECT ds.i AS dim,
+             |  CAST(round(CAST(e.embedding[CAST(ds.i AS INT)] AS DOUBLE)
+             |       * 1e6) AS BIGINT) AS xi
+             |  FROM embeddings e, ds),
+             |a AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(xi) AS DOUBLE) AS si,
+             |  CAST(sum(xi * xi) AS DOUBLE) AS ssi,
+             |  min(xi) AS mni, max(xi) AS mxi
+             |  FROM x GROUP BY dim),
+             |m AS (SELECT dim, n, si / n / 1e6 AS mean_raw,
+             |             ssi, mni, mxi FROM a)
+             |SELECT CAST(dim AS BIGINT) AS dim, n,
+             |  round(mean_raw, 6) AS mean,
+             |  round(sqrt(greatest(ssi / n / 1e12
+             |    - mean_raw * mean_raw, 0.0)), 6) AS std,
+             |  round(CAST(mni AS DOUBLE) / 1e6, 6) AS min_v,
+             |  round(CAST(mxi AS DOUBLE) / 1e6, 6) AS max_v
+             |FROM m ORDER BY dim""".stripMargin)),
+
+    // ---- q124: canonicalization-aware exact dedup — normalize the
+    // text (drop the pure-function-word tokens 'a'/'the') BEFORE
+    // hashing, so documents that differ only in those words collapse
+    // to one canonical group; min-id wins, group size reported. This
+    // is the normalize-then-hash step every exact-dedup pipeline runs
+    // ahead of q20's raw md5 (casefolding/whitespace are already
+    // canonical in this corpus, so stopword removal is the
+    // demonstrable normalization). Same scale shape as q20: one
+    // hash-agg on the canonical fingerprint ----
+    Q("q124_canonical_dedup",
+      (s, d) => {
+        import s.implicits._
+        val docs = T(s, d, "documents")
+        docs.select($"doc_id",
+            md5(array_join(filter(TextFunctions.tokens($"text"),
+              t => t =!= "a" && t =!= "the"), " ")).as("canon"))
+          .groupBy($"canon")
+          .agg(min($"doc_id").as("keep_id"),
+            count(lit(1)).as("n_docs"))
+          .select($"keep_id", $"canon", $"n_docs")
+          .orderBy($"keep_id")
+      },
+      Some(s"""WITH c AS (SELECT doc_id,
+              |  md5(array_to_string(list_filter($dTokens,
+              |    t -> t != 'a' AND t != 'the'), ' ')) AS canon
+              |  FROM documents)
+              |SELECT min(doc_id) AS keep_id, canon,
+              |  CAST(count(*) AS BIGINT) AS n_docs
+              |FROM c GROUP BY canon ORDER BY keep_id""".stripMargin))
   )
 }
