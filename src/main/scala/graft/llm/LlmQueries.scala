@@ -2803,6 +2803,109 @@ object LlmQueries {
               |  FROM documents)
               |SELECT min(doc_id) AS keep_id, canon,
               |  CAST(count(*) AS BIGINT) AS n_docs
-              |FROM c GROUP BY canon ORDER BY keep_id""".stripMargin))
+              |FROM c GROUP BY canon ORDER BY keep_id""".stripMargin)),
+
+    // ---- q126: perceptual-hash image dedup over REAL decoded pixels
+    // — the multimodal near-dup operator: encode real PNGs (q107's
+    // generator), stage them, decode through javax.imageio, compute an
+    // integer average-hash (bit i = pixel i's luminance strictly above
+    // the image mean, decided as n*L_i > sum(L) so no float mean), and
+    // group identical (w, h, ahash) triples into perceptual-duplicate
+    // clusters. The oracle recomputes the identical hash from the
+    // source text without touching PNG bytes, so the gate proves the
+    // real codec round-trip. Scale shape: decode is mapPartitions over
+    // columnar binaries (one codec init per partition), then one
+    // hash-agg on a 3-column key ----
+    Q("q126_phash_dedup",
+      (s, d) => {
+        import s.implicits._
+        val pngs = Multimodal.imagesFromText(
+          T(s, d, "documents"), "text", "doc_id")
+        val dir = graft.TempDirs.create("graft-q126-png")
+        pngs.write.mode("overwrite").parquet(dir)
+        Multimodal.imageAHash(s.read.parquet(dir), "png", "asset_id")
+          .groupBy($"w", $"h", $"ahash")
+          .agg(min($"asset_id").as("keep_id"),
+            count(lit(1)).as("n_imgs"))
+          .select($"keep_id", $"w".cast("long").as("w"),
+            $"h".cast("long").as("h"), $"ahash", $"n_imgs")
+          .orderBy($"keep_id")
+      },
+      Some("""WITH px AS (
+             |  SELECT doc_id, text, length(text) AS len,
+             |         4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+             |  FROM documents WHERE length(text) > 0),
+             |lum AS (
+             |  SELECT doc_id, w, h, w*h AS n,
+             |    list_transform(generate_series(0, w*h - 1), i ->
+             |      unicode(text[CAST((3*i + 0) % len AS INT) + 1
+             |                   : CAST((3*i + 0) % len AS INT) + 1]) % 256
+             |    + unicode(text[CAST((3*i + 1) % len AS INT) + 1
+             |                   : CAST((3*i + 1) % len AS INT) + 1]) % 256
+             |    + unicode(text[CAST((3*i + 2) % len AS INT) + 1
+             |                   : CAST((3*i + 2) % len AS INT) + 1]) % 256
+             |    ) AS lv
+             |  FROM px),
+             |hsh AS (
+             |  SELECT doc_id, w, h,
+             |    CAST(list_sum(list_transform(generate_series(1, n), i ->
+             |      CASE WHEN n * lv[CAST(i AS INT)] > list_sum(lv)
+             |           THEN (CAST(1 AS BIGINT) << (i - 1))
+             |           ELSE 0 END)) AS BIGINT) AS ahash
+             |  FROM lum)
+             |SELECT min(doc_id) AS keep_id, CAST(w AS BIGINT) AS w,
+             |  CAST(h AS BIGINT) AS h, ahash,
+             |  CAST(count(*) AS BIGINT) AS n_imgs
+             |FROM hsh GROUP BY w, h, ahash
+             |ORDER BY keep_id""".stripMargin)),
+
+    // ---- q127: incremental (delta-vs-corpus) exact dedup — the
+    // daily-ingest operator: classify each NEW document as 'dup_base'
+    // (content already in the corpus), 'dup_delta' (first seen inside
+    // this same batch wins), or 'new'. 100 TB shape: the small DELTA
+    // fingerprint set is broadcast against ONE base scan (the corpus
+    // is never shuffled, never re-paired against itself — that's the
+    // whole point vs re-running q20 on base+delta); the surviving hit
+    // set is tiny. Broadcast is stats-gated with a shuffle-join
+    // fallback ----
+    Q("q127_delta_dedup",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val fp = T(s, d, "documents")
+          .select($"doc_id", TextFunctions.fingerprint($"text").as("fp"))
+        val delta = fp.where($"doc_id" % 10 === 0)
+        val base = fp.where($"doc_id" % 10 =!= 0)
+        val deltaFps = delta.select($"fp").distinct()
+        val est = deltaFps.queryExecution.optimizedPlan.stats.sizeInBytes
+        val hinted = if (est <= (64L << 20)) broadcast(deltaFps)
+                     else deltaFps
+        val inBase = base.join(hinted, "fp")
+          .select($"fp").distinct().withColumn("hit", lit(true))
+        delta
+          .withColumn("rk", row_number().over(Window
+            .partitionBy($"fp").orderBy($"doc_id")))
+          .join(inBase, Seq("fp"), "left")
+          .select($"doc_id",
+            when($"hit", "dup_base")
+              .when($"rk" > 1, "dup_delta")
+              .otherwise("new").as("status"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH fp AS (SELECT doc_id,
+             |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+             |    AS fp
+             |  FROM documents),
+             |delta AS (SELECT * FROM fp WHERE doc_id % 10 = 0),
+             |base AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 10 != 0),
+             |r AS (SELECT doc_id, fp, row_number() OVER (
+             |        PARTITION BY fp ORDER BY doc_id) AS rk
+             |      FROM delta)
+             |SELECT r.doc_id,
+             |  CASE WHEN b.fp IS NOT NULL THEN 'dup_base'
+             |       WHEN r.rk > 1 THEN 'dup_delta'
+             |       ELSE 'new' END AS status
+             |FROM r LEFT JOIN base b ON r.fp = b.fp
+             |ORDER BY r.doc_id""".stripMargin))
   )
 }

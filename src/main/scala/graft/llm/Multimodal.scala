@@ -159,6 +159,51 @@ object Multimodal {
       }
   }
 
+  /** One decoded image's perceptual average-hash (exact integers, so
+    * the oracle compare is drift-free). */
+  final case class ImageHash(asset_id: Long, w: Int, h: Int, ahash: Long)
+
+  /** Perceptual average-hash over REAL decoded pixels: per-pixel
+    * integer luminance L_i = r+g+b, bit i set iff n*L_i > sum(L) —
+    * strictly-above-mean decided in exact integer arithmetic (no
+    * float mean), so engine and oracle agree bit-for-bit. Images here
+    * are at most 8x6 = 48 pixels, so the hash fits one BIGINT; a
+    * production variant downsamples to 8x8 first (the classic aHash)
+    * — the decode/threshold/pack pipeline is identical. */
+  def imageAHash(images: DataFrame, bytesCol: String,
+                 idCol: String): Dataset[ImageHash] = {
+    import images.sparkSession.implicits._
+    images.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val im = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(im != null, s"asset $id: undecodable image bytes")
+          val (w, h) = (im.getWidth, im.getHeight)
+          val n = w * h
+          require(n <= 64, s"asset $id: ${w}x$h exceeds one-long aHash")
+          val lum = new Array[Long](n)
+          var tot = 0L
+          var i = 0
+          while (i < n) {
+            val rgb = im.getRGB(i % w, i / w)
+            lum(i) = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+              (rgb & 0xff)
+            tot += lum(i)
+            i += 1
+          }
+          var hash = 0L
+          i = 0
+          while (i < n) {
+            if (n * lum(i) > tot) hash |= (1L << i)
+            i += 1
+          }
+          ImageHash(id, w, h, hash)
+        }
+      }
+  }
+
   /** One decoded audio clip's exact PCM statistics (integer sums, so
     * the oracle compare is drift-free). */
   final case class AudioStats(asset_id: Long, n_samples: Long,
