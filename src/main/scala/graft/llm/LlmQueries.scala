@@ -2906,6 +2906,157 @@ object LlmQueries {
              |       WHEN r.rk > 1 THEN 'dup_delta'
              |       ELSE 'new' END AS status
              |FROM r LEFT JOIN base b ON r.fp = b.fp
-             |ORDER BY r.doc_id""".stripMargin))
+             |ORDER BY r.doc_id""".stripMargin)),
+
+    // ---- q128: MMR (maximal marginal relevance) diversified re-rank
+    // — retrieval diversification for RAG/eval-set construction: from
+    // the cosine top-20 pool, greedily pick 5 results maximizing
+    // 0.7*relevance - 0.3*max-similarity-to-already-picked, so
+    // near-duplicate hits don't crowd the result list. The pool
+    // selection is the distributed q28 scan; the greedy itself is
+    // k-bounded (20 candidates) driver math — the same budget class
+    // as the q120 LUT — and the oracle unrolls the 5 identical greedy
+    // steps as chained CTEs (argmax per step, ties to smallest id) ----
+    Q("q128_mmr_rerank",
+      (s, d) => {
+        import s.implicits._
+        val emb = T(s, d, "embeddings")
+          .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        val query = emb.where($"vec_id" === 0L)
+          .select($"v").head().getSeq[Double](0)
+        val top = Similarity.cosineTopK(
+          T(s, d, "embeddings"), "embedding", "vec_id", query, 20)
+        val cand = top.join(emb, "vec_id")
+          .select($"vec_id", $"score", $"v")
+          .orderBy($"vec_id")
+          .collect()
+          .map(r => (r.getLong(0), r.getDouble(1),
+            r.getSeq[Double](2).toArray))
+          .toSeq
+        val sel = Similarity.mmrSelect(cand, 5, 0.7, 0.3)
+        s.createDataFrame(sel).toDF("rank", "vec_id", "mmr")
+          .orderBy($"rank")
+      },
+      Some("""WITH e AS (SELECT vec_id,
+             |            CAST(embedding AS DOUBLE[]) AS v
+             |          FROM embeddings),
+             |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+             |sc AS (SELECT e.vec_id,
+             |  list_sum(list_transform(generate_series(1, 64), i ->
+             |    v[CAST(i AS INT)] * qv[CAST(i AS INT)])) AS dt,
+             |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nv,
+             |  sqrt(list_sum(list_transform(qv, x -> x * x))) AS nq
+             |  FROM e, q),
+             |cand AS (SELECT vec_id,
+             |  round(CASE WHEN nv = 0 OR nq = 0 THEN 0
+             |        ELSE dt / (nv * nq) END, 6) AS rel
+             |  FROM sc ORDER BY rel DESC, vec_id LIMIT 20),
+             |cv AS (SELECT c.vec_id, c.rel, e.v
+             |       FROM cand c JOIN e USING (vec_id)),
+             |ps AS (SELECT a.vec_id AS ai, b.vec_id AS bi,
+             |  round(CASE WHEN sqrt(list_sum(list_transform(a.v,
+             |          x -> x * x))) = 0
+             |        OR sqrt(list_sum(list_transform(b.v,
+             |          x -> x * x))) = 0 THEN 0
+             |    ELSE list_sum(list_transform(generate_series(1, 64),
+             |          i -> a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]))
+             |      / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+             |       * sqrt(list_sum(list_transform(b.v, x -> x * x))))
+             |    END, 6) AS sim
+             |  FROM cv a, cv b WHERE a.vec_id != b.vec_id),
+             |s1 AS (SELECT vec_id, round(0.7 * rel, 6) AS mmr
+             |       FROM cv ORDER BY rel DESC, vec_id LIMIT 1),
+             |s2 AS (SELECT c.vec_id,
+             |    round(0.7 * c.rel - 0.3 * m.ms, 6) AS mmr
+             |  FROM cv c JOIN (SELECT p.ai AS vec_id, max(p.sim) AS ms
+             |    FROM ps p JOIN s1 ON p.bi = s1.vec_id GROUP BY p.ai) m
+             |    ON c.vec_id = m.vec_id
+             |  WHERE c.vec_id NOT IN (SELECT vec_id FROM s1)
+             |  ORDER BY mmr DESC, c.vec_id LIMIT 1),
+             |sel2 AS (SELECT vec_id FROM s1
+             |         UNION ALL SELECT vec_id FROM s2),
+             |s3 AS (SELECT c.vec_id,
+             |    round(0.7 * c.rel - 0.3 * m.ms, 6) AS mmr
+             |  FROM cv c JOIN (SELECT p.ai AS vec_id, max(p.sim) AS ms
+             |    FROM ps p JOIN sel2 ON p.bi = sel2.vec_id
+             |    GROUP BY p.ai) m ON c.vec_id = m.vec_id
+             |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel2)
+             |  ORDER BY mmr DESC, c.vec_id LIMIT 1),
+             |sel3 AS (SELECT vec_id FROM sel2
+             |         UNION ALL SELECT vec_id FROM s3),
+             |s4 AS (SELECT c.vec_id,
+             |    round(0.7 * c.rel - 0.3 * m.ms, 6) AS mmr
+             |  FROM cv c JOIN (SELECT p.ai AS vec_id, max(p.sim) AS ms
+             |    FROM ps p JOIN sel3 ON p.bi = sel3.vec_id
+             |    GROUP BY p.ai) m ON c.vec_id = m.vec_id
+             |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel3)
+             |  ORDER BY mmr DESC, c.vec_id LIMIT 1),
+             |sel4 AS (SELECT vec_id FROM sel3
+             |         UNION ALL SELECT vec_id FROM s4),
+             |s5 AS (SELECT c.vec_id,
+             |    round(0.7 * c.rel - 0.3 * m.ms, 6) AS mmr
+             |  FROM cv c JOIN (SELECT p.ai AS vec_id, max(p.sim) AS ms
+             |    FROM ps p JOIN sel4 ON p.bi = sel4.vec_id
+             |    GROUP BY p.ai) m ON c.vec_id = m.vec_id
+             |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel4)
+             |  ORDER BY mmr DESC, c.vec_id LIMIT 1)
+             |SELECT CAST(1 AS BIGINT) AS rank, vec_id, mmr FROM s1
+             |UNION ALL SELECT 2, vec_id, mmr FROM s2
+             |UNION ALL SELECT 3, vec_id, mmr FROM s3
+             |UNION ALL SELECT 4, vec_id, mmr FROM s4
+             |UNION ALL SELECT 5, vec_id, mmr FROM s5
+             |ORDER BY rank""".stripMargin)),
+
+    // ---- q129: per-source boilerplate n-gram report — the top-10
+    // most document-frequent trigrams per source (df over DISTINCT
+    // (doc, gram)), the signal a C4-style cleaner uses to find
+    // site-template text. Rank-based (not a fixed df-ratio threshold,
+    // which goes empty as docs-per-source grows with SF); ties break
+    // on the gram string. One distinct-project + one (source, gram)
+    // agg + a 10-row-per-source window ----
+    Q("q129_boilerplate_grams",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val docs = T(s, d, "documents")
+        val dg = docs.select($"source", $"doc_id",
+          explode(array_distinct(call_function("ngram_join",
+            TextFunctions.tokens($"text"), lit(3)))).as("gram"))
+        val nd = docs.groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"))
+        dg.groupBy($"source", $"gram")
+          .agg(count(lit(1)).as("df"))
+          .withColumn("rank", row_number().over(Window
+            .partitionBy($"source")
+            .orderBy($"df".desc, $"gram".asc)).cast("long"))
+          .where($"rank" <= 10)
+          .join(nd, "source")
+          .select($"source", $"rank", $"gram", $"df",
+            round($"df".cast("double") / $"n_docs", 6).as("df_ratio"))
+          .orderBy($"source", $"rank")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, source, $dTokens AS t
+              |             FROM documents),
+              |dg AS (SELECT DISTINCT source, doc_id, gram FROM (
+              |  SELECT source, doc_id, unnest(list_transform(
+              |    generate_series(1, len(t) - 2),
+              |    i -> t[CAST(i AS INT)] || ' ' ||
+              |         t[CAST(i AS INT) + 1] || ' ' ||
+              |         t[CAST(i AS INT) + 2])) AS gram
+              |  FROM toks WHERE len(t) >= 3)),
+              |nd AS (SELECT source, count(*) AS n_docs
+              |       FROM documents GROUP BY source),
+              |df AS (SELECT source, gram, count(*) AS df
+              |       FROM dg GROUP BY source, gram),
+              |rk AS (SELECT source, gram, df,
+              |  CAST(row_number() OVER (PARTITION BY source
+              |    ORDER BY df DESC, gram ASC) AS BIGINT) AS rank
+              |  FROM df)
+              |SELECT rk.source, rk.rank, rk.gram,
+              |  CAST(rk.df AS BIGINT) AS df,
+              |  round(CAST(rk.df AS DOUBLE) / nd.n_docs, 6) AS df_ratio
+              |FROM rk JOIN nd USING (source)
+              |WHERE rk.rank <= 10
+              |ORDER BY rk.source, rk.rank""".stripMargin))
   )
 }

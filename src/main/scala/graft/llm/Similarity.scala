@@ -56,6 +56,61 @@ object Similarity {
       .limit(k)
   }
 
+  /** Maximal-marginal-relevance greedy re-rank over a SKETCH-SIZED
+    * candidate pool: step t picks argmax(lam*rel - mu*maxSimToSelected),
+    * ties to the smallest id. The pool (<= ~20 rows) is selected
+    * DISTRIBUTED (cosineTopK); only the k-bounded greedy runs on the
+    * driver — same budget class as the q120 LUT, never
+    * data-proportional. Cosine fold order and 6-dp HALF_UP rounding
+    * mirror the SQL oracle exactly, so the unrolled CTE steps agree
+    * bit-for-bit. Candidates must arrive sorted by id. */
+  def mmrSelect(cands: Seq[(Long, Double, Array[Double])], k: Int,
+                lam: Double, mu: Double): Seq[(Long, Long, Double)] = {
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dt = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dt += a(i) * b(i); i += 1 }
+      i = 0; while (i < a.length) { na += a(i) * a(i); i += 1 }
+      i = 0; while (i < b.length) { nb += b(i) * b(i); i += 1 }
+      val (sa, sb) = (math.sqrt(na), math.sqrt(nb))
+      if (sa == 0 || sb == 0) 0.0 else dt / (sa * sb)
+    }
+    val n = cands.length
+    val picked = Array.fill(n)(false)
+    (1 to math.min(k, n)).map { rank =>
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      var c = 0
+      while (c < n) {
+        if (!picked(c)) {
+          var maxSim = Double.NegativeInfinity
+          var si = 0
+          while (si < n) {
+            if (picked(si)) {
+              val s0 = r6(cos(cands(c)._3, cands(si)._3))
+              if (s0 > maxSim) maxSim = s0
+            }
+            si += 1
+          }
+          if (maxSim == Double.NegativeInfinity) maxSim = 0.0
+          val sc = r6(lam * cands(c)._2 - mu * maxSim)
+          // strict improvement, or tie -> smaller id (cands id-sorted,
+          // so first-wins already encodes it; keep explicit anyway)
+          if (sc > bestScore ||
+              (sc == bestScore && best >= 0 &&
+                cands(c)._1 < cands(best)._1)) {
+            best = c; bestScore = sc
+          }
+        }
+        c += 1
+      }
+      picked(best) = true
+      (rank.toLong, cands(best)._1, bestScore)
+    }
+  }
+
   /** Deterministic hyperplane matrix: component (p, j) derived from
     * md5("p:j") -> [-0.5, 0.5]. Computed ONCE driver-side and folded
     * into plans as literals — zero per-row hashing (the r2 verdict's
