@@ -3057,6 +3057,61 @@ object LlmQueries {
               |  round(CAST(rk.df AS DOUBLE) / nd.n_docs, 6) AS df_ratio
               |FROM rk JOIN nd USING (source)
               |WHERE rk.rank <= 10
-              |ORDER BY rk.source, rk.rank""".stripMargin))
+              |ORDER BY rk.source, rk.rank""".stripMargin)),
+
+    // ---- q130: STREAMING HLL distinct-content estimation per source
+    // — mergeable-sketch state in the streaming state store (see
+    // [[graft.streaming.StreamingSketch]]), replayed over the same
+    // 4-batch file feed as q104/q105. The final per-source emission
+    // (selected by max n_seen — strictly increasing per emission) is
+    // gated q112-style: `seen_all` proves the stream consumed every
+    // row, `est_ok` gates the sketch estimate into ±5% of the exact
+    // batch distinct count (lgK=12 RSE is ~1.6%; at these
+    // cardinalities the sketch is in exact mode). The oracle is the
+    // exact batch aggregation the streaming construct must agree with ----
+    Q("q130_streaming_sketch",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val docs = T(s, d, "documents")
+          .select($"doc_id", $"source", $"text")
+        val feed = stageFileFeed(docs, nb = 4)
+        val ckpt = graft.TempDirs.create("graft-q130-ckpt")
+        val outDir = graft.TempDirs.create("graft-q130-out")
+        val stream = s.readStream
+          .schema("doc_id BIGINT, source STRING, text STRING")
+          .option("maxFilesPerTrigger", "1").parquet(feed)
+        val sq = graft.streaming.StreamingSketch
+          .distinctBySource(stream, "text", "source")
+          .writeStream.outputMode("append").format("parquet")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(outDir)
+        sq.awaitTermination()
+        val ests = s.read
+          .schema("source STRING, n_seen BIGINT, estimate DOUBLE")
+          .parquet(outDir)
+          .withColumn("rk", row_number().over(Window
+            .partitionBy($"source").orderBy($"n_seen".desc)))
+          .where($"rk" === 1)
+        val exact = docs
+          .select($"source", TextFunctions.fingerprint($"text").as("fp"))
+          .groupBy($"source")
+          .agg(countDistinct($"fp").as("n_exact"),
+            count(lit(1)).as("n_rows"))
+        ests.join(exact, "source")
+          .select($"source", $"n_rows", $"n_exact",
+            ($"n_seen" === $"n_rows").as("seen_all"),
+            (abs($"estimate" - $"n_exact".cast("double")) <=
+              $"n_exact".cast("double") * 0.05).as("est_ok"))
+          .orderBy($"source")
+      },
+      Some("""WITH f AS (SELECT source,
+             |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+             |    AS fp FROM documents)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count(DISTINCT fp) AS BIGINT) AS n_exact,
+             |  true AS seen_all, true AS est_ok
+             |FROM f GROUP BY source ORDER BY source""".stripMargin))
   )
 }

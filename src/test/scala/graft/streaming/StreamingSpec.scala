@@ -310,6 +310,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Set(1L, 3L, 5L)) // 1 beat 2 in-batch; 4 hit state
   }
 
+  test("streaming HLL sketch state merges across batches and counts " +
+    "distinct content exactly at small cardinality") {
+    import org.apache.spark.sql.functions._
+    val inDir = Files.createTempDirectory("graft-shll-in").toString
+    val ckpt = Files.createTempDirectory("graft-shll-ckpt").toString
+
+    // batch 1: src-a has 2 distinct contents (doc 2 duplicates doc 1
+    // after normalization), src-b has 1
+    Seq((1L, "a", "hello world"), (2L, "a", " Hello  WORLD "),
+        (3L, "a", "other"), (4L, "b", "bee"))
+      .toDF("doc_id", "source", "text").write.mode("append")
+      .parquet(inDir)
+    val stream = spark.readStream
+      .schema("doc_id LONG, source STRING, text STRING").parquet(inDir)
+    val q = StreamingSketch.distinctBySource(stream, "text", "source")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("hll_ests")
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+
+    // batch 2: doc 5 duplicates batch-1 content (must be an HLL no-op
+    // against the CHECKPOINTED registers), doc 6 is new
+    Seq((5L, "a", "hello world"), (6L, "a", "fresh"))
+      .toDF("doc_id", "source", "text").write.mode("append")
+      .parquet(inDir)
+    q.processAllAvailable()
+    q.stop()
+
+    val last = spark.table("hll_ests")
+      .groupBy($"source").agg(max(struct($"n_seen", $"estimate"))
+        .as("m"))
+      .select($"source", $"m.n_seen", $"m.estimate")
+      .as[(String, Long, Double)].collect()
+      .map { case (k, n, e) => k -> ((n, math.rint(e).toLong)) }.toMap
+    // at cardinality <= 3 the sketch is in exact (coupon) mode:
+    // estimates are integer-exact, so cross-batch dup suppression is
+    // directly observable
+    assert(last("a") == ((5L, 3L))) // 5 rows seen, 3 distinct contents
+    assert(last("b") == ((1L, 1L)))
+  }
+
   test("streaming LSH surfaces near-dup pairs against the full history") {
     import org.apache.spark.sql.functions._
     val inDir = Files.createTempDirectory("graft-slsh-in").toString
