@@ -2637,21 +2637,23 @@ object LlmQueries {
             ($"label" === $"albl").as("same"),
             round(call_function("cosine_sim", $"v", $"qv"), 6)
               .as("score"))
-        val best = scored
+        // one pass: rank within (anchor, same?), keep the two rank-1
+        // rows, then pivot them onto one output row per anchor — a
+        // pos/neg self-join here would recompute the whole broadcast
+        // cross product twice
+        scored
           .withColumn("rk", row_number().over(Window
             .partitionBy($"anchor", $"same")
             .orderBy($"score".desc, $"vec_id".asc)))
           .where($"rk" === 1)
-        val pos = best.where($"same")
-          .select($"anchor", $"vec_id".as("pos_id"),
-            $"score".as("pos_score"))
-        val neg = best.where(!$"same")
-          .select($"anchor".as("a2"), $"vec_id".as("neg_id"),
-            $"score".as("neg_score"))
-        pos.join(neg, $"anchor" === $"a2")
-          .select($"anchor", $"pos_id", $"pos_score", $"neg_id",
-            $"neg_score",
-            round($"pos_score" - $"neg_score", 6).as("margin"))
+          .groupBy($"anchor")
+          .agg(max(when($"same", struct($"vec_id", $"score"))).as("p"),
+            max(when(!$"same", struct($"vec_id", $"score"))).as("ng"))
+          .where($"p".isNotNull && $"ng".isNotNull)
+          .select($"anchor",
+            $"p.vec_id".as("pos_id"), $"p.score".as("pos_score"),
+            $"ng.vec_id".as("neg_id"), $"ng.score".as("neg_score"),
+            round($"p.score" - $"ng.score", 6).as("margin"))
           .orderBy($"anchor")
       },
       Some("""WITH e AS (SELECT vec_id, label,
