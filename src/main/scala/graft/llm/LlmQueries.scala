@@ -3114,6 +3114,102 @@ object LlmQueries {
              |SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
              |  CAST(count(DISTINCT fp) AS BIGINT) AS n_exact,
              |  true AS seen_all, true AS est_ok
-             |FROM f GROUP BY source ORDER BY source""".stripMargin))
+             |FROM f GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- q131: BPE merge-candidate mining — one iteration of
+    // byte-pair-encoding vocabulary induction: count every adjacent
+    // character pair across all token OCCURRENCES (occurrence-
+    // weighted, as the BPE training loop does) and rank the top-20
+    // merge candidates. The full tokenizer training is this agg in a
+    // loop with a growing symbol table; the per-iteration shape — one
+    // explode + one hash-agg + global top-k — is what must scale.
+    // TakeOrdered keeps the top-k driver-side cost at k, not
+    // |vocab| ----
+    Q("q131_bpe_merges",
+      (s, d) => {
+        import s.implicits._
+        T(s, d, "documents")
+          .select(explode(TextFunctions.tokens($"text")).as("tok"))
+          .where(length($"tok") >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, length(tok) - 1)," +
+              " i -> substring(tok, i, 2))")).as("pair"))
+          .groupBy($"pair").agg(count(lit(1)).as("n_occ"))
+          .orderBy($"n_occ".desc, $"pair")
+          .limit(20)
+      },
+      Some(s"""WITH toks AS (SELECT unnest($dTokens) AS tok
+              |             FROM documents),
+              |p AS (SELECT unnest(list_transform(
+              |    generate_series(1, length(tok) - 1),
+              |    i -> substr(tok, CAST(i AS INT), 2))) AS pair
+              |  FROM toks WHERE length(tok) >= 2)
+              |SELECT pair, CAST(count(*) AS BIGINT) AS n_occ
+              |FROM p GROUP BY pair
+              |ORDER BY n_occ DESC, pair LIMIT 20""".stripMargin)),
+
+    // ---- q132: embedding outlier detection — flag vectors whose
+    // euclidean distance to their label centroid exceeds the label's
+    // exact p95 (the drop-the-tail embedding-quality filter). The
+    // centroid is q29's DECIMAL-exact per-dimension mean; distances
+    // fold per ROW over the intact array (zip_with+aggregate,
+    // ascending — never a float sum across shuffled rows), and both
+    // the distances and the interpolated percentile are bit-identical
+    // on both engines. Shape: one (label, pos) agg for centroids
+    // (KB-sized, broadcast back), one scan for distances, one
+    // 10-key percentile agg ----
+    Q("q132_embedding_outliers",
+      (s, d) => {
+        import s.implicits._
+        val ex = T(s, d, "embeddings")
+          .select($"label",
+            posexplode($"embedding".cast("array<double>")))
+          .toDF("label", "pos", "x")
+        val cent = ex.groupBy($"label", $"pos")
+          .agg((sum($"x".cast("decimal(27,12)")).cast("double") /
+            count(lit(1))).as("c"))
+        val carr = cent.groupBy($"label")
+          .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
+            s0 => s0("c")).as("cv"))
+        val ev = T(s, d, "embeddings")
+          .select($"vec_id", $"label",
+            $"embedding".cast("array<double>").as("v"))
+        val dist = ev.join(broadcast(carr), "label")
+          .withColumn("dist", sqrt(aggregate(
+            zip_with($"v", $"cv", (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, y) => acc + y)))
+        val p95 = dist.groupBy($"label")
+          .agg(percentile($"dist", lit(0.95)).as("p95"))
+        dist.join(broadcast(p95), "label")
+          .where($"dist" > $"p95")
+          .select($"vec_id", $"label", round($"dist", 6).as("dist_v"),
+            round($"p95", 6).as("p95_v"))
+          .orderBy($"vec_id")
+      },
+      Some("""WITH ex AS (SELECT label, unnest(embedding) AS x,
+             |    generate_subscripts(embedding, 1) AS pos
+             |  FROM embeddings),
+             |m AS (SELECT label, pos,
+             |    CAST(sum(CAST(x AS DECIMAL(27,12))) AS DOUBLE)
+             |      / count(*) AS c
+             |  FROM ex GROUP BY label, pos),
+             |carr AS (SELECT label, list(c ORDER BY pos) AS cv
+             |         FROM m GROUP BY label),
+             |e AS (SELECT vec_id, label,
+             |        CAST(embedding AS DOUBLE[]) AS v
+             |      FROM embeddings),
+             |dist AS (SELECT e.vec_id, e.label,
+             |  sqrt(list_sum(list_transform(generate_series(1, 64),
+             |    i -> (v[CAST(i AS INT)] - cv[CAST(i AS INT)])
+             |       * (v[CAST(i AS INT)] - cv[CAST(i AS INT)]))))
+             |    AS dist
+             |  FROM e JOIN carr USING (label)),
+             |p AS (SELECT label, quantile_cont(dist, 0.95) AS p95
+             |      FROM dist GROUP BY label)
+             |SELECT d.vec_id, d.label, round(d.dist, 6) AS dist_v,
+             |  round(p.p95, 6) AS p95_v
+             |FROM dist d JOIN p USING (label)
+             |WHERE d.dist > p.p95
+             |ORDER BY d.vec_id""".stripMargin))
   )
 }
