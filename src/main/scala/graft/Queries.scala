@@ -1383,6 +1383,58 @@ object Queries {
              |  CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_users
              |FROM ev JOIN cohort c USING (user_id)
              |GROUP BY 1, 2 ORDER BY cohort_week, offset_weeks"""
+        .stripMargin)),
+
+    // ---- first-touch attribution: each purchase attributes to the
+    // user's EARLIEST non-purchase event in the preceding 7 days
+    // ('direct' when the lookback is empty) — the conversion-
+    // attribution join every product-analytics stack runs. Shape: a
+    // co-keyed range join on user_id (purchases x touches, both sides
+    // pre-filtered), rank-1 per purchase via WindowGroupLimit, then a
+    // 5-key count. Time math is integer epoch-µs so the 7-day band is
+    // engine-identical ----
+    Q("q134_attribution",
+      (s, d) => {
+        import s.implicits._
+        val ev = T(s, d, "events")
+          .select($"event_id", $"user_id", $"event_type",
+            expr("unix_micros(ts)").as("tus"))
+        val pur = ev.where($"event_type" === "purchase")
+          .select($"user_id", $"event_id".as("p_id"),
+            $"tus".as("p_tus"))
+        val touch = ev.where($"event_type" =!= "purchase")
+        val ft = pur.join(touch,
+            pur("user_id") === touch("user_id") &&
+              $"tus" >= $"p_tus" - 604800000000L &&
+              $"tus" < $"p_tus")
+          .select($"p_id", $"event_type", $"tus", $"event_id")
+          .withColumn("rk", row_number().over(Window
+            .partitionBy($"p_id").orderBy($"tus", $"event_id")))
+          .where($"rk" === 1)
+          .select($"p_id", $"event_type".as("ft_type"))
+        pur.join(ft, Seq("p_id"), "left")
+          .select(coalesce($"ft_type", lit("direct")).as("attributed"))
+          .groupBy($"attributed")
+          .agg(count(lit(1)).as("n_purchases"))
+          .orderBy($"attributed")
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, event_type,
+             |  epoch_us(ts) AS tus FROM events),
+             |pur AS (SELECT user_id, event_id AS p_id, tus AS p_tus
+             |        FROM ev WHERE event_type = 'purchase'),
+             |ft AS (SELECT p.p_id, e.event_type,
+             |    row_number() OVER (PARTITION BY p.p_id
+             |      ORDER BY e.tus, e.event_id) AS rk
+             |  FROM pur p JOIN ev e ON e.user_id = p.user_id
+             |    AND e.event_type != 'purchase'
+             |    AND e.tus >= p.p_tus - 604800000000
+             |    AND e.tus < p.p_tus),
+             |att AS (SELECT p.p_id,
+             |    coalesce(f.event_type, 'direct') AS attributed
+             |  FROM pur p LEFT JOIN (SELECT p_id, event_type FROM ft
+             |                        WHERE rk = 1) f USING (p_id))
+             |SELECT attributed, CAST(count(*) AS BIGINT) AS n_purchases
+             |FROM att GROUP BY attributed ORDER BY attributed"""
         .stripMargin))
   )
 }

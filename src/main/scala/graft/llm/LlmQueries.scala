@@ -1657,13 +1657,14 @@ object LlmQueries {
              |ORDER BY fh""".stripMargin)),
 
     // ---- kNN graph construction (the SemDeDup/diversity-analysis
-    // primitive): top-3 cosine neighbors for a deterministic 1-in-25
-    // sample of vectors. The sample side broadcasts so scoring is
-    // map-side over the corpus — but a 1-in-25 sample is CORPUS-LINEAR,
-    // so the hint is size-gated exactly like the dedup joins: under
-    // the cap hint broadcast, over it leave the join un-hinted (AQE
-    // can still pick broadcast from real runtime sizes; the honest
-    // 100 TB plan for a linear query set is IVF/LSH bucketing, q49).
+    // primitive): top-3 cosine neighbors for a BOUNDED probe batch
+    // (1-in-25 of the first 5000 ids — constant-size at any SF, like a
+    // training mini-batch; an UNBOUNDED 1-in-25 rate makes the scan
+    // O(0.04*N^2), measured 26x per decade before the bound). The
+    // probe side broadcasts so scoring is map-side over one corpus
+    // scan; the hint stays size-gated (AQE can still pick broadcast
+    // from real runtime sizes; the honest 100 TB plan for a
+    // corpus-LINEAR query set is IVF/LSH bucketing, q49).
     // Scoring runs the native cosine_sim kernel: the interpreted HOF
     // chain measured ~8x slower on this pairwise workload ----
     Q("q92_knn_graph",
@@ -1672,7 +1673,7 @@ object LlmQueries {
         import org.apache.spark.sql.expressions.Window
         val emb = T(s, d, "embeddings")
           .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-        val sample = emb.where($"vec_id" % 25 === 0)
+        val sample = emb.where($"vec_id" % 25 === 0 && $"vec_id" < 5000L)
           .select($"vec_id".as("src"), $"v".as("qv"))
         val est = sample.queryExecution.optimizedPlan.stats.sizeInBytes
         val hinted =
@@ -1693,7 +1694,7 @@ object LlmQueries {
              |            CAST(embedding AS DOUBLE[]) AS v
              |          FROM embeddings),
              |q AS (SELECT vec_id AS src, v AS qv FROM e
-             |      WHERE vec_id % 25 = 0),
+             |      WHERE vec_id % 25 = 0 AND vec_id < 5000),
              |sc AS (SELECT q.src, e.vec_id AS dst,
              |  list_sum(list_transform(generate_series(1, 64), i ->
              |    v[CAST(i AS INT)] * qv[CAST(i AS INT)])) AS dt,
@@ -2456,7 +2457,7 @@ object LlmQueries {
         import org.apache.spark.sql.expressions.Window
         val emb = T(s, d, "embeddings")
           .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-        val sample = emb.where($"vec_id" % 25 === 0)
+        val sample = emb.where($"vec_id" % 25 === 0 && $"vec_id" < 5000L)
           .select($"vec_id".as("src"), $"v".as("qv"))
         val est = sample.queryExecution.optimizedPlan.stats.sizeInBytes
         val hinted =
@@ -2498,7 +2499,7 @@ object LlmQueries {
              |            CAST(embedding AS DOUBLE[]) AS v
              |          FROM embeddings),
              |q AS (SELECT vec_id AS src, v AS qv FROM e
-             |      WHERE vec_id % 25 = 0),
+             |      WHERE vec_id % 25 = 0 AND vec_id < 5000),
              |sc AS (SELECT q.src, e.vec_id AS dst,
              |  list_sum(list_transform(generate_series(1, 64), i ->
              |    v[CAST(i AS INT)] * qv[CAST(i AS INT)])) AS dt,
@@ -2615,7 +2616,9 @@ object LlmQueries {
     // sampled anchor, the positive is its nearest same-label
     // neighbour, the negative its nearest OTHER-label neighbour, and
     // margin = pos - neg ranks how informative the triplet is (small
-    // or negative margin = hard example). Shape: 4% anchor sample
+    // or negative margin = hard example). Shape: a BOUNDED anchor
+    // batch (1-in-25 of the first 5000 ids — constant-size at any SF,
+    // the training-mini-batch shape that keeps the scan linear in N)
     // broadcast (stats-gated, degrades to shuffle join) against one
     // candidate scan; per-(anchor, same?) top-1 via a 2|A|-partition
     // window. Scores go through the codegen'd cosine_sim kernel and
@@ -2627,7 +2630,7 @@ object LlmQueries {
         val emb = T(s, d, "embeddings")
           .select($"vec_id", $"label",
             $"embedding".cast("array<double>").as("v"))
-        val anch = emb.where($"vec_id" % 25 === 0)
+        val anch = emb.where($"vec_id" % 25 === 0 && $"vec_id" < 5000L)
           .select($"vec_id".as("anchor"), $"label".as("albl"),
             $"v".as("qv"))
         val est = anch.queryExecution.optimizedPlan.stats.sizeInBytes
@@ -2660,7 +2663,7 @@ object LlmQueries {
              |            CAST(embedding AS DOUBLE[]) AS v
              |          FROM embeddings),
              |a AS (SELECT vec_id AS anchor, label AS albl, v AS qv
-             |      FROM e WHERE vec_id % 25 = 0),
+             |      FROM e WHERE vec_id % 25 = 0 AND vec_id < 5000),
              |sc AS (SELECT a.anchor, e.vec_id,
              |  (e.label = a.albl) AS same,
              |  list_sum(list_transform(generate_series(1, 64), i ->
@@ -3210,6 +3213,63 @@ object LlmQueries {
              |  round(p.p95, 6) AS p95_v
              |FROM dist d JOIN p USING (label)
              |WHERE d.dist > p.p95
-             |ORDER BY d.vec_id""".stripMargin))
+             |ORDER BY d.vec_id""".stripMargin)),
+
+    // ---- q133: per-source distribution drift — total-variation
+    // distance between each source's unigram distribution and the
+    // corpus distribution: TV_s = sum_i |c_si*N - C_i*N_s| /
+    // (2*N_s*N). The numerators are EXACT BIGINT products summed
+    // exactly (no float probability is ever added across rows — the
+    // one double division happens once per source at the end), which
+    // sidesteps both float-sum ordering and libm (no log, unlike KL).
+    // This is the mixture-drift monitor a pipeline runs per shard.
+    // Shape: token agg -> (source x vocab) grid from two SMALL aggs
+    // (vocab-sized broadcast), one BIGINT sum per source ----
+    Q("q133_source_drift",
+      (s, d) => {
+        import s.implicits._
+        val tok = T(s, d, "documents")
+          .select($"source", explode(TextFunctions.tokens($"text"))
+            .as("tok"))
+        val cs = tok.groupBy($"source", $"tok")
+          .agg(count(lit(1)).as("c_si"))
+        val ns = tok.groupBy($"source").agg(count(lit(1)).as("n_s"))
+        val ci = tok.groupBy($"tok").agg(count(lit(1)).as("c_i"))
+        val tot = tok.agg(count(lit(1)).as("n_tot"))
+        ns.crossJoin(broadcast(ci))
+          .join(cs, Seq("source", "tok"), "left")
+          .withColumn("c_si", coalesce($"c_si", lit(0L)))
+          .crossJoin(broadcast(tot))
+          .withColumn("numer",
+            abs($"c_si" * $"n_tot" - $"c_i" * $"n_s"))
+          .groupBy($"source", $"n_s", $"n_tot")
+          .agg(sum($"numer").as("num"))
+          .select($"source", $"n_s",
+            round($"num".cast("double") /
+              (lit(2.0) * $"n_s" * $"n_tot"), 6).as("tv_dist"))
+          .orderBy($"source")
+      },
+      Some(s"""WITH tok AS (SELECT source, unnest($dTokens) AS tok
+              |            FROM documents),
+              |cs AS (SELECT source, tok, count(*) AS c_si
+              |       FROM tok GROUP BY source, tok),
+              |ns AS (SELECT source, count(*) AS n_s
+              |       FROM tok GROUP BY source),
+              |ci AS (SELECT tok, count(*) AS c_i FROM tok GROUP BY tok),
+              |tot AS (SELECT count(*) AS n_tot FROM tok),
+              |grid AS (SELECT ns.source, ns.n_s, ci.tok, ci.c_i
+              |         FROM ns, ci),
+              |j AS (SELECT g.source, g.n_s, g.c_i, t.n_tot,
+              |        coalesce(cs.c_si, 0) AS c_si
+              |      FROM grid g
+              |      LEFT JOIN cs ON cs.source = g.source
+              |                  AND cs.tok = g.tok, tot t),
+              |agg AS (SELECT source, n_s, n_tot,
+              |  sum(abs(c_si * n_tot - c_i * n_s)) AS num
+              |  FROM j GROUP BY source, n_s, n_tot)
+              |SELECT source, CAST(n_s AS BIGINT) AS n_s,
+              |  round(CAST(num AS DOUBLE) / (2.0 * n_s * n_tot), 6)
+              |    AS tv_dist
+              |FROM agg ORDER BY source""".stripMargin))
   )
 }
