@@ -41,6 +41,32 @@ class PlanSpec extends AnyFunSuite {
       s"kNN scoring should be map-side over a broadcast sample:\n$plan")
   }
 
+  test("q127 delta dedup broadcasts the delta fingerprints and never " +
+    "shuffles the base corpus") {
+    val plan = q("q127_delta_dedup").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"base-side membership probe should be a broadcast join:\n$plan")
+    // the base scan must not feed a hash-partition exchange on fp
+    // BEFORE the join (its only exchange is the tiny distinct above
+    // the broadcast probe's output)
+    assert(!plan.contains("SortMergeJoin"),
+      s"delta-vs-base must not sort-merge the corpus:\n$plan")
+  }
+
+  test("q121 triplet mining is one broadcast pass with rank-1 pruning") {
+    val plan = q("q121_triplet_mining")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"anchor batch should broadcast against one candidate scan:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=1 should prune below the window sort:\n$plan")
+    // single-pass: exactly one join over the cross product — the old
+    // pos/neg self-join shape scanned it twice
+    assert("BroadcastHashJoin".r.findAllIn(plan).size <= 1,
+      s"cross product must be scanned once:\n$plan")
+  }
+
   test("q80 dup-span pipeline hashes the corpus once (no join-back)") {
     val plan = q("q80_dup_spans").queryExecution.executedPlan.toString
     // the dup flagging must be a single-pass window count, not an
