@@ -3270,6 +3270,61 @@ object LlmQueries {
               |SELECT source, CAST(n_s AS BIGINT) AS n_s,
               |  round(CAST(num AS DOUBLE) / (2.0 * n_s * n_tot), 6)
               |    AS tv_dist
-              |FROM agg ORDER BY source""".stripMargin))
+              |FROM agg ORDER BY source""".stripMargin)),
+
+    // ---- q135: REAL video decode — the last media family goes
+    // data-plane: each row's text becomes a (2 + id%3)-frame animated
+    // GIF89a (lossless indexed encode, <= 48 colors/frame), staged to
+    // parquet, then decoded through javax.imageio's frame-sequence
+    // reader into exact per-frame channel sums. The oracle recomputes
+    // every frame's sums from the SOURCE TEXT without touching GIF
+    // bytes, so the gate proves the real multi-frame codec round trip
+    // (same construction as q107 images / q116 audio). Scale shape:
+    // encode and decode are mapPartitions over columnar binaries, one
+    // codec context per partition ----
+    Q("q135_video_decode",
+      (s, d) => {
+        import s.implicits._
+        val gifs = Multimodal.videosFromText(
+          T(s, d, "documents"), "text", "doc_id")
+        val dir = graft.TempDirs.create("graft-q135-gif")
+        gifs.write.mode("overwrite").parquet(dir)
+        Multimodal.videoFrameStats(s.read.parquet(dir), "gif",
+            "asset_id")
+          .select($"asset_id", $"frame".cast("long").as("frame"),
+            $"w".cast("long").as("w"), $"h".cast("long").as("h"),
+            $"sum_r", $"sum_g", $"sum_b")
+          .orderBy($"asset_id", $"frame")
+      },
+      Some("""WITH px AS (
+             |  SELECT doc_id, text, length(text) AS len,
+             |         4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+             |         2 + doc_id % 3 AS nf
+             |  FROM documents WHERE length(text) > 0),
+             |fr AS (
+             |  SELECT doc_id, text, len, w, h,
+             |         unnest(generate_series(0, nf - 1)) AS f
+             |  FROM px),
+             |sums AS (
+             |  SELECT doc_id, f, w, h,
+             |    list_sum(list_transform(generate_series(0, w*h - 1),
+             |      i -> unicode(text[CAST((3*i + 0 + 7*f) % len AS INT) + 1
+             |                     : CAST((3*i + 0 + 7*f) % len AS INT) + 1])
+             |           % 256)) AS sum_r,
+             |    list_sum(list_transform(generate_series(0, w*h - 1),
+             |      i -> unicode(text[CAST((3*i + 1 + 7*f) % len AS INT) + 1
+             |                     : CAST((3*i + 1 + 7*f) % len AS INT) + 1])
+             |           % 256)) AS sum_g,
+             |    list_sum(list_transform(generate_series(0, w*h - 1),
+             |      i -> unicode(text[CAST((3*i + 2 + 7*f) % len AS INT) + 1
+             |                     : CAST((3*i + 2 + 7*f) % len AS INT) + 1])
+             |           % 256)) AS sum_b
+             |  FROM fr)
+             |SELECT doc_id AS asset_id, CAST(f AS BIGINT) AS frame,
+             |  CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+             |  CAST(sum_r AS BIGINT) AS sum_r,
+             |  CAST(sum_g AS BIGINT) AS sum_g,
+             |  CAST(sum_b AS BIGINT) AS sum_b
+             |FROM sums ORDER BY asset_id, frame""".stripMargin))
   )
 }

@@ -14,11 +14,16 @@ import org.apache.spark.sql.functions._
   * source text without ever touching PNG). AUDIO decode is REAL too:
   * [[audioSampleStats]] parses RIFF/WAVE PCM through
   * `javax.sound.sampled` (in the JDK), paired with [[wavFromText]] and
-  * oracle-gated by q116 the same way. Only VIDEO decode stays STUBBED
-  * ([[decodeStub]] — no video codecs in this container): deterministic
-  * fake features keep the schema, batch shape, partitioning and typed
-  * mapPartitions signature real and testable; a production build swaps
-  * `decodeStub` for an FFI codec call and nothing else changes.
+  * oracle-gated by q116 the same way. VIDEO decode is REAL as of
+  * round 8: [[videoFrameStats]] iterates the frame sequence of
+  * animated GIF89a binaries (a true multi-frame container + LZW codec
+  * in the JDK), paired with [[videosFromText]]'s lossless indexed
+  * encode and oracle-gated by q135. [[decodeStub]] remains only as
+  * the placeholder for codec families OUTSIDE the JDK (H.264/mp4
+  * etc.): deterministic fake features keep the schema, batch shape,
+  * partitioning and typed mapPartitions signature real and testable;
+  * a production build swaps `decodeStub` for an FFI codec call and
+  * nothing else changes.
   *
   * Scale design (100 TB):
   *   - binaries stay columnar (Parquet BINARY) and are NEVER collected;
@@ -200,6 +205,126 @@ object Multimodal {
             i += 1
           }
           ImageHash(id, w, h, hash)
+        }
+      }
+  }
+
+  /** One decoded video frame's channel statistics (exact integers, so
+    * the oracle compare is drift-free). */
+  final case class VideoFrameStats(asset_id: Long, frame: Int, w: Int,
+                                   h: Int, sum_r: Long, sum_g: Long,
+                                   sum_b: Long)
+
+  /** Frame-f pixel rule shared by the GIF encoder and the q135 oracle:
+    * channel c of pixel i in frame f is the code point of
+    * `text[(3*i + c + 7*f) mod len]` masked to a byte (the 7*f offset
+    * makes every frame distinct). Same BMP/ASCII-only caveat as
+    * [[pixelByte]]. */
+  private def framePixelByte(text: String, i: Int, c: Int,
+                             f: Int): Int =
+    text.charAt((3 * i + c + 7 * f) % text.length).toInt & 0xff
+
+  /** Encode one REAL multi-frame video per row: a (2 + id%3)-frame
+    * animated GIF89a of (4 + id%5) x (3 + id%4) frames whose pixels
+    * derive from the row's text by [[framePixelByte]]. Each frame is
+    * written as an INDEXED image over its own exact color palette
+    * (<= 48 distinct colors per frame, far under GIF's 256), so the
+    * LZW encode is LOSSLESS and decode recovers exact pixel values —
+    * a real container + codec round trip through `javax.imageio`, the
+    * same move as [[imagesFromText]]/[[wavFromText]]. Interlacing is
+    * explicitly disabled: the JDK's GIF pipeline mis-rounds the
+    * 4-pass row schedule on frames shorter than 8 rows (row order
+    * comes back permuted), and progressive encoding buys nothing for
+    * thumbnail-sized frames. */
+  def videosFromText(docs: DataFrame, textCol: String, idCol: String)
+  : DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long").as("asset_id"),
+        col(textCol).cast("string").as("text"))
+      .where(length(col("text")) > 0)
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        import javax.imageio._
+        import java.awt.image.{BufferedImage, IndexColorModel}
+        // one writer per partition (codec-init amortization)
+        val wr = ImageIO.getImageWritersByFormatName("gif").next()
+        val param = wr.getDefaultWriteParam
+        param.setProgressiveMode(ImageWriteParam.MODE_DISABLED)
+        it.map { case (id, text) =>
+          val w = (4 + id % 5).toInt
+          val h = (3 + id % 4).toInt
+          val nf = (2 + id % 3).toInt
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = ImageIO.createImageOutputStream(bos)
+          wr.setOutput(ios)
+          wr.prepareWriteSequence(null)
+          var f = 0
+          while (f < nf) {
+            val n = w * h
+            val rgbs = Array.tabulate(n) { i =>
+              (framePixelByte(text, i, 0, f) << 16) |
+                (framePixelByte(text, i, 1, f) << 8) |
+                framePixelByte(text, i, 2, f)
+            }
+            val pal = rgbs.distinct
+            val idx = pal.zipWithIndex.toMap
+            val cm = new IndexColorModel(8, pal.length,
+              pal.map(p => ((p >> 16) & 0xff).toByte),
+              pal.map(p => ((p >> 8) & 0xff).toByte),
+              pal.map(p => (p & 0xff).toByte))
+            val im = new BufferedImage(w, h,
+              BufferedImage.TYPE_BYTE_INDEXED, cm)
+            var i = 0
+            while (i < n) {
+              im.getRaster.setSample(i % w, i / w, 0, idx(rgbs(i)))
+              i += 1
+            }
+            wr.writeToSequence(new IIOImage(im, null, null), param)
+            f += 1
+          }
+          wr.endWriteSequence()
+          ios.close()
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF("asset_id", "gif")
+  }
+
+  /** REAL video decode: parse each binary as an animated GIF through
+    * `javax.imageio`, iterate the frame sequence and emit exact
+    * per-frame channel sums plus decoded dimensions. mapPartitions so
+    * reader setup amortizes per partition; undecodable binaries fail
+    * loudly. */
+  def videoFrameStats(videos: DataFrame, bytesCol: String,
+                      idCol: String): Dataset[VideoFrameStats] = {
+    import videos.sparkSession.implicits._
+    videos.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        import javax.imageio._
+        val rd = ImageIO.getImageReadersByFormatName("gif").next()
+        it.flatMap { case (id, bytes) =>
+          val iis = ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            rd.setInput(iis)
+            val nf = rd.getNumImages(true)
+            require(nf > 0, s"asset $id: undecodable GIF bytes")
+            (0 until nf).map { f =>
+              val im = rd.read(f)
+              val (w, h) = (im.getWidth, im.getHeight)
+              var (sr, sg, sb) = (0L, 0L, 0L)
+              var i = 0
+              while (i < w * h) {
+                val rgb = im.getRGB(i % w, i / w)
+                sr += (rgb >> 16) & 0xff
+                sg += (rgb >> 8) & 0xff
+                sb += rgb & 0xff
+                i += 1
+              }
+              VideoFrameStats(id, f, w, h, sr, sg, sb)
+            }
+          } finally iis.close()
         }
       }
   }

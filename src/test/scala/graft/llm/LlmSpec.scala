@@ -309,6 +309,37 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: REAL animated-GIF encode/decode round trip recovers " +
+    "exact per-frame pixel sums; garbage bytes fail loudly") {
+    import Multimodal._
+    // doc_id 7 -> w 6, h 6, nf = 2 + 7%3 = 3 frames
+    val d = docs((7L, "ab"))
+    val gifs = videosFromText(d, "text", "doc_id")
+    val raw = gifs.as[(Long, Array[Byte])].head()
+    // real GIF89a magic, not a stub payload
+    assert(raw._2.take(6).map(_.toChar).mkString == "GIF89a")
+    val st = videoFrameStats(gifs, "gif", "asset_id").collect()
+      .sortBy(_.frame)
+    assert(st.length == 3)
+    assert(st.forall(s0 => (s0.w, s0.h) == (6, 6)))
+    for (f <- 0 until 3) {
+      val expected = (0 until 36).foldLeft((0L, 0L, 0L)) {
+        case ((r, g, b), i) =>
+          def px(c: Int) = "ab".charAt((3 * i + c + 7 * f) % 2).toInt & 0xff
+          (r + px(0), g + px(1), b + px(2))
+      }
+      assert((st(f).sum_r, st(f).sum_g, st(f).sum_b) == expected,
+        s"frame $f")
+    }
+    // empty text emits no video row at all
+    assert(videosFromText(docs((1L, "")), "text", "doc_id").count() == 0)
+    // undecodable binaries must throw, not count garbage as frames
+    val bad = Seq((9L, Array[Byte](1, 2, 3))).toDF("asset_id", "gif")
+    assertThrows[org.apache.spark.SparkException] {
+      videoFrameStats(bad, "gif", "asset_id").collect()
+    }
+  }
+
   test("multimodal: REAL wav encode/decode round trip recovers exact " +
     "sample sums; garbage bytes fail loudly") {
     import Multimodal._
