@@ -1435,6 +1435,61 @@ object Queries {
              |                        WHERE rk = 1) f USING (p_id))
              |SELECT attributed, CAST(count(*) AS BIGINT) AS n_purchases
              |FROM att GROUP BY attributed ORDER BY attributed"""
-        .stripMargin))
+        .stripMargin)),
+
+    // ---- STREAM-STREAM watermarked interval join (see
+    // [[graft.streaming.StreamingJoin]]): purchases and clicks read
+    // as two watermarked streams off the same time-ordered 4-batch
+    // replay, joined on user_id + a 1-hour event-time band. Ordered
+    // replay makes the streamed inner join provably equal the batch
+    // interval join (rows evict only after their whole match band is
+    // watermark-complete), so the oracle is the plain batch join in
+    // integer epoch-µs ----
+    Q("q136_stream_stream_join",
+      (s, d) => {
+        import s.implicits._
+        val ev = T(s, d, "events")
+          .select($"event_id", $"user_id", $"event_type", $"ts",
+            unix_micros($"ts").as("us"))
+        val r = ev.agg(min($"us"), max($"us")).head()
+        val (loUs, hiUs) = (r.getLong(0), r.getLong(1))
+        val span = (hiUs - loUs) / 4L + 1L
+        val cols = Seq($"event_id", $"user_id", $"event_type", $"ts")
+        val feed = graft.streaming.FeedStage.stageBatches(
+          (0 until 4).map(k => ev.where($"us" >= loUs + k * span &&
+            $"us" < loUs + (k + 1) * span).select(cols: _*)))
+        val schema =
+          "event_id BIGINT, user_id BIGINT, event_type STRING, " +
+            "ts TIMESTAMP"
+        def src() = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(feed)
+        val clicks = src().where($"event_type" === "click")
+          .select($"event_id".as("c_id"), $"user_id".as("c_user"),
+            $"ts".as("c_ts"))
+          .withWatermark("c_ts", "10 minutes")
+        val purchases = src().where($"event_type" === "purchase")
+          .select($"event_id".as("p_id"), $"user_id".as("p_user"),
+            $"ts".as("p_ts"))
+          .withWatermark("p_ts", "10 minutes")
+        val ckpt = graft.TempDirs.create("graft-q136-ckpt")
+        val outDir = graft.TempDirs.create("graft-q136-out")
+        val sq = graft.streaming.StreamingJoin
+          .purchaseClickPairs(purchases, clicks)
+          .writeStream.outputMode("append").format("parquet")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(outDir)
+        sq.awaitTermination()
+        s.read.schema("p_id BIGINT, c_id BIGINT").parquet(outDir)
+          .orderBy($"p_id", $"c_id")
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, event_type,
+             |  epoch_us(ts) AS us FROM events)
+             |SELECT p.event_id AS p_id, c.event_id AS c_id
+             |FROM ev p JOIN ev c ON c.user_id = p.user_id
+             |  AND p.event_type = 'purchase'
+             |  AND c.event_type = 'click'
+             |  AND c.us >= p.us - 3600000000 AND c.us < p.us
+             |ORDER BY p_id, c_id""".stripMargin))
   )
 }
