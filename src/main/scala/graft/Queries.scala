@@ -1448,7 +1448,11 @@ object Queries {
     Q("q136_stream_stream_join",
       (s, d) => {
         import s.implicits._
+        // stage only the two joined event types: the filter belongs in
+        // the FEED (at 100 TB/day you subscribe to the topics you
+        // join, not the whole firehose) — 2/5 of the rows replay
         val ev = T(s, d, "events")
+          .where($"event_type".isin("click", "purchase"))
           .select($"event_id", $"user_id", $"event_type", $"ts",
             unix_micros($"ts").as("us"))
         val r = ev.agg(min($"us"), max($"us")).head()
