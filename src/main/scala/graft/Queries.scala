@@ -35,19 +35,24 @@ object Queries {
     * re-provision can't break every events query at analysis time. */
   def T(s: SparkSession, dir: String, name: String): DataFrame = {
     graft.functions.GraftFunctions.register(s) // idempotent, cheap
-    if (name == "events") {
+    val loaded = if (name == "events") {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = s.read.parquet(s"$dir/$name.parquet")
       df.schema("ts").dataType match {
         case LongType => // legacy TIMESTAMP(NANOS) surfaced as raw ns long
           df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        case TimestampNTZType => // timestamp[us] without tz: align with the
-          // session-local TimestampType the rest of the suite (and the
-          // DuckDB oracle, which reads it as naive-UTC) expects
-          df.withColumn("ts", col("ts").cast(TimestampType))
-        case _ => df // TimestampType: use as-is
+        case _ => df // NTZ/instant: normalized below like any column
       }
     } else s.read.parquet(s"$dir/$name.parquet")
+    // Generalized r7 lesson: ANY timestamp column may re-provision as
+    // TIMESTAMP_NTZ (events.ts did). Normalize every NTZ column to the
+    // session-local TimestampType the suite (and the DuckDB oracle,
+    // which reads parquet as naive-UTC; session tz is pinned UTC)
+    // expects — so o_orderdate/l_shipdate can't repeat the events
+    // breakage.
+    loaded.schema.fields.filter(_.dataType == TimestampNTZType)
+      .foldLeft(loaded)((df, f) =>
+        df.withColumn(f.name, col(f.name).cast(TimestampType)))
   }
 
   /** Exact money arithmetic: double -> DECIMAL(18,4) per row (tie-free,

@@ -70,6 +70,27 @@ class ModelConformanceSpec extends AnyFunSuite {
     }
   }
 
+  /** The r7 events breakage, generalized: ANY table's timestamp column
+    * may re-provision as TIMESTAMP_NTZ. The loader must normalize every
+    * NTZ column (here: orders.o_orderdate) to TimestampType. */
+  test("Queries.T normalizes NTZ timestamp columns in every table") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val base = java.nio.file.Files.createTempDirectory("orders-enc")
+      .toFile.getAbsolutePath
+    val us = Seq(0L, 1700000000123456L)
+    us.toDF("u")
+      .select($"u".as("o_orderkey"),
+        timestamp_micros($"u").cast("timestamp_ntz").as("o_orderdate"))
+      .coalesce(1).write.parquet(s"$base/orders.parquet")
+    val df = graft.Queries.T(spark, base, "orders")
+    assert(df.schema("o_orderdate").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(df.select(unix_micros($"o_orderdate")).as[Long].collect()
+      .sorted.toSeq == us)
+  }
+
   test("osmxml relation member struct conforms to Model.memberType") {
     assertConforms(
       StructType(Seq(org.apache.spark.sql.types.StructField("m",
