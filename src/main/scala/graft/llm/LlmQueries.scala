@@ -500,7 +500,7 @@ object LlmQueries {
       Some("""WITH cents AS (
              |  SELECT row_number() OVER (ORDER BY vec_id) AS cidx,
              |         CAST(embedding AS DOUBLE[]) AS cv
-             |  FROM embeddings WHERE vec_id % 37 = 0),
+             |  FROM embeddings WHERE vec_id % 37 = 0 AND vec_id < 5000),
              |pairs AS (
              |  SELECT e.vec_id, e.embedding, c.cidx,
              |    list_sum(list_transform(generate_series(1, 64), j ->
@@ -3325,6 +3325,63 @@ object LlmQueries {
              |  CAST(sum_r AS BIGINT) AS sum_r,
              |  CAST(sum_g AS BIGINT) AS sum_g,
              |  CAST(sum_b AS BIGINT) AS sum_b
-             |FROM sums ORDER BY asset_id, frame""".stripMargin))
+             |FROM sums ORDER BY asset_id, frame""".stripMargin)),
+
+    // ---- q137: cluster-balanced coreset sampling — the diversity-
+    // preserving downselect (SemDeDup/DEDUP-then-balance shape): every
+    // vector joins its nearest IVF centroid (map-side codegen'd
+    // ivf_assign argmax over a literal centroid matrix — no shuffle of
+    // the corpus side), then each cluster contributes at most 25
+    // members chosen by salted-hash rank (q118's deterministic
+    // reservoir), so dense regions stop dominating the sample. One
+    // projection + one per-cluster window; at 100 TB the quota rank
+    // runs per cluster partition, never globally ----
+    Q("q137_coreset_sample",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val emb = T(s, d, "embeddings")
+        val cents = Similarity.ivfCentroids(emb, "embedding", "vec_id",
+          every = 37)
+        val assigned = Similarity.ivfAssign(emb, "embedding", "vec_id",
+          cents)
+        assigned.select($"vec_id", $"centroid")
+          .withColumn("rn", row_number().over(Window
+            .partitionBy($"centroid")
+            .orderBy(md5(concat(lit("graft"),
+              $"vec_id".cast("string"))), $"vec_id")).cast("long"))
+          .where($"rn" <= 25)
+          .select($"centroid".cast("long").as("cluster"), $"rn",
+            $"vec_id")
+          .orderBy($"cluster", $"rn")
+      },
+      Some("""WITH cents AS (
+             |  SELECT row_number() OVER (ORDER BY vec_id) AS cidx,
+             |         CAST(embedding AS DOUBLE[]) AS cv
+             |  FROM embeddings WHERE vec_id % 37 = 0 AND vec_id < 5000),
+             |pairs AS (
+             |  SELECT e.vec_id, c.cidx,
+             |    list_sum(list_transform(generate_series(1, 64), j ->
+             |      c.cv[CAST(j AS INT)]
+             |      * CAST(e.embedding[CAST(j AS INT)] AS DOUBLE))) AS dt,
+             |    sqrt(list_sum(list_transform(c.cv, x -> x * x))) AS nc,
+             |    sqrt(list_sum(list_transform(e.embedding, x ->
+             |      CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS ne
+             |  FROM embeddings e, cents c),
+             |assign AS (
+             |  SELECT vec_id, cidx,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY
+             |      (CASE WHEN nc = 0 OR ne = 0 THEN 0
+             |            ELSE dt / (nc * ne) END) DESC, cidx ASC) AS rk
+             |  FROM pairs),
+             |a1 AS (SELECT vec_id, cidx FROM assign WHERE rk = 1),
+             |r AS (SELECT cidx, vec_id,
+             |  CAST(row_number() OVER (PARTITION BY cidx
+             |    ORDER BY md5('graft' || CAST(vec_id AS VARCHAR)),
+             |             vec_id) AS BIGINT) AS rn
+             |  FROM a1)
+             |SELECT CAST(cidx AS BIGINT) AS cluster, rn, vec_id
+             |FROM r WHERE rn <= 25
+             |ORDER BY cluster, rn""".stripMargin))
   )
 }

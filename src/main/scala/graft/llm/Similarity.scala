@@ -185,9 +185,15 @@ object Similarity {
     * index is reproducible across engines and re-builds; the classic
     * IVF recall/speed trade is governed by `every` and `nprobe`).
     * Driver-side: O(#centroids * dim) doubles, like the query vector. */
+  /** Deterministic coarse-quantizer centroids: 1-in-`every` of the
+    * first `maxId` ids. The id bound keeps the centroid COUNT constant
+    * at any SF — an unbounded 1-in-`every` rate makes the literal
+    * centroid matrix (and the O(N*K) assignment) grow with the corpus,
+    * the same quadratic trap as unbounded anchor rates. */
   def ivfCentroids(embeddings: DataFrame, vecCol: String, idCol: String,
-                   every: Int): Seq[Seq[Double]] =
-    embeddings.where(col(idCol) % every === 0).orderBy(col(idCol))
+                   every: Int, maxId: Long = 5000L): Seq[Seq[Double]] =
+    embeddings.where(col(idCol) % every === 0 && col(idCol) < maxId)
+      .orderBy(col(idCol))
       .select(col(vecCol).cast("array<double>"))
       .collect().map(_.getSeq[Double](0)).toSeq
 
