@@ -1499,6 +1499,55 @@ object Queries {
              |  AND p.event_type = 'purchase'
              |  AND c.event_type = 'click'
              |  AND c.us >= p.us - 3600000000 AND c.us < p.us
-             |ORDER BY p_id, c_id""".stripMargin))
+             |ORDER BY p_id, c_id""".stripMargin)),
+
+    // ---- streaming bounded-state dedup (the built-in
+    // `dropDuplicatesWithinWatermark`): each micro-batch REDELIVERS
+    // the tail 20% of the previous batch — the at-least-once upstream
+    // this operator exists to absorb — and the dedup state, bounded by
+    // the watermark delay (one batch span, > the overlap), drops every
+    // redelivered row, reconstructing the original table exactly.
+    // Complements q104's custom-state dedup: there the seen-set is
+    // PERMANENT (content dedup forever), here state expires with the
+    // watermark — O(rate x delay), the right contract for transport-
+    // level dedup at 100 TB/day ----
+    Q("q138_streaming_dropdup",
+      (s, d) => {
+        import s.implicits._
+        val ev = T(s, d, "events")
+          .select($"event_id", $"ts", $"value",
+            unix_micros($"ts").as("us"))
+        val r = ev.agg(min($"us"), max($"us")).head()
+        val (loUs, hiUs) = (r.getLong(0), r.getLong(1))
+        val span = (hiUs - loUs) / 4L + 1L
+        val delayS = span / 1000000L + 1L
+        val cols = Seq($"event_id", $"ts", $"value")
+        def slice(k: Int) = ev.where($"us" >= loUs + k * span &&
+          $"us" < loUs + (k + 1) * span)
+        val batches = (0 until 4).map { k =>
+          val base = slice(k).select(cols: _*)
+          if (k == 0) base
+          else base.unionAll(ev.where(
+            $"us" >= loUs + k * span - span / 5 &&
+              $"us" < loUs + k * span).select(cols: _*))
+        }
+        val feed = graft.streaming.FeedStage.stageBatches(batches)
+        val ckpt = graft.TempDirs.create("graft-q138-ckpt")
+        val outDir = graft.TempDirs.create("graft-q138-out")
+        val sq = s.readStream
+          .schema("event_id BIGINT, ts TIMESTAMP, value DOUBLE")
+          .option("maxFilesPerTrigger", "1").parquet(feed)
+          .withWatermark("ts", s"$delayS seconds")
+          .dropDuplicatesWithinWatermark("event_id")
+          .writeStream.outputMode("append").format("parquet")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(outDir)
+        sq.awaitTermination()
+        s.read.schema("event_id BIGINT, value DOUBLE").parquet(outDir)
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, value FROM events
+             |ORDER BY event_id""".stripMargin))
   )
 }
