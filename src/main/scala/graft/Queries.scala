@@ -60,6 +60,21 @@ object Queries {
   private def moneySum(c: Column): Column =
     sum(c.cast(DecimalType(18, 4))).cast("double")
 
+  /** Equal time slices of `ev` (epoch-µs column `us`): returns
+    * (loUs, span, slice) where slice(k) is rows in
+    * [lo + k*span, lo + (k+1)*span). Shared by the streaming replay
+    * queries so the slicing arithmetic (and its empty-table guard)
+    * exists once. */
+  private def timeSlices(ev: DataFrame, nb: Int)
+  : (Long, Long, Int => DataFrame) = {
+    val r = ev.agg(min(col("us")), max(col("us"))).head()
+    require(!r.isNullAt(0), "timeSlices: empty events table")
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val span = (hi - lo) / nb + 1L
+    (lo, span, (k: Int) => ev.where(col("us") >= lo + k * span &&
+      col("us") < lo + (k + 1) * span))
+  }
+
   // =====================================================================
   // Relational core: SURVEY §2.2 (lookups/filters/projections),
   // §2.4 (joins), §2.5 (aggregations/sorts/set ops), §2.6 (functions)
@@ -1460,13 +1475,10 @@ object Queries {
           .where($"event_type".isin("click", "purchase"))
           .select($"event_id", $"user_id", $"event_type", $"ts",
             unix_micros($"ts").as("us"))
-        val r = ev.agg(min($"us"), max($"us")).head()
-        val (loUs, hiUs) = (r.getLong(0), r.getLong(1))
-        val span = (hiUs - loUs) / 4L + 1L
+        val (_, _, slice) = timeSlices(ev, 4)
         val cols = Seq($"event_id", $"user_id", $"event_type", $"ts")
         val feed = graft.streaming.FeedStage.stageBatches(
-          (0 until 4).map(k => ev.where($"us" >= loUs + k * span &&
-            $"us" < loUs + (k + 1) * span).select(cols: _*)))
+          (0 until 4).map(k => slice(k).select(cols: _*)))
         val schema =
           "event_id BIGINT, user_id BIGINT, event_type STRING, " +
             "ts TIMESTAMP"
@@ -1517,13 +1529,9 @@ object Queries {
         val ev = T(s, d, "events")
           .select($"event_id", $"ts", $"value",
             unix_micros($"ts").as("us"))
-        val r = ev.agg(min($"us"), max($"us")).head()
-        val (loUs, hiUs) = (r.getLong(0), r.getLong(1))
-        val span = (hiUs - loUs) / 4L + 1L
+        val (loUs, span, slice) = timeSlices(ev, 4)
         val delayS = span / 1000000L + 1L
         val cols = Seq($"event_id", $"ts", $"value")
-        def slice(k: Int) = ev.where($"us" >= loUs + k * span &&
-          $"us" < loUs + (k + 1) * span)
         val batches = (0 until 4).map { k =>
           val base = slice(k).select(cols: _*)
           if (k == 0) base

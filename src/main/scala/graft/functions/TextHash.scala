@@ -511,8 +511,17 @@ case class NgramJoin(tokens: Expression, n: Expression)
         if (nv >= 1) TypeCheckResult.TypeCheckSuccess
         else TypeCheckResult.TypeCheckFailure(
           s"ngram_join n must be >= 1, got $nv")
-      case other => TypeCheckResult.TypeCheckFailure(
-        s"ngram_join expects (ARRAY<STRING>, literal INT), got $other")
+      case other =>
+        // name the argument that is actually wrong
+        val detail = other match {
+          case ArrayType(StringType, _) if !n.foldable =>
+            "n must be a literal"
+          case ArrayType(StringType, _) =>
+            s"n was ${n.dataType.simpleString}, need INT"
+          case _ => s"tokens was ${other.simpleString}"
+        }
+        TypeCheckResult.TypeCheckFailure(
+          s"ngram_join expects (ARRAY<STRING>, literal INT): $detail")
     }
 
   override def eval(input: InternalRow): Any = {

@@ -1673,20 +1673,7 @@ object LlmQueries {
         import org.apache.spark.sql.expressions.Window
         val emb = T(s, d, "embeddings")
           .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-        val sample = emb.where($"vec_id" % 25 === 0 && $"vec_id" < 5000L)
-          .select($"vec_id".as("src"), $"v".as("qv"))
-        val est = sample.queryExecution.optimizedPlan.stats.sizeInBytes
-        val hinted =
-          if (est <= (64L << 20)) broadcast(sample) else sample
-        emb.select($"vec_id".as("dst"), $"v")
-          .join(hinted, $"dst" =!= $"src")
-          .select($"src", $"dst",
-            round(call_function("cosine_sim", $"v", $"qv"), 6)
-              .as("score"))
-          .withColumn("rank", row_number().over(Window
-            .partitionBy($"src")
-            .orderBy($"score".desc, $"dst".asc)).cast("long"))
-          .where($"rank" <= 3)
+        Similarity.knnEdges(emb, 3)
           .select($"src", $"rank", $"dst", $"score")
           .orderBy($"src", $"rank")
       },
@@ -1973,7 +1960,8 @@ object LlmQueries {
         // in-memory column handed straight back
         val dir = graft.TempDirs.create("graft-q107-png")
         pngs.write.mode("overwrite").parquet(dir)
-        Multimodal.imageChannelStats(s.read.parquet(dir), "png",
+        Multimodal.imageChannelStats(
+          s.read.schema("asset_id BIGINT, png BINARY").parquet(dir), "png",
             "asset_id")
           .select($"asset_id", $"w".cast("long").as("w"),
             $"h".cast("long").as("h"), $"sum_r", $"sum_g", $"sum_b")
@@ -2316,7 +2304,8 @@ object LlmQueries {
         // in-memory column handed straight back
         val dir = graft.TempDirs.create("graft-q116-wav")
         wavs.write.mode("overwrite").parquet(dir)
-        Multimodal.audioSampleStats(s.read.parquet(dir), "wav",
+        Multimodal.audioSampleStats(
+          s.read.schema("asset_id BIGINT, wav BINARY").parquet(dir), "wav",
             "asset_id")
           .toDF()
           .orderBy($"asset_id")
@@ -2457,20 +2446,7 @@ object LlmQueries {
         import org.apache.spark.sql.expressions.Window
         val emb = T(s, d, "embeddings")
           .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-        val sample = emb.where($"vec_id" % 25 === 0 && $"vec_id" < 5000L)
-          .select($"vec_id".as("src"), $"v".as("qv"))
-        val est = sample.queryExecution.optimizedPlan.stats.sizeInBytes
-        val hinted =
-          if (est <= (64L << 20)) broadcast(sample) else sample
-        val edges = emb.select($"vec_id".as("dst"), $"v")
-          .join(hinted, $"dst" =!= $"src")
-          .select($"src", $"dst",
-            round(call_function("cosine_sim", $"v", $"qv"), 6)
-              .as("score"))
-          .withColumn("rank", row_number().over(Window
-            .partitionBy($"src")
-            .orderBy($"score".desc, $"dst".asc)))
-          .where($"rank" <= 3)
+        val edges = Similarity.knnEdges(emb, 3)
           .select($"src", $"dst")
           .localCheckpoint(eager = true) // 3 consumers per iteration x
                                          // 3 iterations: cut the lineage
@@ -2630,7 +2606,8 @@ object LlmQueries {
         val emb = T(s, d, "embeddings")
           .select($"vec_id", $"label",
             $"embedding".cast("array<double>").as("v"))
-        val anch = emb.where($"vec_id" % 25 === 0 && $"vec_id" < 5000L)
+        val anch = emb.where($"vec_id" % 25 === 0 &&
+            $"vec_id" < Similarity.MaxAnchorId)
           .select($"vec_id".as("anchor"), $"label".as("albl"),
             $"v".as("qv"))
         val est = anch.queryExecution.optimizedPlan.stats.sizeInBytes
@@ -2828,7 +2805,9 @@ object LlmQueries {
           T(s, d, "documents"), "text", "doc_id")
         val dir = graft.TempDirs.create("graft-q126-png")
         pngs.write.mode("overwrite").parquet(dir)
-        Multimodal.imageAHash(s.read.parquet(dir), "png", "asset_id")
+        Multimodal.imageAHash(
+          s.read.schema("asset_id BIGINT, png BINARY").parquet(dir),
+          "png", "asset_id")
           .groupBy($"w", $"h", $"ahash")
           .agg(min($"asset_id").as("keep_id"),
             count(lit(1)).as("n_imgs"))
@@ -3289,7 +3268,8 @@ object LlmQueries {
           T(s, d, "documents"), "text", "doc_id")
         val dir = graft.TempDirs.create("graft-q135-gif")
         gifs.write.mode("overwrite").parquet(dir)
-        Multimodal.videoFrameStats(s.read.parquet(dir), "gif",
+        Multimodal.videoFrameStats(
+          s.read.schema("asset_id BIGINT, gif BINARY").parquet(dir), "gif",
             "asset_id")
           .select($"asset_id", $"frame".cast("long").as("frame"),
             $"w".cast("long").as("w"), $"h".cast("long").as("h"),

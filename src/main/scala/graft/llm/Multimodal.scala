@@ -251,9 +251,11 @@ object Multimodal {
         val param = wr.getDefaultWriteParam
         param.setProgressiveMode(ImageWriteParam.MODE_DISABLED)
         it.map { case (id, text) =>
-          val w = (4 + id % 5).toInt
-          val h = (3 + id % 4).toInt
-          val nf = (2 + id % 3).toInt
+          // floorMod: a negative id must not yield zero/negative
+          // dimensions or frame counts (same hardening as wavFromText)
+          val w = (4 + math.floorMod(id, 5L)).toInt
+          val h = (3 + math.floorMod(id, 4L)).toInt
+          val nf = (2 + math.floorMod(id, 3L)).toInt
           val bos = new java.io.ByteArrayOutputStream()
           val ios = ImageIO.createImageOutputStream(bos)
           wr.setOutput(ios)

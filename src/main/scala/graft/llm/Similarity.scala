@@ -56,6 +56,38 @@ object Similarity {
       .limit(k)
   }
 
+  /** Anchor/probe-batch id bound shared by q92/q119/q121 (and the IVF
+    * centroid default): 1-in-25 of ids below this is a CONSTANT-size
+    * batch at any SF, keeping anchor-vs-corpus scans corpus-linear.
+    * Must match the literal in those queries' oracle SQL. */
+  val MaxAnchorId = 5000L
+
+  /** Bounded-probe-batch kNN edges: top-`k` cosine neighbours (rank
+    * 1..k, 6-dp rounded score, ties to smallest dst) for each anchor
+    * (1-in-25 of the first [[MaxAnchorId]] ids) against the whole
+    * corpus. The anchor side broadcasts when its stats fit the hint
+    * cap; scoring is the codegen'd `cosine_sim` kernel, one corpus
+    * scan. `emb` must have columns (vec_id, v: array<double>).
+    * Shared by q92 (the edges ARE the result) and q119 (PageRank runs
+    * on them) so the graph definition cannot drift between the two. */
+  def knnEdges(emb: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sample = emb
+      .where(col("vec_id") % 25 === 0 && col("vec_id") < MaxAnchorId)
+      .select(col("vec_id").as("src"), col("v").as("qv"))
+    val est = sample.queryExecution.optimizedPlan.stats.sizeInBytes
+    val hinted = if (est <= (64L << 20)) broadcast(sample) else sample
+    emb.select(col("vec_id").as("dst"), col("v"))
+      .join(hinted, col("dst") =!= col("src"))
+      .select(col("src"), col("dst"),
+        round(call_function("cosine_sim", col("v"), col("qv")), 6)
+          .as("score"))
+      .withColumn("rank", row_number().over(Window
+        .partitionBy(col("src"))
+        .orderBy(col("score").desc, col("dst").asc)).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** Maximal-marginal-relevance greedy re-rank over a SKETCH-SIZED
     * candidate pool: step t picks argmax(lam*rel - mu*maxSimToSelected),
     * ties to the smallest id. The pool (<= ~20 rows) is selected
