@@ -1494,15 +1494,7 @@ object Queries {
           .withWatermark("p_ts", "10 minutes")
         val ckpt = graft.TempDirs.create("graft-q136-ckpt")
         val outDir = graft.TempDirs.create("graft-q136-out")
-        // Deliberate state-partition sizing: a stream-stream join
-        // keeps 4 state stores PER partition PER micro-batch; at this
-        // key cardinality 32 partitions is pure store-commit overhead.
-        // Production sizes this to throughput (state partitions are
-        // pinned by the checkpoint on first run); restore the session
-        // value afterwards so batch queries keep theirs.
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        val sq = try {
-          s.conf.set("spark.sql.shuffle.partitions", "8")
+        val sq = graft.streaming.StatePartitions.sized(s, 8) {
           graft.streaming.StreamingJoin
             .purchaseClickPairs(purchases, clicks)
             .writeStream.outputMode("append").format("parquet")
@@ -1510,7 +1502,7 @@ object Queries {
             .trigger(
               org.apache.spark.sql.streaming.Trigger.AvailableNow())
             .start(outDir)
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        }
         sq.awaitTermination()
         s.read.schema("p_id BIGINT, c_id BIGINT").parquet(outDir)
           .orderBy($"p_id", $"c_id")
@@ -1553,15 +1545,18 @@ object Queries {
         val feed = graft.streaming.FeedStage.stageBatches(batches)
         val ckpt = graft.TempDirs.create("graft-q138-ckpt")
         val outDir = graft.TempDirs.create("graft-q138-out")
-        val sq = s.readStream
-          .schema("event_id BIGINT, ts TIMESTAMP, value DOUBLE")
-          .option("maxFilesPerTrigger", "1").parquet(feed)
-          .withWatermark("ts", s"$delayS seconds")
-          .dropDuplicatesWithinWatermark("event_id")
-          .writeStream.outputMode("append").format("parquet")
-          .option("checkpointLocation", ckpt)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start(outDir)
+        val sq = graft.streaming.StatePartitions.sized(s, 8) {
+          s.readStream
+            .schema("event_id BIGINT, ts TIMESTAMP, value DOUBLE")
+            .option("maxFilesPerTrigger", "1").parquet(feed)
+            .withWatermark("ts", s"$delayS seconds")
+            .dropDuplicatesWithinWatermark("event_id")
+            .writeStream.outputMode("append").format("parquet")
+            .option("checkpointLocation", ckpt)
+            .trigger(
+              org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start(outDir)
+        }
         sq.awaitTermination()
         s.read.schema("event_id BIGINT, value DOUBLE").parquet(outDir)
           .orderBy($"event_id")

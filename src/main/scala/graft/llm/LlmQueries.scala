@@ -1882,12 +1882,15 @@ object LlmQueries {
         val stream = s.readStream
           .schema("doc_id BIGINT, text STRING")
           .option("maxFilesPerTrigger", "1").parquet(feed)
-        val sq = graft.streaming.StreamingDedup
-          .keepers(stream, "text", "doc_id")
-          .writeStream.outputMode("append").format("parquet")
-          .option("checkpointLocation", ckpt)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start(outDir)
+        val sq = graft.streaming.StatePartitions.sized(s, 8) {
+          graft.streaming.StreamingDedup
+            .keepers(stream, "text", "doc_id")
+            .writeStream.outputMode("append").format("parquet")
+            .option("checkpointLocation", ckpt)
+            .trigger(
+              org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start(outDir)
+        }
         sq.awaitTermination()
         s.read.schema("fingerprint STRING, keep_id BIGINT")
           .parquet(outDir)
@@ -1924,13 +1927,16 @@ object LlmQueries {
         val stream = s.readStream
           .schema("doc_id BIGINT, text STRING")
           .option("maxFilesPerTrigger", "1").parquet(feed)
-        val sq = graft.streaming.StreamingNearDup
-          .candidatePairs(stream, "text", "doc_id",
-            maxBucket = graft.llm.Dedup.DefaultMaxBucket)
-          .writeStream.outputMode("append").format("parquet")
-          .option("checkpointLocation", ckpt)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start(outDir)
+        val sq = graft.streaming.StatePartitions.sized(s, 8) {
+          graft.streaming.StreamingNearDup
+            .candidatePairs(stream, "text", "doc_id",
+              maxBucket = graft.llm.Dedup.DefaultMaxBucket)
+            .writeStream.outputMode("append").format("parquet")
+            .option("checkpointLocation", ckpt)
+            .trigger(
+              org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start(outDir)
+        }
         sq.awaitTermination()
         s.read.schema("a BIGINT, b BIGINT, band INT").parquet(outDir)
           .select($"a", $"b").dropDuplicates("a", "b")
@@ -3065,12 +3071,15 @@ object LlmQueries {
         val stream = s.readStream
           .schema("doc_id BIGINT, source STRING, text STRING")
           .option("maxFilesPerTrigger", "1").parquet(feed)
-        val sq = graft.streaming.StreamingSketch
-          .distinctBySource(stream, "text", "source")
-          .writeStream.outputMode("append").format("parquet")
-          .option("checkpointLocation", ckpt)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start(outDir)
+        val sq = graft.streaming.StatePartitions.sized(s, 8) {
+          graft.streaming.StreamingSketch
+            .distinctBySource(stream, "text", "source")
+            .writeStream.outputMode("append").format("parquet")
+            .option("checkpointLocation", ckpt)
+            .trigger(
+              org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start(outDir)
+        }
         sq.awaitTermination()
         val ests = s.read
           .schema("source STRING, n_seen BIGINT, estimate DOUBLE")

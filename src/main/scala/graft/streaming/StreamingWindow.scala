@@ -45,7 +45,7 @@ object StreamingWindow {
     val stream = spark.readStream
       .schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
       .option("maxFilesPerTrigger", "1").parquet(feed)
-    val sq = stream
+    val sq = StatePartitions.sized(spark, 8) { stream
       .withWatermark("ts", s"$delaySec seconds")
       .groupBy(window(col("ts"), s"$windowSec seconds"),
         col("event_type"))
@@ -57,6 +57,7 @@ object StreamingWindow {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start(outDir)
+    }
     sq.awaitTermination()
     spark.read
       .schema("win_start TIMESTAMP, event_type STRING, n BIGINT, " +
@@ -86,7 +87,7 @@ object StreamingWindow {
     val stream = spark.readStream
       .schema("ts TIMESTAMP, user_id BIGINT, value DOUBLE")
       .option("maxFilesPerTrigger", "1").parquet(feed)
-    val sq = stream
+    val sq = StatePartitions.sized(spark, 8) { stream
       .withWatermark("ts", s"$delaySec seconds")
       .groupBy(col("user_id"),
         session_window(col("ts"), s"$gapSec seconds"))
@@ -100,6 +101,7 @@ object StreamingWindow {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start(outDir)
+    }
     sq.awaitTermination()
     spark.read
       .schema("user_id BIGINT, session_start TIMESTAMP, " +
