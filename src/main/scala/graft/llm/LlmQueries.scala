@@ -3371,6 +3371,54 @@ object LlmQueries {
              |  FROM a1)
              |SELECT CAST(cidx AS BIGINT) AS cluster, rn, vec_id
              |FROM r WHERE rn <= 25
-             |ORDER BY cluster, rn""".stripMargin))
+             |ORDER BY cluster, rn""".stripMargin)),
+
+    // ---- q139: deterministic weighted resampling (systematic
+    // sampling) — the epoch-mixing step that up/down-samples sources
+    // by weight (here w = 1 + srcnum%3) WITHOUT randomness or libm:
+    // lay the integer weights end-to-end (Curate.tokenStarts — the
+    // scalable two-phase prefix scan, not a one-partition global
+    // window), drop N evenly spaced picks onto the cumulative line,
+    // and a doc's multiplicity is the exact integer count of picks in
+    // its interval: min(N, ceil((start+w)*N/W)) - min(N,
+    // ceil(start*N/W)). Exactly N rows are emitted in total,
+    // Σw-proportional per doc, reproducible at any partitioning.
+    // (start*N fits BIGINT through sf100; DECIMAL beyond) ----
+    Q("q139_weighted_resample",
+      (s, d) => {
+        import s.implicits._
+        val docs = T(s, d, "documents")
+        val wt = (lit(1) +
+          substring($"source", 4, 10).cast("int") % 3).cast("long")
+        val st = Curate.tokenStarts(
+          docs.select($"doc_id", $"source"), "doc_id", wt)
+        val tot = st.agg(count(lit(1)).as("n"), sum($"tok").as("tw"))
+        st.crossJoin(broadcast(tot))
+          .withColumn("n_picks", expr(
+            "least(n, ((start + tok) * n + tw - 1) div tw)" +
+              " - least(n, (start * n + tw - 1) div tw)"))
+          .where($"n_picks" > 0)
+          .join(docs.select($"doc_id", $"source"), "doc_id")
+          .select($"doc_id", $"source", $"tok".as("wt"), $"n_picks")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, source,
+             |  1 + CAST(substr(source, 4, 10) AS INT) % 3 AS wt
+             |  FROM documents),
+             |c AS (SELECT doc_id, source, wt,
+             |  coalesce(sum(wt) OVER (ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |    0) AS start
+             |  FROM w),
+             |t AS (SELECT count(*) AS n, sum(wt) AS tw FROM w),
+             |p AS (SELECT c.doc_id, c.source, c.wt,
+             |  least(t.n, ((c.start + c.wt) * t.n + t.tw - 1) // t.tw)
+             |  - least(t.n, (c.start * t.n + t.tw - 1) // t.tw)
+             |    AS n_picks
+             |  FROM c, t)
+             |SELECT doc_id, source, CAST(wt AS BIGINT) AS wt,
+             |  CAST(n_picks AS BIGINT) AS n_picks
+             |FROM p WHERE n_picks > 0 ORDER BY doc_id"""
+        .stripMargin))
   )
 }
