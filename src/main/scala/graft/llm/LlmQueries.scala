@@ -3419,6 +3419,97 @@ object LlmQueries {
              |SELECT doc_id, source, CAST(wt AS BIGINT) AS wt,
              |  CAST(n_picks AS BIGINT) AS n_picks
              |FROM p WHERE n_picks > 0 ORDER BY doc_id"""
-        .stripMargin))
+        .stripMargin)),
+
+    // ---- q140: feature hashing (the hashing trick) — the stateless
+    // featurizer that turns text into a fixed-width sparse count
+    // vector with NO vocabulary to build, broadcast, or version:
+    // dim(t) = md5_32(t) mod 64. Emits the sparse (doc, dim, count)
+    // relation plus the exact-integer L2 norm. One explode + one
+    // hash-agg; at 100 TB the vocabulary table a CountVectorizer
+    // would need simply doesn't exist — that absence IS the operator ----
+    Q("q140_feature_hashing",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val f = T(s, d, "documents")
+          .select($"doc_id",
+            explode(TextFunctions.tokens($"text")).as("t"))
+          .withColumn("dim",
+            (TextFunctions.tokenHash32($"t") % 64).cast("long"))
+          .groupBy($"doc_id", $"dim").agg(count(lit(1)).as("cnt"))
+        f.withColumn("l2", round(sqrt(
+            sum($"cnt" * $"cnt").over(Window.partitionBy($"doc_id"))
+              .cast("double")), 6))
+          .orderBy($"doc_id", $"dim")
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($dTokens) AS t
+              |            FROM documents),
+              |f AS (SELECT doc_id,
+              |  CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT)
+              |    % 64 AS dim,
+              |  count(*) AS cnt
+              |  FROM tok GROUP BY 1, 2),
+              |n AS (SELECT doc_id,
+              |  round(sqrt(CAST(sum(cnt*cnt) AS DOUBLE)), 6) AS l2
+              |  FROM f GROUP BY doc_id)
+              |SELECT f.doc_id, CAST(f.dim AS BIGINT) AS dim,
+              |  CAST(f.cnt AS BIGINT) AS cnt, n.l2
+              |FROM f JOIN n USING (doc_id)
+              |ORDER BY f.doc_id, f.dim""".stripMargin)),
+
+    // ---- q141: LSH band-configuration tuning report — before
+    // committing an expensive dedup pass, measure each (bands x rows)
+    // split of the 16-entry signature: collision buckets, candidate
+    // pairs, worst bucket. Pair counts come from BUCKET SIZES
+    // (sum m*(m-1)/2), never materialized pairs, so the report is
+    // safe to run on any corpus — including ones whose 2x8 config
+    // would explode an actual pair join. Three cheap aggs over one
+    // signature projection ----
+    Q("q141_lsh_tuning",
+      (s, d) => {
+        import s.implicits._
+        val sigs = T(s, d, "documents")
+          .select($"doc_id",
+            TextFunctions.minhashSignature($"text", 16).as("sig"))
+          .where($"sig".isNotNull)
+        val per = Seq((2, 8), (4, 4), (8, 2)).map { case (b, r) =>
+          sigs.select($"doc_id",
+              posexplode(TextFunctions.lshBands($"sig", b, r)))
+            .groupBy($"pos", $"col").agg(count(lit(1)).as("m"))
+            .where($"m" >= 2)
+            .agg(count(lit(1)).as("n_buckets"),
+              coalesce(sum(expr("(m * (m - 1)) div 2")), lit(0L))
+                .as("n_pairs"),
+              coalesce(max($"m"), lit(0L)).as("max_bucket"))
+            .select(lit(s"${b}x$r").as("config"), $"n_buckets",
+              $"n_pairs", $"max_bucket")
+        }
+        per.reduce(_ unionAll _).orderBy($"config")
+      },
+      Some {
+        val cfg = Seq((2, 8), (4, 4), (8, 2)).map { case (b, r) =>
+          s"""SELECT '${b}x$r' AS config,
+             |  CAST(count(*) AS BIGINT) AS n_buckets,
+             |  coalesce(CAST(sum((m * (m - 1)) // 2) AS BIGINT), 0)
+             |    AS n_pairs,
+             |  coalesce(CAST(max(m) AS BIGINT), 0) AS max_bucket
+             |FROM (
+             |  SELECT band, bkey, count(*) AS m FROM (
+             |    SELECT s.doc_id, bb.band,
+             |      md5(array_to_string(list_transform(
+             |        sig[CAST(bb.band * $r + 1 AS INT)
+             |            : CAST(bb.band * $r + $r AS INT)],
+             |        x -> CAST(x AS VARCHAR)), '|')) AS bkey
+             |    FROM s, (SELECT unnest(generate_series(0, ${b - 1}))
+             |             AS band) bb)
+             |  GROUP BY band, bkey HAVING count(*) >= 2)""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH h0 AS (SELECT doc_id, $dHashes AS h FROM documents),
+           |s AS (SELECT doc_id, $dSig AS sig
+           |      FROM h0 WHERE len(h) > 0)
+           |$cfg
+           |ORDER BY config""".stripMargin
+      })
   )
 }
