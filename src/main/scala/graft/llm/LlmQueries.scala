@@ -3510,6 +3510,83 @@ object LlmQueries {
            |      FROM h0 WHERE len(h) > 0)
            |$cfg
            |ORDER BY config""".stripMargin
-      })
+      }),
+
+    // ---- q142: chunk-reassembly ROUND-TRIP gate — the inverse
+    // operator of q75's overlapped chunking, and the audit a RAG
+    // pipeline runs to prove its chunk store is lossless: re-derive
+    // each document from its (64-token window, 48 stride) chunks by
+    // keeping chunk 0 whole and dropping every later chunk's 16-token
+    // overlap, then hash-compare against the original token stream.
+    // (The chunking formula guarantees the last chunk is > 16 tokens,
+    // so every chunk contributes.) Same gate family as the q38/q52
+    // format round trips, applied to a curation operator ----
+    Q("q142_chunk_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        val (win, stride) = (64, 48)
+        val ov = win - stride
+        val base = T(s, d, "documents")
+          .select($"doc_id", TextFunctions.tokens($"text").as("toks"))
+          .withColumn("n", size($"toks")).where($"n" > 0)
+        val parts = base
+          .withColumn("nchunks",
+            when($"n" <= win, lit(1L)).otherwise(
+              floor(($"n" - win + stride - 1) / lit(stride))
+                .cast("long") + 1L))
+          .withColumn("chunk_id",
+            explode(sequence(lit(0L), $"nchunks" - 1)))
+          .select($"doc_id", $"chunk_id",
+            slice($"toks", ($"chunk_id" * stride + 1).cast("int"),
+              lit(win)).as("ctoks"))
+          .select($"doc_id", $"chunk_id",
+            when($"chunk_id" === 0, $"ctoks")
+              .otherwise(expr(
+                s"slice(ctoks, ${ov + 1}, size(ctoks) - $ov)"))
+              .as("part"))
+        val rejoined = parts.groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            md5(concat_ws(" ", flatten(transform(
+              array_sort(collect_list(struct($"chunk_id", $"part"))),
+              x => x("part"))))).as("rejoin_md5"))
+        base.select($"doc_id",
+            md5(concat_ws(" ", $"toks")).as("orig_md5"))
+          .join(rejoined, "doc_id")
+          .select($"doc_id", $"n_chunks", $"orig_md5", $"rejoin_md5",
+            ($"orig_md5" === $"rejoin_md5").as("ok"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, $dTokens AS t
+              |           FROM documents),
+              |n AS (SELECT doc_id, t, len(t) AS n FROM tk
+              |      WHERE len(t) > 0),
+              |c AS (SELECT doc_id, t, n,
+              |  CASE WHEN n <= 64 THEN 1
+              |       ELSE (n - 64 + 47) // 48 + 1 END AS nchunks
+              |  FROM n),
+              |e AS (SELECT doc_id, t, n,
+              |  CAST(unnest(generate_series(0, nchunks - 1)) AS BIGINT)
+              |    AS chunk_id
+              |  FROM c),
+              |ch AS (SELECT doc_id, chunk_id,
+              |  t[CAST(chunk_id * 48 + 1 AS INT)
+              |    : CAST(least(chunk_id * 48 + 64, n) AS INT)]
+              |    AS ctoks
+              |  FROM e),
+              |p AS (SELECT doc_id, chunk_id,
+              |  CASE WHEN chunk_id = 0 THEN ctoks
+              |       ELSE ctoks[17:len(ctoks)] END AS part
+              |  FROM ch),
+              |r AS (SELECT doc_id,
+              |  CAST(count(*) AS BIGINT) AS n_chunks,
+              |  md5(array_to_string(flatten(
+              |    list(part ORDER BY chunk_id)), ' ')) AS rejoin_md5
+              |  FROM p GROUP BY doc_id)
+              |SELECT n.doc_id, r.n_chunks,
+              |  md5(array_to_string(n.t, ' ')) AS orig_md5,
+              |  r.rejoin_md5,
+              |  md5(array_to_string(n.t, ' ')) = r.rejoin_md5 AS ok
+              |FROM n JOIN r USING (doc_id)
+              |ORDER BY n.doc_id""".stripMargin))
   )
 }
