@@ -1332,6 +1332,44 @@ object OsmQueries {
              |SELECT target_id, CAST(seqnum AS BIGINT) AS seqnum,
              |  printf('%03d/%03d/%03d', seqnum // 1000000,
              |         (seqnum // 1000) % 1000, seqnum % 1000) AS repl_path
-             |FROM resolved ORDER BY target_id""".stripMargin))
+             |FROM resolved ORDER BY target_id""".stripMargin)),
+
+    // ---- q143: taginfo-style tag statistics — the OSM ecosystem's
+    // standard corpus report (taginfo.openstreetmap.org): per tag KEY,
+    // how many elements use it and how many distinct values it takes,
+    // across nodes + ways + relations. The open-schema MapType makes
+    // this one explode + one hash-agg; the reference leaves tags
+    // uninterpreted (docs/MANUAL.md:55), so this is the consumer-side
+    // report its users run. The oracle re-parses the mirrored
+    // 'k=v;k=v' tag strings ----
+    Q("q143_taginfo",
+      (s, d) => {
+        import s.implicits._
+        val t = SyntheticOsm.materialized(s, d)
+        def kv(df: org.apache.spark.sql.DataFrame) =
+          df.select(explode($"tags")).toDF("k", "v")
+        kv(t.nodes).unionAll(kv(t.ways)).unionAll(kv(t.relations))
+          .groupBy($"k")
+          .agg(count(lit(1)).as("n_uses"),
+            countDistinct($"v").as("n_values"))
+          .orderBy($"n_uses".desc, $"k")
+      },
+      Some(s"""WITH $dOsmCtes,
+              |kvs AS (
+              |  SELECT split_part(x, '=', 1) AS k,
+              |         split_part(x, '=', 2) AS v
+              |  FROM (SELECT unnest(string_split(tags_s, ';')) AS x
+              |        FROM onodes
+              |        UNION ALL
+              |        SELECT unnest(string_split(tags_s, ';'))
+              |        FROM oways
+              |        UNION ALL
+              |        SELECT unnest(string_split(tags_s, ';'))
+              |        FROM orelations)
+              |  WHERE x != '')
+              |SELECT k, CAST(count(*) AS BIGINT) AS n_uses,
+              |  CAST(count(DISTINCT v) AS BIGINT) AS n_values
+              |FROM kvs GROUP BY k ORDER BY n_uses DESC, k"""
+        .stripMargin))
   )
 }
