@@ -1562,6 +1562,48 @@ object Queries {
           .orderBy($"event_id")
       },
       Some("""SELECT event_id, value FROM events
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // ---- SCD type-2 history build: collapse each user's event
+    // stream into status VALIDITY INTERVALS — a new row only when the
+    // status (event_type) actually changes, valid_to = next change's
+    // timestamp (NULL while current). The slowly-changing-dimension
+    // shape every warehouse maintains; two windows over one co-keyed
+    // shuffle on user_id, timestamps kept as exact epoch-µs BIGINTs ----
+    Q("q145_scd2_history",
+      (s, d) => {
+        import s.implicits._
+        val ev = T(s, d, "events")
+          .select($"user_id", $"event_type".as("status"),
+            unix_micros($"ts").as("tus"), $"event_id")
+        val w = Window.partitionBy($"user_id")
+          .orderBy($"tus", $"event_id")
+        val changes = ev
+          .withColumn("prev", lag($"status", 1).over(w))
+          .where($"prev".isNull || $"prev" =!= $"status")
+        val wc = Window.partitionBy($"user_id")
+          .orderBy($"tus", $"event_id")
+        changes
+          .withColumn("seq", row_number().over(wc).cast("long"))
+          .withColumn("valid_to", lead($"tus", 1).over(wc))
+          .select($"user_id", $"seq", $"status",
+            $"tus".as("valid_from"), $"valid_to")
+          .orderBy($"user_id", $"seq")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type AS status,
+             |  epoch_us(ts) AS tus, event_id FROM events),
+             |ch AS (SELECT user_id, status, tus, event_id,
+             |  lag(status) OVER (PARTITION BY user_id
+             |    ORDER BY tus, event_id) AS prev
+             |  FROM ev),
+             |c2 AS (SELECT user_id, status, tus, event_id FROM ch
+             |       WHERE prev IS NULL OR prev != status)
+             |SELECT user_id,
+             |  CAST(row_number() OVER (PARTITION BY user_id
+             |    ORDER BY tus, event_id) AS BIGINT) AS seq,
+             |  status, tus AS valid_from,
+             |  lead(tus) OVER (PARTITION BY user_id
+             |    ORDER BY tus, event_id) AS valid_to
+             |FROM c2 ORDER BY user_id, seq""".stripMargin))
   )
 }

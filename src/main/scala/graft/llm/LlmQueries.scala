@@ -3587,6 +3587,63 @@ object LlmQueries {
               |  r.rejoin_md5,
               |  md5(array_to_string(n.t, ' ')) = r.rejoin_md5 AS ok
               |FROM n JOIN r USING (doc_id)
-              |ORDER BY n.doc_id""".stripMargin))
+              |ORDER BY n.doc_id""".stripMargin)),
+
+    // ---- q144: Z-order layout bucketing — the multi-dimension
+    // clustering step behind skip-index pruning (Delta/Iceberg
+    // OPTIMIZE ZORDER): interleave the bits of two column values
+    // (n_chars, token count) into one sort key, rank the corpus on it
+    // with the SCALABLE two-phase prefix scan (tokenStarts with
+    // weight 1 — a global ntile window would run on one partition),
+    // cut 32 equal buckets, and report each bucket's min/max
+    // envelope on BOTH dimensions — the stats a reader prunes on.
+    // All integer arithmetic; ranks tie-break on doc_id via a
+    // composite key (doc_id fits 20 bits through sf100) ----
+    Q("q144_zorder_layout",
+      (s, d) => {
+        import s.implicits._
+        val docs = T(s, d, "documents")
+          .select($"doc_id",
+            ($"n_chars" % 65536).cast("long").as("x"),
+            (size(TextFunctions.tokens($"text")) % 65536).cast("long")
+              .as("y"))
+        val keyed = docs.withColumn("zkey", expr(
+            "aggregate(sequence(0, 15), 0L, (acc, j) -> acc" +
+              " + shiftleft(shiftright(x, j) & 1, 2 * j)" +
+              " + shiftleft(shiftright(y, j) & 1, 2 * j + 1))"))
+          .withColumn("zu",
+            shiftleft($"zkey", 20) + $"doc_id")
+        val ranked = Curate.tokenStarts(keyed, "zu", lit(1L))
+          .join(keyed, "zu")
+        val tot = ranked.agg(count(lit(1)).as("n"))
+        ranked.crossJoin(broadcast(tot))
+          .withColumn("bucket", expr("(start * 32) div n"))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            min($"x").as("min_chars"), max($"x").as("max_chars"),
+            min($"y").as("min_toks"), max($"y").as("max_toks"))
+          .orderBy($"bucket")
+      },
+      Some(s"""WITH dxy AS (SELECT doc_id,
+              |  CAST(n_chars % 65536 AS BIGINT) AS x,
+              |  CAST(len($dTokens) % 65536 AS BIGINT) AS y
+              |  FROM documents),
+              |z AS (SELECT doc_id, x, y,
+              |  CAST(list_sum(list_transform(generate_series(0, 15),
+              |    j -> (((x >> CAST(j AS INT)) & 1)
+              |            << CAST(2*j AS INT))
+              |       + (((y >> CAST(j AS INT)) & 1)
+              |            << CAST(2*j + 1 AS INT)))) AS BIGINT)
+              |    AS zkey
+              |  FROM dxy),
+              |r AS (SELECT x, y,
+              |  row_number() OVER (ORDER BY zkey, doc_id) - 1 AS rk
+              |  FROM z),
+              |t AS (SELECT count(*) AS n FROM r)
+              |SELECT CAST((r.rk * 32) // t.n AS BIGINT) AS bucket,
+              |  CAST(count(*) AS BIGINT) AS n_docs,
+              |  min(x) AS min_chars, max(x) AS max_chars,
+              |  min(y) AS min_toks, max(y) AS max_toks
+              |FROM r, t GROUP BY 1 ORDER BY bucket""".stripMargin))
   )
 }
