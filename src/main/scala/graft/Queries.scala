@@ -1604,6 +1604,72 @@ object Queries {
              |  status, tus AS valid_from,
              |  lead(tus) OVER (PARTITION BY user_id
              |    ORDER BY tus, event_id) AS valid_to
-             |FROM c2 ORDER BY user_id, seq""".stripMargin))
+             |FROM c2 ORDER BY user_id, seq""".stripMargin)),
+
+    // ---- frequent itemset mining (the A-priori pair pass) over
+    // sessionized behavior: which event-type PAIRS co-occur in the
+    // same session, with support = co-sessions / all sessions. The
+    // market-basket operator: sessionize (2h gaps-and-islands),
+    // distinct (session, type), within-session a<b self-join (at most
+    // C(5,2) pairs per session), one count agg. Support ratios are
+    // one double division off exact integers ----
+    Q("q146_session_itemsets",
+      (s, d) => {
+        import s.implicits._
+        val ev = T(s, d, "events")
+          .select($"user_id", $"event_type",
+            unix_micros($"ts").as("tus"), $"event_id")
+        val w = Window.partitionBy($"user_id")
+          .orderBy($"tus", $"event_id")
+        val sess = ev
+          .withColumn("prev", lag($"tus", 1).over(w))
+          .withColumn("brk", when($"prev".isNull ||
+            $"tus" >= $"prev" + 7200000000L, 1L).otherwise(0L))
+          .withColumn("sid", sum($"brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select($"user_id", $"sid", $"event_type").distinct()
+        val nSess = sess.select($"user_id", $"sid").distinct()
+          .agg(count(lit(1)).as("n_sessions"))
+        val a = sess.select($"user_id", $"sid", $"event_type".as("ta"))
+        val b = sess.select($"user_id".as("u2"), $"sid".as("s2"),
+          $"event_type".as("tb"))
+        a.join(b, $"user_id" === $"u2" && $"sid" === $"s2" &&
+            $"ta" < $"tb")
+          .groupBy($"ta", $"tb").agg(count(lit(1)).as("n_cosess"))
+          .crossJoin(broadcast(nSess))
+          .select($"ta", $"tb", $"n_cosess",
+            round($"n_cosess".cast("double") / $"n_sessions", 6)
+              .as("support"))
+          .orderBy($"n_cosess".desc, $"ta", $"tb")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type,
+             |  epoch_us(ts) AS tus, event_id FROM events),
+             |l AS (SELECT user_id, event_type, tus, event_id,
+             |  lag(tus) OVER (PARTITION BY user_id
+             |    ORDER BY tus, event_id) AS prev
+             |  FROM ev),
+             |m AS (SELECT user_id, event_type, tus, event_id,
+             |  CASE WHEN prev IS NULL OR tus >= prev + 7200000000
+             |       THEN 1 ELSE 0 END AS brk
+             |  FROM l),
+             |s AS (SELECT DISTINCT user_id,
+             |  sum(brk) OVER (PARTITION BY user_id
+             |    ORDER BY tus, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS sid,
+             |  event_type
+             |  FROM m),
+             |t AS (SELECT count(*) AS n_sessions FROM
+             |      (SELECT DISTINCT user_id, sid FROM s)),
+             |p AS (SELECT a.event_type AS ta, b.event_type AS tb,
+             |  count(*) AS n_cosess
+             |  FROM s a JOIN s b ON a.user_id = b.user_id
+             |    AND a.sid = b.sid AND a.event_type < b.event_type
+             |  GROUP BY 1, 2)
+             |SELECT ta, tb, CAST(n_cosess AS BIGINT) AS n_cosess,
+             |  round(CAST(n_cosess AS DOUBLE) / t.n_sessions, 6)
+             |    AS support
+             |FROM p, t ORDER BY n_cosess DESC, ta, tb"""
+        .stripMargin))
   )
 }
