@@ -1670,6 +1670,83 @@ object Queries {
              |  round(CAST(n_cosess AS DOUBLE) / t.n_sessions, 6)
              |    AS support
              |FROM p, t ORDER BY n_cosess DESC, ta, tb"""
-        .stripMargin))
+        .stripMargin)),
+
+    // ---- first-order Markov transition matrix over each user's
+    // event stream: count (current -> next) event-type transitions,
+    // P(next|current) as an exact-integer ratio — the behavioral
+    // sequence model product analytics fits (and the input to
+    // next-event prediction baselines). One lead() window on the
+    // co-keyed user shuffle, one 25-key agg ----
+    Q("q147_markov_transitions",
+      (s, d) => {
+        import s.implicits._
+        val ev = T(s, d, "events")
+          .select($"user_id", $"event_type",
+            unix_micros($"ts").as("tus"), $"event_id")
+        val w = Window.partitionBy($"user_id")
+          .orderBy($"tus", $"event_id")
+        val tr = ev.withColumn("nxt", lead($"event_type", 1).over(w))
+          .where($"nxt".isNotNull)
+          .groupBy($"event_type".as("cur"), $"nxt")
+          .agg(count(lit(1)).as("n"))
+        val tot = tr.groupBy($"cur").agg(sum($"n").as("n_cur"))
+        tr.join(tot, "cur")
+          .select($"cur", $"nxt", $"n",
+            round($"n".cast("double") / $"n_cur", 6).as("p"))
+          .orderBy($"cur", $"nxt")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type,
+             |  epoch_us(ts) AS tus, event_id FROM events),
+             |l AS (SELECT event_type AS cur,
+             |  lead(event_type) OVER (PARTITION BY user_id
+             |    ORDER BY tus, event_id) AS nxt
+             |  FROM ev),
+             |tr AS (SELECT cur, nxt, count(*) AS n FROM l
+             |       WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+             |tot AS (SELECT cur, sum(n) AS n_cur FROM tr GROUP BY cur)
+             |SELECT tr.cur, tr.nxt, CAST(tr.n AS BIGINT) AS n,
+             |  round(CAST(tr.n AS DOUBLE) / tot.n_cur, 6) AS p
+             |FROM tr JOIN tot USING (cur)
+             |ORDER BY cur, nxt""".stripMargin)),
+
+    // ---- rendezvous (highest-random-weight) shard routing: each
+    // document's shard is argmax over 16 shards of md5(shard||id) —
+    // the consistent-assignment scheme whose property (removing one
+    // shard only remaps that shard's keys) is what distributed
+    // serving layers rely on. Output is the per-shard balance report
+    // plus each shard's id range. Shape: 16-way explode (a literal
+    // array), one rank-1 window, one agg — the assignment itself is
+    // embarrassingly map-side ----
+    Q("q148_rendezvous_shards",
+      (s, d) => {
+        import s.implicits._
+        val docs = T(s, d, "documents").select($"doc_id")
+        docs.select($"doc_id", explode(typedlit((0 until 16).toList))
+            .as("shard"))
+          .withColumn("wgt", md5(concat($"shard".cast("string"),
+            lit("|"), $"doc_id".cast("string"))))
+          .withColumn("rk", row_number().over(Window
+            .partitionBy($"doc_id").orderBy($"wgt".desc, $"shard")))
+          .where($"rk" === 1)
+          .groupBy($"shard".cast("long").as("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+          .orderBy($"shard")
+      },
+      Some("""WITH sh AS (SELECT unnest(generate_series(0, 15))
+             |            AS shard),
+             |w AS (SELECT d.doc_id, sh.shard,
+             |  md5(CAST(sh.shard AS VARCHAR) || '|' ||
+             |      CAST(d.doc_id AS VARCHAR)) AS wgt
+             |  FROM documents d, sh),
+             |a AS (SELECT doc_id, shard FROM (
+             |  SELECT doc_id, shard, row_number() OVER (
+             |    PARTITION BY doc_id ORDER BY wgt DESC, shard) AS rk
+             |  FROM w) WHERE rk = 1)
+             |SELECT CAST(shard AS BIGINT) AS shard,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  min(doc_id) AS min_id, max(doc_id) AS max_id
+             |FROM a GROUP BY shard ORDER BY shard""".stripMargin))
   )
 }
