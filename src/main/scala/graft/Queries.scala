@@ -1747,6 +1747,43 @@ object Queries {
              |SELECT CAST(shard AS BIGINT) AS shard,
              |  CAST(count(*) AS BIGINT) AS n_docs,
              |  min(doc_id) AS min_id, max(doc_id) AS max_id
-             |FROM a GROUP BY shard ORDER BY shard""".stripMargin))
+             |FROM a GROUP BY shard ORDER BY shard""".stripMargin)),
+
+    // ---- seasonality-adjusted anomaly counting: per (event_type,
+    // hour-of-day) baseline mean (DECIMAL-exact sum), then how many
+    // events exceed 2x THEIR OWN slot's baseline — the monitoring
+    // operator that doesn't false-alarm on daily rhythm. Hour buckets
+    // are integer epoch-µs division; the baseline join is co-keyed on
+    // the same 120-key grouping as the agg ----
+    Q("q149_seasonal_anomaly",
+      (s, d) => {
+        import s.implicits._
+        val ev = T(s, d, "events")
+          .select($"event_type", $"value",
+            (expr("unix_micros(ts) div 3600000000") % 24).as("hr"))
+        val base = ev.groupBy($"event_type", $"hr")
+          .agg((sum($"value".cast(DecimalType(18, 4))).cast("double") /
+            count(lit(1))).as("mean_v"), count(lit(1)).as("n"))
+        ev.join(base, Seq("event_type", "hr"))
+          .groupBy($"event_type", $"hr")
+          .agg(max($"n").as("n"), round(max($"mean_v"), 6).as("mean_v"),
+            count(when($"value" > $"mean_v" * 2, 1)).as("n_anom"))
+          .orderBy($"event_type", $"hr")
+      },
+      Some("""WITH ev AS (SELECT event_type, value,
+             |  (epoch_us(ts) // 3600000000) % 24 AS hr FROM events),
+             |b AS (SELECT event_type, hr,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+             |    / count(*) AS mean_v,
+             |  count(*) AS n
+             |  FROM ev GROUP BY 1, 2)
+             |SELECT e.event_type, CAST(e.hr AS BIGINT) AS hr,
+             |  CAST(b.n AS BIGINT) AS n,
+             |  round(b.mean_v, 6) AS mean_v,
+             |  CAST(count(*) FILTER (e.value > b.mean_v * 2)
+             |       AS BIGINT) AS n_anom
+             |FROM ev e JOIN b USING (event_type, hr)
+             |GROUP BY e.event_type, e.hr, b.n, b.mean_v
+             |ORDER BY e.event_type, hr""".stripMargin))
   )
 }
