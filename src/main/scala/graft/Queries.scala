@@ -1784,6 +1784,135 @@ object Queries {
              |       AS BIGINT) AS n_anom
              |FROM ev e JOIN b USING (event_type, hr)
              |GROUP BY e.event_type, e.hr, b.n, b.mean_v
-             |ORDER BY e.event_type, hr""".stripMargin))
+             |ORDER BY e.event_type, hr""".stripMargin)),
+
+    // ---- Benford first-digit audit: the data-quality screen for
+    // fabricated or truncated numeric columns — observed leading-digit
+    // share of o_totalprice vs the Benford expectation log10(1+1/d).
+    // The digit is extracted through EXACT integer cents (round to
+    // cents first, then string head), so no float log/pow boundary
+    // can misclassify a 999.999...; one 9-key hash-agg, the log10
+    // runs 9 times ----
+    Q("q155_benford_audit",
+      (s, d) => {
+        import s.implicits._
+        val o = T(s, d, "orders").select(
+          substring(round($"o_totalprice" * 100, 0).cast("long")
+            .cast("string"), 1, 1).cast("long").as("digit"))
+        val tot = o.agg(count(lit(1)).cast("double").as("nt"))
+        o.groupBy($"digit").agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(tot))
+          .select($"digit", $"n",
+            round($"n" / $"nt", 6).as("share"),
+            round(log10(lit(1.0) + lit(1.0) / $"digit"), 6)
+              .as("benford"),
+            round($"n" / $"nt" -
+              log10(lit(1.0) + lit(1.0) / $"digit"), 6).as("excess"))
+          .orderBy($"digit")
+      },
+      Some("""WITH o AS (SELECT CAST(substr(CAST(
+             |    CAST(round(o_totalprice * 100) AS BIGINT)
+             |    AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM orders),
+             |t AS (SELECT CAST(count(*) AS DOUBLE) AS nt FROM o),
+             |g AS (SELECT digit, count(*) AS n FROM o GROUP BY digit)
+             |SELECT g.digit, CAST(g.n AS BIGINT) AS n,
+             |  round(g.n / t.nt, 6) AS share,
+             |  round(log10(1.0 + 1.0 / g.digit), 6) AS benford,
+             |  round(g.n / t.nt - log10(1.0 + 1.0 / g.digit), 6)
+             |    AS excess
+             |FROM g, t ORDER BY g.digit""".stripMargin)),
+
+    // ---- join-cardinality estimation WITHOUT running the join — the
+    // planner/ops tool that flags a key about to explode a shuffle:
+    // |events ⋈ orders on user key| = Σ_k n_e(k)·n_o(k), computed
+    // from the two per-key count aggs (each linear, each map-side
+    // partial) joined on the key dim — never the row-level join
+    // itself. Reports the exact would-be row count, the top-3
+    // contributing keys and their share: the skew diagnosis that
+    // decides salting (q91) before paying for the join ----
+    Q("q156_join_cardinality",
+      (s, d) => {
+        import s.implicits._
+        val ne = T(s, d, "events").groupBy($"user_id".as("k"))
+          .agg(count(lit(1)).as("n_e"))
+        val no = T(s, d, "orders").groupBy($"o_custkey".as("k"))
+          .agg(count(lit(1)).as("n_o"))
+        val contrib = ne.join(no, "k")
+          .select($"k", ($"n_e" * $"n_o").as("n_pairs"))
+        val tot = contrib.agg(sum($"n_pairs").cast("double").as("nt"))
+        contrib.crossJoin(broadcast(tot))
+          .select($"k", $"n_pairs",
+            round($"n_pairs" / $"nt", 6).as("share"))
+          .orderBy($"n_pairs".desc, $"k").limit(3)
+          .unionAll(contrib.agg(lit(-1L).as("k"),
+            sum($"n_pairs").as("n_pairs"), lit(1.0).as("share")))
+          .orderBy($"k")
+      },
+      Some("""WITH ne AS (SELECT user_id AS k, count(*) AS n_e
+             |           FROM events GROUP BY user_id),
+             |no AS (SELECT o_custkey AS k, count(*) AS n_o
+             |       FROM orders GROUP BY o_custkey),
+             |c AS (SELECT ne.k, ne.n_e * no.n_o AS n_pairs
+             |      FROM ne JOIN no USING (k)),
+             |t AS (SELECT CAST(sum(n_pairs) AS DOUBLE) AS nt FROM c),
+             |top AS (SELECT k, CAST(n_pairs AS BIGINT) AS n_pairs,
+             |    round(n_pairs / t.nt, 6) AS share
+             |  FROM c, t ORDER BY n_pairs DESC, k LIMIT 3),
+             |alls AS (SELECT CAST(-1 AS BIGINT) AS k,
+             |    CAST(sum(n_pairs) AS BIGINT) AS n_pairs,
+             |    1.0 AS share FROM c)
+             |SELECT * FROM (SELECT * FROM top UNION ALL
+             |               SELECT * FROM alls)
+             |ORDER BY k""".stripMargin)),
+
+    // ---- STREAM-STATIC enrichment join: the remaining Structured
+    // Streaming join family after q136's stream-stream — each events
+    // micro-batch joins a STATIC per-customer order profile
+    // (broadcast; the static side is planned once per batch, no state
+    // store at all — the stateless enrich every ingest topology runs
+    // before routing). The profile's money sum goes through DECIMAL
+    // (order-independent), so replaying in 4 batches provably equals
+    // the batch join, which IS the oracle ----
+    Q("q158_stream_static_enrich",
+      (s, d) => {
+        import s.implicits._
+        val ev = T(s, d, "events")
+          .select($"event_id", $"ts", $"user_id",
+            unix_micros($"ts").as("us"))
+        val (_, _, slice) = timeSlices(ev, 4)
+        val cols = Seq($"event_id", $"ts", $"user_id")
+        val feed = graft.streaming.FeedStage.stageBatches(
+          (0 until 4).map(k => slice(k).select(cols: _*)))
+        val dim = T(s, d, "orders")
+          .groupBy($"o_custkey".as("user_id"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum($"o_totalprice".cast(DecimalType(18, 4)))
+              .cast("double").as("spend"))
+        val ckpt = graft.TempDirs.create("graft-q158-ckpt")
+        val outDir = graft.TempDirs.create("graft-q158-out")
+        val sq = s.readStream
+          .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT")
+          .option("maxFilesPerTrigger", "1").parquet(feed)
+          .join(broadcast(dim), Seq("user_id"))
+          .select($"event_id", $"user_id", $"n_orders", $"spend")
+          .writeStream.outputMode("append").format("parquet")
+          .option("checkpointLocation", ckpt)
+          .trigger(
+            org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(outDir)
+        sq.awaitTermination()
+        s.read.schema(
+            "event_id BIGINT, user_id BIGINT, n_orders BIGINT," +
+              " spend DOUBLE").parquet(outDir)
+          .orderBy($"event_id")
+      },
+      Some("""WITH dim AS (SELECT o_custkey AS user_id,
+             |  CAST(count(*) AS BIGINT) AS n_orders,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+             |       AS DOUBLE) AS spend
+             |  FROM orders GROUP BY o_custkey)
+             |SELECT e.event_id, e.user_id, d.n_orders, d.spend
+             |FROM events e JOIN dim d USING (user_id)
+             |ORDER BY e.event_id""".stripMargin))
   )
 }

@@ -3644,6 +3644,598 @@ object LlmQueries {
               |  CAST(count(*) AS BIGINT) AS n_docs,
               |  min(x) AS min_chars, max(x) AS max_chars,
               |  min(y) AS min_toks, max(y) AS max_toks
-              |FROM r, t GROUP BY 1 ORDER BY bucket""".stripMargin))
+              |FROM r, t GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // ---- q150: PMI collocation mining — which adjacent token pairs
+    // co-occur far above chance (pmi = ln(p(ab)/(p(a)p(b)))), the
+    // phrase-discovery signal tokenizer and n-gram LM pipelines rank
+    // merge candidates by (complements q131's raw-frequency BPE pass
+    // with an association-strength ranking). Three hash-aggs (bigram,
+    // unigram, totals) + two broadcastable joins on the unigram dim;
+    // the ln() runs once per surviving bigram. No top-k cutoff — the
+    // full n_ab >= 5 table ordered by the pair key, so no float
+    // ordering ever decides membership. Both engines evaluate the
+    // identical left-associated double expression, so the 6-dp
+    // rounding agrees ----
+    Q("q150_pmi_collocations",
+      (s, d) => {
+        import s.implicits._
+        val toks = T(s, d, "documents")
+          .select(TextFunctions.tokens($"text").as("t"))
+        val uni = toks.select(explode($"t").as("w"))
+          .groupBy($"w").agg(count(lit(1)).as("n_w"))
+        val bi = toks.where(size($"t") >= 2)
+          .select(explode(expr(
+            "transform(sequence(0, size(t) - 2)," +
+              " i -> named_struct('a', t[i], 'b', t[i + 1]))")).as("p"))
+          .select($"p.a", $"p.b")
+          .groupBy($"a", $"b").agg(count(lit(1)).as("n_ab"))
+        val tot = uni.agg(sum($"n_w").cast("double").as("nu"))
+          .crossJoin(bi.agg(sum($"n_ab").cast("double").as("nb")))
+        bi.where($"n_ab" >= 5)
+          .join(uni.select($"w".as("a"), $"n_w".as("n_a")), "a")
+          .join(uni.select($"w".as("b"), $"n_w".as("n_b")), "b")
+          .crossJoin(broadcast(tot))
+          .select($"a", $"b", $"n_ab",
+            round(log($"n_ab".cast("double") * $"nu" * $"nu" /
+              ($"nb" * $"n_a" * $"n_b")), 6).as("pmi"))
+          .orderBy($"a", $"b")
+      },
+      Some(s"""WITH t AS (SELECT $dTokens AS t FROM documents),
+              |un AS (SELECT unnest(t) AS w FROM t),
+              |uni AS (SELECT w, count(*) AS n_w FROM un GROUP BY w),
+              |be AS (SELECT t, unnest(generate_series(1, len(t) - 1))
+              |         AS i FROM t WHERE len(t) >= 2),
+              |bi AS (SELECT t[CAST(i AS INT)] AS a,
+              |              t[CAST(i AS INT) + 1] AS b FROM be),
+              |bn AS (SELECT a, b, count(*) AS n_ab FROM bi
+              |       GROUP BY a, b),
+              |tot AS (SELECT
+              |  (SELECT CAST(sum(n_w) AS DOUBLE) FROM uni) AS nu,
+              |  (SELECT CAST(sum(n_ab) AS DOUBLE) FROM bn) AS nb)
+              |SELECT bn.a, bn.b, CAST(bn.n_ab AS BIGINT) AS n_ab,
+              |  round(ln(CAST(bn.n_ab AS DOUBLE) * tot.nu * tot.nu /
+              |    (tot.nb * ua.n_w * ub.n_w)), 6) AS pmi
+              |FROM bn JOIN uni ua ON ua.w = bn.a
+              |        JOIN uni ub ON ub.w = bn.b, tot
+              |WHERE bn.n_ab >= 5
+              |ORDER BY bn.a, bn.b""".stripMargin)),
+
+    // ---- q151: triangle participation in the kNN similarity graph —
+    // how clustered each anchor's neighbourhood is (the clustering-
+    // coefficient numerator; dense triangle counts flag redundant
+    // near-duplicate cliques that survived pairwise dedup). Reuses
+    // the EXACT q92/q119 graph (Similarity.knnEdges, bounded probe
+    // batch, so the edge set is constant-size at any SF), symmetrizes
+    // to undirected support, and counts each a<b<c triangle once via
+    // the standard two-join enumeration. Per-node counts, every node
+    // of the edge set reported (zero-triangle nodes included via
+    // left join) ----
+    Q("q151_knn_triangles",
+      (s, d) => {
+        import s.implicits._
+        val emb = T(s, d, "embeddings")
+          .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        val und = Similarity.knnEdges(emb, 3)
+          .select(least($"src", $"dst").as("a"),
+            greatest($"src", $"dst").as("b")).distinct()
+        val tri = und.as("e1")
+          .join(und.as("e2"), col("e2.a") === col("e1.b"))
+          .join(und.as("e3"), col("e3.a") === col("e1.a") &&
+            col("e3.b") === col("e2.b"))
+          .select(col("e1.a").as("x"), col("e1.b").as("y"),
+            col("e2.b").as("z"))
+        val nodes = und.select($"a".as("node"))
+          .union(und.select($"b".as("node"))).distinct()
+        val perNode = tri
+          .select(explode(array($"x", $"y", $"z")).as("node"))
+          .groupBy($"node").agg(count(lit(1)).as("n_tri"))
+        nodes.join(perNode, Seq("node"), "left")
+          .select($"node", coalesce($"n_tri", lit(0L)).as("n_tri"))
+          .orderBy($"node")
+      },
+      Some("""WITH e AS (SELECT vec_id,
+             |            CAST(embedding AS DOUBLE[]) AS v
+             |          FROM embeddings),
+             |q AS (SELECT vec_id AS src, v AS qv FROM e
+             |      WHERE vec_id % 25 = 0 AND vec_id < 5000),
+             |sc AS (SELECT q.src, e.vec_id AS dst,
+             |  list_sum(list_transform(generate_series(1, 64), i ->
+             |    v[CAST(i AS INT)] * qv[CAST(i AS INT)])) AS dt,
+             |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nv,
+             |  sqrt(list_sum(list_transform(qv, x -> x * x))) AS nq
+             |  FROM e, q WHERE e.vec_id != q.src),
+             |scored AS (SELECT src, dst,
+             |  round(CASE WHEN nv = 0 OR nq = 0 THEN 0
+             |        ELSE dt / (nv * nq) END, 6) AS score
+             |  FROM sc),
+             |knn AS (SELECT src, dst FROM (
+             |  SELECT src, dst, row_number() OVER (PARTITION BY src
+             |    ORDER BY score DESC, dst ASC) AS rank
+             |  FROM scored) WHERE rank <= 3),
+             |und AS (SELECT DISTINCT least(src, dst) AS a,
+             |                        greatest(src, dst) AS b
+             |        FROM knn),
+             |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+             |  FROM und e1 JOIN und e2 ON e2.a = e1.b
+             |              JOIN und e3 ON e3.a = e1.a
+             |                         AND e3.b = e2.b),
+             |nodes AS (SELECT a AS node FROM und
+             |          UNION SELECT b FROM und),
+             |pn AS (SELECT node, count(*) AS n_tri FROM (
+             |  SELECT x AS node FROM tri
+             |  UNION ALL SELECT y FROM tri
+             |  UNION ALL SELECT z FROM tri) GROUP BY node)
+             |SELECT n.node,
+             |  CAST(coalesce(pn.n_tri, 0) AS BIGINT) AS n_tri
+             |FROM nodes n LEFT JOIN pn ON pn.node = n.node
+             |ORDER BY n.node""".stripMargin)),
+
+    // ---- q152: ROC AUC of the quality score as an English-document
+    // classifier — the eval step every learned quality filter needs
+    // before it gates a corpus. Mann-Whitney formulation with exact
+    // tie handling: 2U = sum over distinct score values of
+    // np*(2*cum_nn_below + nn) (each tied pos/neg pair contributes 1
+    // to 2U), AUC = 2U / (2*n_pos*n_neg). The only window runs over
+    // the DISTINCT-score aggregate (bounded by the 6-dp score domain,
+    // never corpus rows), so no global per-row sort exists at any
+    // scale; everything is integer until the final division ----
+    Q("q152_auc_quality",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val sc = T(s, d, "documents").select(
+          TextFunctions.qualityScore($"text").as("score"),
+          when($"lang" === "en", 1L).otherwise(0L).as("pos"))
+        val g = sc.groupBy($"score")
+          .agg(sum($"pos").as("np"),
+            (count(lit(1)) - sum($"pos")).as("nn"))
+        val w = Window.orderBy($"score")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val u2 = g
+          .withColumn("cum_nn", coalesce(sum($"nn").over(w), lit(0L)))
+          .agg(sum($"np" * ($"cum_nn" * 2 + $"nn")).as("u2"),
+            sum($"np").as("n_pos"), sum($"nn").as("n_neg"))
+        u2.select($"n_pos", $"n_neg", $"u2",
+          round($"u2".cast("double") /
+            ($"n_pos".cast("double") * $"n_neg" * 2), 6).as("auc"))
+      },
+      Some(s"""WITH f AS ($dQualityFeatures,
+              |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+              |  FROM documents),
+              |sc AS (SELECT $dQualityExpr AS score, pos FROM f),
+              |g AS (SELECT score, sum(pos) AS np,
+              |        count(*) - sum(pos) AS nn
+              |      FROM sc GROUP BY score),
+              |c AS (SELECT score, np, nn,
+              |  coalesce(sum(nn) OVER (ORDER BY score
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              |    0) AS cum_nn
+              |  FROM g),
+              |a AS (SELECT sum(np * (cum_nn * 2 + nn)) AS u2,
+              |             sum(np) AS n_pos, sum(nn) AS n_neg
+              |      FROM c)
+              |SELECT CAST(n_pos AS BIGINT) AS n_pos,
+              |  CAST(n_neg AS BIGINT) AS n_neg,
+              |  CAST(u2 AS BIGINT) AS u2,
+              |  round(CAST(u2 AS DOUBLE) /
+              |    (CAST(n_pos AS DOUBLE) * n_neg * 2), 6) AS auc
+              |FROM a""".stripMargin)),
+
+    // ---- q153: lexical-diversity profile — token entropy, type-token
+    // ratio, hapax count per document (the repetitive/templated-text
+    // signals complementing q59's positional repetition detectors).
+    // Per-term plogp contributions are quantized to exact 1e-6
+    // BIGINTs BEFORE the per-doc sum (the q123 rule), so the grouped
+    // sum is order-independent integer arithmetic and the one double
+    // expression at the end is identical on both engines:
+    // H = ln(n) - sum(c*ln(c))/n ----
+    Q("q153_token_entropy",
+      (s, d) => {
+        import s.implicits._
+        val tc = T(s, d, "documents")
+          .select($"doc_id", explode(TextFunctions.tokens($"text"))
+            .as("w"))
+          .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+        tc.groupBy($"doc_id")
+          .agg(sum($"c").as("n_tokens"),
+            count(lit(1)).as("n_types"),
+            sum(when($"c" === 1, 1L).otherwise(0L)).as("n_hapax"),
+            sum(round($"c".cast("double") * log($"c".cast("double"))
+              * 1e6, 0).cast("long")).as("se"))
+          .select($"doc_id", $"n_tokens", $"n_types", $"n_hapax",
+            round($"n_types".cast("double") / $"n_tokens", 6)
+              .as("ttr"),
+            round(log($"n_tokens".cast("double")) -
+              $"se".cast("double") / 1e6 / $"n_tokens", 6)
+              .as("entropy"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, unnest($dTokens) AS w
+              |          FROM documents),
+              |tc AS (SELECT doc_id, w, count(*) AS c FROM t
+              |       GROUP BY doc_id, w),
+              |a AS (SELECT doc_id, sum(c) AS n_tokens,
+              |  count(*) AS n_types,
+              |  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax,
+              |  sum(CAST(round(CAST(c AS DOUBLE) *
+              |    ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT)) AS se
+              |  FROM tc GROUP BY doc_id)
+              |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+              |  CAST(n_types AS BIGINT) AS n_types,
+              |  CAST(n_hapax AS BIGINT) AS n_hapax,
+              |  round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+              |  round(ln(CAST(n_tokens AS DOUBLE)) -
+              |    CAST(se AS DOUBLE) / 1e6 / n_tokens, 6) AS entropy
+              |FROM a ORDER BY doc_id""".stripMargin)),
+
+    // ---- q154: containment near-dup detection — inter/|A| and
+    // inter/|B| over the LSH candidate pairs. Jaccard misses the
+    // quote/subset shape (a doc embedded whole inside a larger one
+    // scores low union-relative); containment is the asymmetric
+    // measure dedup pipelines add for it. Same bounded candidate
+    // generation as q27 (cap-exact truncated buckets) and the same
+    // hashed-shingle verify join; the set sizes are exact integers,
+    // one rounded division per direction at the end ----
+    Q("q154_containment_dedup",
+      (s, d) => {
+        import s.implicits._
+        val docs = T(s, d, "documents")
+        val pairs = Dedup.minhashCandidatePairs(docs, "text", "doc_id")
+        val sh = docs.select($"doc_id",
+          TextFunctions.ngramShingleHashes($"text", 3).as("sh"))
+        val est = sh.queryExecution.optimizedPlan.stats.sizeInBytes
+        val hinted: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.DataFrame =
+          if (est <= (64L << 20)) broadcast(_) else identity
+        pairs
+          .join(hinted(sh.select($"doc_id".as("a"), $"sh".as("sha"))),
+            Seq("a"))
+          .join(hinted(sh.select($"doc_id".as("b"), $"sh".as("shb"))),
+            Seq("b"))
+          .select($"a", $"b", size($"sha").cast("long").as("sz_a"),
+            size($"shb").cast("long").as("sz_b"),
+            (size($"sha") + size($"shb") -
+              size(array_union($"sha", $"shb"))).cast("long")
+              .as("inter"))
+          .where($"sz_a" > 0 && $"sz_b" > 0)
+          .select($"a", $"b", $"inter",
+            round($"inter".cast("double") / $"sz_a", 6).as("cont_ab"),
+            round($"inter".cast("double") / $"sz_b", 6).as("cont_ba"))
+          .where(greatest($"cont_ab", $"cont_ba") >= 0.8)
+          .orderBy($"a", $"b")
+      },
+      Some(s"""WITH $dCandidateCtes,
+              |sh AS (SELECT doc_id, $dShingles3 AS sh
+              |  FROM documents),
+              |scored AS (
+              |  SELECT c.a, c.b,
+              |    len(x.sh) AS sz_a, len(y.sh) AS sz_b,
+              |    len(x.sh) + len(y.sh) -
+              |      len(list_distinct(list_concat(x.sh, y.sh)))
+              |      AS inter
+              |  FROM cand c JOIN sh x ON x.doc_id = c.a
+              |              JOIN sh y ON y.doc_id = c.b
+              |  WHERE len(x.sh) > 0 AND len(y.sh) > 0),
+              |r AS (SELECT a, b, CAST(inter AS BIGINT) AS inter,
+              |  round(CAST(inter AS DOUBLE) / sz_a, 6) AS cont_ab,
+              |  round(CAST(inter AS DOUBLE) / sz_b, 6) AS cont_ba
+              |  FROM scored)
+              |SELECT a, b, inter, cont_ab, cont_ba FROM r
+              |WHERE greatest(cont_ab, cont_ba) >= 0.8
+              |ORDER BY a, b""".stripMargin)),
+
+    // ---- q157: two-sample Kolmogorov-Smirnov drift test — the
+    // distribution-shift gate between two corpus slices (here the
+    // quality-score distributions of src0 vs src1; complements q133's
+    // categorical TV distance with a CONTINUOUS-distribution test).
+    // Exact integer formulation: D = max|F1-F2| is computed as
+    // max|cum_c1*n2 - cum_c2*n1| over the DISTINCT-score table (the
+    // only window — bounded by the 6-dp score domain, never corpus
+    // rows), divided once at the end. No float CDF ever compared ----
+    Q("q157_ks_drift",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val sc = T(s, d, "documents")
+          .where($"source".isin("src0", "src1"))
+          .select(TextFunctions.qualityScore($"text").as("score"),
+            when($"source" === "src0", 1L).otherwise(0L).as("is1"))
+        val g = sc.groupBy($"score")
+          .agg(sum($"is1").as("c1"),
+            (count(lit(1)) - sum($"is1")).as("c2"))
+        val tot = g.agg(sum($"c1").as("n1"), sum($"c2").as("n2"))
+        val w = Window.orderBy($"score")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        g.withColumn("f1", sum($"c1").over(w))
+          .withColumn("f2", sum($"c2").over(w))
+          .crossJoin(broadcast(tot))
+          .agg(max($"n1").as("n1"), max($"n2").as("n2"),
+            max(abs($"f1" * $"n2" - $"f2" * $"n1")).as("ks_num"))
+          .select($"n1", $"n2", $"ks_num",
+            round($"ks_num".cast("double") /
+              ($"n1".cast("double") * $"n2"), 6).as("ks"))
+      },
+      Some(s"""WITH f AS ($dQualityFeatures, source
+              |  FROM documents WHERE source IN ('src0', 'src1')),
+              |sc AS (SELECT $dQualityExpr AS score,
+              |  CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is1
+              |  FROM f),
+              |g AS (SELECT score, sum(is1) AS c1,
+              |        count(*) - sum(is1) AS c2
+              |      FROM sc GROUP BY score),
+              |t AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM g),
+              |c AS (SELECT score,
+              |  sum(c1) OVER (ORDER BY score
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |    AS f1,
+              |  sum(c2) OVER (ORDER BY score
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |    AS f2
+              |  FROM g)
+              |SELECT CAST(t.n1 AS BIGINT) AS n1,
+              |  CAST(t.n2 AS BIGINT) AS n2,
+              |  CAST(max(abs(c.f1 * t.n2 - c.f2 * t.n1)) AS BIGINT)
+              |    AS ks_num,
+              |  round(CAST(max(abs(c.f1 * t.n2 - c.f2 * t.n1))
+              |      AS DOUBLE) / (CAST(t.n1 AS DOUBLE) * t.n2), 6)
+              |    AS ks
+              |FROM c, t GROUP BY t.n1, t.n2""".stripMargin)),
+
+    // ---- q159: reciprocal-rank fusion — the standard late-fusion of
+    // a SPARSE ranking (q82's BM25 top-20) and a DENSE ranking (q28's
+    // brute cosine top-20) into one retrieval list:
+    // rrf(d) = Σ_lists 1/(60 + rank_d). Hybrid search is how
+    // production RAG retrieval actually ranks; both input rankings
+    // tiebreak on id so the top-20 cutsets are deterministic, the
+    // fused score is the identical two-term double expression on both
+    // engines, and the final top-10 tiebreaks on id again ----
+    Q("q159_rrf_fusion",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val docs = T(s, d, "documents")
+        val emb = T(s, d, "embeddings")
+        // sparse side: q82's BM25 exactly
+        val terms = Seq("spark", "join", "filter")
+        val dl = docs.select($"doc_id",
+          TextFunctions.tokenCountWs($"text").cast("long").as("dl"))
+        val r = dl.agg(count(lit(1)), sum($"dl")).first()
+        val nDocs = r.getLong(0)
+        val avgdl = r.getLong(1).toDouble / nDocs.toDouble
+        val tf = docs.select($"doc_id",
+            explode(TextFunctions.tokens($"text")).as("token"))
+          .where($"token".isin(terms: _*))
+          .groupBy($"doc_id", $"token").agg(count(lit(1)).as("c"))
+        val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+        val idf = (lit(nDocs.toDouble) - $"df" + lit(0.5)) /
+          ($"df" + lit(0.5))
+        val num = $"c".cast("double") * lit(2.2)
+        val den = $"c".cast("double") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * ($"dl".cast("double") / lit(avgdl)))
+        val bm25 = tf.join(broadcast(df), "token")
+          .join(dl, "doc_id")
+          .select($"doc_id",
+            round(idf * (num / den), 6).cast("decimal(18,6)")
+              .as("contrib"))
+          .groupBy($"doc_id")
+          .agg(sum($"contrib").cast("double").as("score"))
+          .orderBy($"score".desc, $"doc_id".asc).limit(20)
+          .withColumn("rb", row_number().over(Window
+            .orderBy($"score".desc, $"doc_id".asc)).cast("long"))
+          .select($"doc_id".as("id"), $"rb")
+        // dense side: q28's brute cosine top-20 exactly
+        val query = emb.where($"vec_id" === 0L)
+          .select($"embedding".cast("array<double>")).head()
+          .getSeq[Double](0)
+        val dense = Similarity.cosineTopK(emb, "embedding", "vec_id",
+            query, 20)
+          .withColumn("rc", row_number().over(Window
+            .orderBy($"score".desc, $"vec_id".asc)).cast("long"))
+          .select($"vec_id".as("id"), $"rc")
+        bm25.join(dense, Seq("id"), "full_outer")
+          .select($"id", $"rb", $"rc",
+            (coalesce(lit(1.0) / ($"rb" + 60), lit(0.0)) +
+              coalesce(lit(1.0) / ($"rc" + 60), lit(0.0))).as("rrf0"))
+          .orderBy($"rrf0".desc, $"id")
+          .limit(10)
+          .select($"id", $"rb", $"rc", round($"rrf0", 6).as("rrf"))
+      },
+      Some(s"""WITH dl AS (SELECT doc_id,
+              |  CAST(len($dTokens) AS BIGINT) AS dl FROM documents),
+              |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+              |  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+              |    AS avgdl FROM dl),
+              |tok AS (SELECT doc_id, unnest($dTokens) AS token
+              |        FROM documents),
+              |tf AS (SELECT doc_id, token, count(*) AS c FROM tok
+              |       WHERE token IN ('spark', 'join', 'filter')
+              |       GROUP BY doc_id, token),
+              |df AS (SELECT token, count(*) AS df FROM tf
+              |       GROUP BY token),
+              |sc AS (SELECT tf.doc_id,
+              |  CAST(round(((st.n - df.df + 0.5) / (df.df + 0.5))
+              |    * ((CAST(c AS DOUBLE) * 2.2)
+              |       / (CAST(c AS DOUBLE) + 1.2 * (0.25 + 0.75
+              |          * (CAST(dl.dl AS DOUBLE) / st.avgdl)))), 6)
+              |    AS DECIMAL(18,6)) AS contrib
+              |  FROM tf JOIN df USING (token) JOIN dl USING (doc_id), st),
+              |bs AS (SELECT doc_id, CAST(sum(contrib) AS DOUBLE)
+              |         AS score
+              |       FROM sc GROUP BY doc_id
+              |       ORDER BY score DESC, doc_id LIMIT 20),
+              |bm25 AS (SELECT doc_id AS id,
+              |  CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+              |    AS BIGINT) AS rb FROM bs),
+              |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+              |      FROM embeddings WHERE vec_id = 0),
+              |dsc AS (SELECT vec_id,
+              |  list_sum(list_transform(generate_series(1, 64), i ->
+              |    CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+              |    * qv[CAST(i AS INT)])) AS dt,
+              |  sqrt(list_sum(list_transform(embedding, x ->
+              |    CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nv,
+              |  sqrt(list_sum(list_transform(qv, x -> x * x))) AS nq
+              |  FROM embeddings, q),
+              |ds AS (SELECT vec_id,
+              |  round(CASE WHEN nv = 0 OR nq = 0 THEN 0
+              |        ELSE dt / (nv * nq) END, 6) AS score
+              |  FROM dsc
+              |  ORDER BY score DESC, vec_id LIMIT 20),
+              |dense AS (SELECT vec_id AS id,
+              |  CAST(row_number() OVER (ORDER BY score DESC, vec_id)
+              |    AS BIGINT) AS rc FROM ds),
+              |fused AS (SELECT coalesce(b.id, c.id) AS id, b.rb, c.rc,
+              |  coalesce(1.0 / (b.rb + 60), 0.0) +
+              |  coalesce(1.0 / (c.rc + 60), 0.0) AS rrf0
+              |  FROM bm25 b FULL OUTER JOIN dense c ON b.id = c.id)
+              |SELECT id, rb, rc, round(rrf0, 6) AS rrf
+              |FROM fused ORDER BY rrf0 DESC, id LIMIT 10"""
+        .stripMargin)),
+
+    // ---- q160: BFS reachability depth from a seed over the kNN
+    // similarity graph — min-hop distance (<= 3) from vec 0, the
+    // "how far does this near-dup neighbourhood extend" probe and the
+    // building block of diffusion-style label spreading. Three
+    // unrolled frontier joins over the symmetrized q92/q119 edge set
+    // (bounded probe batch -> edge set is constant-size at any SF);
+    // min-hop resolved by one groupBy over the hop-labelled union ----
+    Q("q160_bfs_hops",
+      (s, d) => {
+        import s.implicits._
+        val emb = T(s, d, "embeddings")
+          .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        val und = Similarity.knnEdges(emb, 3)
+          .select(least($"src", $"dst").as("a"),
+            greatest($"src", $"dst").as("b")).distinct()
+        val adj = und.unionAll(und.select($"b".as("a"), $"a".as("b")))
+        val h0 = T(s, d, "embeddings").where($"vec_id" === 0L)
+          .select($"vec_id".as("node"), lit(0L).as("hop"))
+        val h1 = adj.where($"a" === 0L)
+          .select($"b".as("node"), lit(1L).as("hop")).distinct()
+        val h2 = adj.join(h1.select($"node".as("a")), "a")
+          .select($"b".as("node"), lit(2L).as("hop")).distinct()
+        val h3 = adj.join(h2.select($"node".as("a")), "a")
+          .select($"b".as("node"), lit(3L).as("hop")).distinct()
+        h0.unionAll(h1).unionAll(h2).unionAll(h3)
+          .groupBy($"node").agg(min($"hop").as("hop"))
+          .orderBy($"node")
+      },
+      Some("""WITH e AS (SELECT vec_id,
+             |            CAST(embedding AS DOUBLE[]) AS v
+             |          FROM embeddings),
+             |q AS (SELECT vec_id AS src, v AS qv FROM e
+             |      WHERE vec_id % 25 = 0 AND vec_id < 5000),
+             |sc AS (SELECT q.src, e.vec_id AS dst,
+             |  list_sum(list_transform(generate_series(1, 64), i ->
+             |    v[CAST(i AS INT)] * qv[CAST(i AS INT)])) AS dt,
+             |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nv,
+             |  sqrt(list_sum(list_transform(qv, x -> x * x))) AS nq
+             |  FROM e, q WHERE e.vec_id != q.src),
+             |scored AS (SELECT src, dst,
+             |  round(CASE WHEN nv = 0 OR nq = 0 THEN 0
+             |        ELSE dt / (nv * nq) END, 6) AS score
+             |  FROM sc),
+             |knn AS (SELECT src, dst FROM (
+             |  SELECT src, dst, row_number() OVER (PARTITION BY src
+             |    ORDER BY score DESC, dst ASC) AS rank
+             |  FROM scored) WHERE rank <= 3),
+             |und AS (SELECT DISTINCT least(src, dst) AS a,
+             |                        greatest(src, dst) AS b
+             |        FROM knn),
+             |adj AS (SELECT a, b FROM und
+             |        UNION ALL SELECT b, a FROM und),
+             |h1 AS (SELECT DISTINCT b AS node FROM adj WHERE a = 0),
+             |h2 AS (SELECT DISTINCT adj.b AS node FROM adj
+             |       JOIN h1 ON h1.node = adj.a),
+             |h3 AS (SELECT DISTINCT adj.b AS node FROM adj
+             |       JOIN h2 ON h2.node = adj.a),
+             |u AS (SELECT CAST(0 AS BIGINT) AS node, 0 AS hop
+             |  UNION ALL SELECT node, 1 FROM h1
+             |  UNION ALL SELECT node, 2 FROM h2
+             |  UNION ALL SELECT node, 3 FROM h3)
+             |SELECT node, CAST(min(hop) AS BIGINT) AS hop
+             |FROM u GROUP BY node ORDER BY node""".stripMargin)),
+
+    // ---- q161: per-source quantile normalization of the quality
+    // score — map each doc's score to its percentile WITHIN its
+    // source, so sources with systematically different raw-score
+    // scales mix on one comparable axis (the cross-source calibration
+    // step before a global quality threshold). One rank window
+    // partitioned by source (co-keyed shuffle, never global), the
+    // percentile is the exact rational (rank-1)/(n-1) rounded once ----
+    Q("q161_quantile_normalize",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val sc = T(s, d, "documents").select($"doc_id", $"source",
+          TextFunctions.qualityScore($"text").as("score"))
+        val w = Window.partitionBy($"source")
+          .orderBy($"score", $"doc_id")
+        val n = sc.groupBy($"source").agg(count(lit(1)).as("n_src"))
+        sc.withColumn("rk", row_number().over(w).cast("long"))
+          .join(broadcast(n), "source")
+          .select($"doc_id", $"source", $"score", $"rk",
+            round(($"rk" - 1).cast("double") /
+              greatest($"n_src" - 1, lit(1L)), 6).as("pctl"))
+          .orderBy($"doc_id")
+      },
+      Some(s"""WITH f AS ($dQualityFeatures, source FROM documents),
+              |sc AS (SELECT doc_id, source, $dQualityExpr AS score
+              |       FROM f),
+              |n AS (SELECT source, count(*) AS n_src FROM sc
+              |      GROUP BY source),
+              |r AS (SELECT doc_id, source, score,
+              |  CAST(row_number() OVER (PARTITION BY source
+              |    ORDER BY score, doc_id) AS BIGINT) AS rk
+              |  FROM sc)
+              |SELECT r.doc_id, r.source, r.score, r.rk,
+              |  round(CAST(r.rk - 1 AS DOUBLE) /
+              |    greatest(n.n_src - 1, 1), 6) AS pctl
+              |FROM r JOIN n USING (source)
+              |ORDER BY r.doc_id""".stripMargin)),
+
+    // ---- q162: cross-source duplication matrix — where near-dups
+    // COME FROM: verified near-dup pairs (the q27 staged artifact,
+    // materialized once per corpus and reused here) rolled up by
+    // unordered source pair. The corpus-forensics view that decides
+    // which source to trim when two feeds mirror each other. Two
+    // dimension joins on doc_id + one tiny agg; sources are
+    // alphabetically normalized so each pair counts once ----
+    Q("q162_crossdup_matrix",
+      (s, d) => {
+        import s.implicits._
+        val docs = T(s, d, "documents")
+        val pairs = Dedup.stagedNearDupPairs(docs, "text", "doc_id",
+          cacheKey = d, threshold = 0.5, ngram = 3)
+        val src = docs.select($"doc_id", $"source")
+        pairs
+          .join(src.select($"doc_id".as("a"), $"source".as("sa")), "a")
+          .join(src.select($"doc_id".as("b"), $"source".as("sb")), "b")
+          .select(least($"sa", $"sb").as("s1"),
+            greatest($"sa", $"sb").as("s2"))
+          .groupBy($"s1", $"s2").agg(count(lit(1)).as("n_pairs"))
+          .orderBy($"s1", $"s2")
+      },
+      Some(s"""WITH $dCandidateCtes,
+              |sh AS (SELECT doc_id, $dShingles3 AS sh
+              |  FROM documents),
+              |scored AS (
+              |  SELECT c.a, c.b,
+              |         len(x.sh) + len(y.sh) AS st,
+              |         len(list_distinct(list_concat(x.sh, y.sh)))
+              |           AS un
+              |  FROM cand c JOIN sh x ON x.doc_id = c.a
+              |              JOIN sh y ON y.doc_id = c.b),
+              |p AS (SELECT a, b FROM scored
+              |  WHERE round(CASE WHEN un = 0 THEN 0.0
+              |        ELSE CAST(st - un AS DOUBLE) / un END, 6)
+              |        >= 0.5),
+              |m AS (SELECT least(da.source, db.source) AS s1,
+              |             greatest(da.source, db.source) AS s2
+              |      FROM p JOIN documents da ON da.doc_id = p.a
+              |             JOIN documents db ON db.doc_id = p.b)
+              |SELECT s1, s2, CAST(count(*) AS BIGINT) AS n_pairs
+              |FROM m GROUP BY s1, s2 ORDER BY s1, s2""".stripMargin))
   )
 }
