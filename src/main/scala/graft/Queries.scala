@@ -1913,6 +1913,45 @@ object Queries {
              |  FROM orders GROUP BY o_custkey)
              |SELECT e.event_id, e.user_id, d.n_orders, d.spend
              |FROM events e JOIN dim d USING (user_id)
-             |ORDER BY e.event_id""".stripMargin))
+             |ORDER BY e.event_id""".stripMargin)),
+
+    // ---- cumulative-user growth curve: per integer epoch-day, daily
+    // event volume, NEW users (first-ever-seen that day) and the
+    // running distinct-user total — the growth-accounting view, with
+    // exact distinct math at any scale because "cumulative distinct"
+    // is reduced to first-touch attribution (min-day per user, one
+    // co-keyed agg) + a prefix sum over the DAY-level aggregate (the
+    // only window — bounded by the calendar, never by rows) ----
+    Q("q164_cumulative_users",
+      (s, d) => {
+        import s.implicits._
+        val ev = T(s, d, "events").select($"user_id",
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        val firsts = ev.groupBy($"user_id").agg(min($"day").as("day"))
+          .groupBy($"day").agg(count(lit(1)).as("n_new"))
+        val daily = ev.groupBy($"day").agg(count(lit(1)).as("n_events"))
+        val w = Window.orderBy($"day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily.join(firsts, Seq("day"), "left")
+          .withColumn("n_new", coalesce($"n_new", lit(0L)))
+          .withColumn("cum_users", sum($"n_new").over(w))
+          .select($"day", $"n_events", $"n_new", $"cum_users")
+          .orderBy($"day")
+      },
+      Some("""WITH ev AS (SELECT user_id,
+             |  epoch_us(ts) // 86400000000 AS day FROM events),
+             |f AS (SELECT user_id, min(day) AS day FROM ev
+             |      GROUP BY user_id),
+             |fn AS (SELECT day, count(*) AS n_new FROM f
+             |       GROUP BY day),
+             |dl AS (SELECT day, count(*) AS n_events FROM ev
+             |       GROUP BY day)
+             |SELECT dl.day, CAST(dl.n_events AS BIGINT) AS n_events,
+             |  CAST(coalesce(fn.n_new, 0) AS BIGINT) AS n_new,
+             |  CAST(sum(coalesce(fn.n_new, 0)) OVER (ORDER BY dl.day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS BIGINT) AS cum_users
+             |FROM dl LEFT JOIN fn USING (day)
+             |ORDER BY dl.day""".stripMargin))
   )
 }

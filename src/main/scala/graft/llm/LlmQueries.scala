@@ -4236,6 +4236,149 @@ object LlmQueries {
               |      FROM p JOIN documents da ON da.doc_id = p.a
               |             JOIN documents db ON db.doc_id = p.b)
               |SELECT s1, s2, CAST(count(*) AS BIGINT) AS n_pairs
-              |FROM m GROUP BY s1, s2 ORDER BY s1, s2""".stripMargin))
+              |FROM m GROUP BY s1, s2 ORDER BY s1, s2""".stripMargin)),
+
+    // ---- q163: thumbnail resize over REAL decoded pixels — the
+    // image-ingest downsample step: encode real PNGs, round-trip them
+    // through parquet BINARY storage, decode with ImageIO, take the
+    // nearest-neighbour half-size thumbnail, and emit an exact
+    // position-weighted integer checksum of the thumb's luminances.
+    // The oracle recomputes the identical checksum from the source
+    // TEXT alone (the lossless pixel rule), so the gate proves the
+    // decode+resample math, not just byte equality ----
+    Q("q163_thumbnail_resize",
+      (s, d) => {
+        import s.implicits._
+        val pngs = Multimodal.imagesFromText(
+          T(s, d, "documents"), "text", "doc_id")
+        val dir = graft.TempDirs.create("graft-q163-png")
+        pngs.write.mode("overwrite").parquet(dir)
+        Multimodal.imageThumbnail(
+            s.read.schema("asset_id BIGINT, png BINARY").parquet(dir),
+            "png", "asset_id")
+          .select($"asset_id", $"w".cast("long").as("w"),
+            $"h".cast("long").as("h"), $"w2".cast("long").as("w2"),
+            $"h2".cast("long").as("h2"), $"checksum")
+          .orderBy($"asset_id")
+      },
+      Some {
+        def ch(c: Int): String =
+          s"""unicode(text[CAST((3*((2*(j//w2))*w + 2*(j%w2)) + $c)
+             |  % len AS INT) + 1
+             |  : CAST((3*((2*(j//w2))*w + 2*(j%w2)) + $c)
+             |  % len AS INT) + 1]) % 256""".stripMargin
+        s"""WITH px AS (
+           |  SELECT doc_id, text, length(text) AS len,
+           |         4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+           |  FROM documents WHERE length(text) > 0),
+           |dims AS (SELECT doc_id, text, len, w, h,
+           |  (w + 1) // 2 AS w2, (h + 1) // 2 AS h2 FROM px),
+           |cs AS (SELECT doc_id, w, h, w2, h2,
+           |  CAST(list_sum(list_transform(
+           |    generate_series(0, w2 * h2 - 1), j ->
+           |      (j + 1) * (${ch(0)}
+           |               + ${ch(1)}
+           |               + ${ch(2)}))) AS BIGINT) AS checksum
+           |  FROM dims)
+           |SELECT doc_id AS asset_id, CAST(w AS BIGINT) AS w,
+           |  CAST(h AS BIGINT) AS h, CAST(w2 AS BIGINT) AS w2,
+           |  CAST(h2 AS BIGINT) AS h2, checksum
+           |FROM cs ORDER BY asset_id""".stripMargin
+      }),
+
+    // ---- q165: Pareto concentration curve of the token budget —
+    // what share of documents carries what share of tokens (the
+    // "do 20% of docs hold 80% of the corpus" curation question that
+    // decides where a length cap or a dedup pass pays off). The
+    // cumulative window runs over the DISTINCT token-count histogram
+    // (bounded value domain), never corpus rows; shares are one
+    // rounded division off exact integer prefix sums ----
+    Q("q165_pareto_curve",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val g = T(s, d, "documents")
+          .select(size(TextFunctions.tokens($"text")).cast("long")
+            .as("tc"))
+          .groupBy($"tc").agg(count(lit(1)).as("n_docs"))
+        val tot = g.agg(sum($"n_docs").cast("double").as("td"),
+          sum($"tc" * $"n_docs").cast("double").as("tt"))
+        val w = Window.orderBy($"tc".desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        g.withColumn("cum_docs", sum($"n_docs").over(w))
+          .withColumn("cum_tokens", sum($"tc" * $"n_docs").over(w))
+          .crossJoin(broadcast(tot))
+          .select($"tc", $"n_docs", $"cum_docs", $"cum_tokens",
+            round($"cum_docs" / $"td", 6).as("doc_share"),
+            round($"cum_tokens" / $"tt", 6).as("token_share"))
+          .orderBy($"tc".desc)
+      },
+      Some(s"""WITH tcs AS (SELECT CAST(len($dTokens) AS BIGINT)
+              |    AS tc FROM documents),
+              |g AS (SELECT tc, count(*) AS n_docs FROM tcs
+              |      GROUP BY tc),
+              |t AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS td,
+              |  CAST(sum(tc * n_docs) AS DOUBLE) AS tt FROM g),
+              |c AS (SELECT tc, n_docs,
+              |  sum(n_docs) OVER (ORDER BY tc DESC
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |    AS cum_docs,
+              |  sum(tc * n_docs) OVER (ORDER BY tc DESC
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |    AS cum_tokens
+              |  FROM g)
+              |SELECT c.tc, CAST(c.n_docs AS BIGINT) AS n_docs,
+              |  CAST(c.cum_docs AS BIGINT) AS cum_docs,
+              |  CAST(c.cum_tokens AS BIGINT) AS cum_tokens,
+              |  round(c.cum_docs / t.td, 6) AS doc_share,
+              |  round(c.cum_tokens / t.tt, 6) AS token_share
+              |FROM c, t ORDER BY c.tc DESC""".stripMargin)),
+
+    // ---- q166: verify-stage threshold sweep — for each candidate
+    // Jaccard threshold, how many verified pairs survive and how many
+    // documents the drop-policy would remove. Complements q141 (which
+    // tunes the CANDIDATE-generation bands): this tunes the verify
+    // cut, from the staged pair artifact (materialized once, reused —
+    // never re-scoring), so sweeping 5 thresholds costs 5 passes over
+    // a pair list, not 5 dedup runs ----
+    Q("q166_threshold_sweep",
+      (s, d) => {
+        import s.implicits._
+        val pairs = Dedup.stagedNearDupPairs(T(s, d, "documents"),
+          "text", "doc_id", cacheKey = d, threshold = 0.5, ngram = 3)
+        val ths = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+        pairs.select($"jaccard", $"b")
+          .crossJoin(broadcast(
+            Seq(ths).toDF("ts").select(explode($"ts").as("t"))))
+          .where($"jaccard" >= $"t")
+          .groupBy($"t")
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct($"b").as("n_dropped"))
+          .orderBy($"t")
+      },
+      Some(s"""WITH $dCandidateCtes,
+              |sh AS (SELECT doc_id, $dShingles3 AS sh
+              |  FROM documents),
+              |scored AS (
+              |  SELECT c.a, c.b,
+              |         len(x.sh) + len(y.sh) AS st,
+              |         len(list_distinct(list_concat(x.sh, y.sh)))
+              |           AS un
+              |  FROM cand c JOIN sh x ON x.doc_id = c.a
+              |              JOIN sh y ON y.doc_id = c.b),
+              |p AS (SELECT a, b,
+              |  round(CASE WHEN un = 0 THEN 0.0
+              |        ELSE CAST(st - un AS DOUBLE) / un END, 6)
+              |    AS jaccard
+              |  FROM scored
+              |  WHERE round(CASE WHEN un = 0 THEN 0.0
+              |        ELSE CAST(st - un AS DOUBLE) / un END, 6)
+              |        >= 0.5),
+              |th AS (SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8, 0.9])
+              |              AS DOUBLE) AS t)
+              |SELECT th.t, CAST(count(*) AS BIGINT) AS n_pairs,
+              |  CAST(count(DISTINCT p.b) AS BIGINT) AS n_dropped
+              |FROM p JOIN th ON p.jaccard >= th.t
+              |GROUP BY th.t ORDER BY th.t""".stripMargin))
   )
 }

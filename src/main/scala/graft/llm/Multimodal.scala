@@ -209,6 +209,47 @@ object Multimodal {
       }
   }
 
+  /** One nearest-neighbour thumbnail's exact checksum (see
+    * [[imageThumbnail]]). */
+  final case class Thumb(asset_id: Long, w: Int, h: Int, w2: Int,
+                         h2: Int, checksum: Long)
+
+  /** Nearest-neighbour half-size thumbnail over REAL decoded pixels —
+    * the resize step of an image-ingest pipeline, verified without
+    * shipping the thumbnail: thumb pixel (x,y) is source pixel
+    * (2x, 2y) (ceil-half dimensions), and the emitted checksum is the
+    * exact integer Σ (j+1)·lum_j over thumb pixels in row-major order
+    * (lum = r+g+b). Because the PNGs come from [[imagesFromText]]'s
+    * lossless pixel rule, the oracle recomputes the identical checksum
+    * from the TEXT alone while the engine must decode real codec
+    * bytes. One ImageIO context per partition, as [[imageAHash]]. */
+  def imageThumbnail(images: DataFrame, bytesCol: String,
+                     idCol: String): Dataset[Thumb] = {
+    import images.sparkSession.implicits._
+    images.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val im = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(im != null, s"asset $id: undecodable image bytes")
+          val (w, h) = (im.getWidth, im.getHeight)
+          val (w2, h2) = ((w + 1) / 2, (h + 1) / 2)
+          var checksum = 0L
+          var j = 0
+          while (j < w2 * h2) {
+            val (x2, y2) = (j % w2, j / w2)
+            val rgb = im.getRGB(2 * x2, 2 * y2)
+            val lum = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+              (rgb & 0xff)
+            checksum += (j + 1).toLong * lum
+            j += 1
+          }
+          Thumb(id, w, h, w2, h2, checksum)
+        }
+      }
+  }
+
   /** One decoded video frame's channel statistics (exact integers, so
     * the oracle compare is drift-free). */
   final case class VideoFrameStats(asset_id: Long, frame: Int, w: Int,
