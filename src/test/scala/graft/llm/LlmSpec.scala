@@ -309,6 +309,36 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: thumbnail resize checksum matches the pixel rule " +
+    "for even and odd dimensions") {
+    import Multimodal._
+    // doc_id 7 -> 6x6 source, 3x3 thumb; thumb pixel (x,y) samples
+    // source (2x, 2y); lum from the "ab" char cycle
+    val th = imageThumbnail(
+      imagesFromText(docs((7L, "ab")), "text", "doc_id"),
+      "png", "asset_id").head()
+    assert((th.w, th.h, th.w2, th.h2) == (6, 6, 3, 3))
+    val expected = (0 until 9).map { j =>
+      val (x2, y2) = (j % 3, j / 3)
+      val i = (2 * y2) * 6 + 2 * x2
+      def px(c: Int) = "ab".charAt((3 * i + c) % 2).toInt & 0xff
+      (j + 1).toLong * (px(0) + px(1) + px(2))
+    }.sum
+    assert(th.checksum == expected)
+    // odd dims: doc_id 6 -> 5x5 source, ceil-half 3x3 thumb sampling
+    // rows/cols (0,2,4) — the edge the (w+1)/2 arithmetic must keep
+    val t6 = imageThumbnail(
+      imagesFromText(docs((6L, "xyz")), "text", "doc_id"),
+      "png", "asset_id").head()
+    assert((t6.w, t6.h, t6.w2, t6.h2) == (5, 5, 3, 3))
+    val exp6 = (0 until 9).map { j =>
+      val i = (2 * (j / 3)) * 5 + 2 * (j % 3)
+      def px(c: Int) = "xyz".charAt((3 * i + c) % 3).toInt & 0xff
+      (j + 1).toLong * (px(0) + px(1) + px(2))
+    }.sum
+    assert(t6.checksum == exp6)
+  }
+
   test("multimodal: REAL animated-GIF encode/decode round trip recovers " +
     "exact per-frame pixel sums; garbage bytes fail loudly") {
     import Multimodal._

@@ -177,6 +177,54 @@ class PlanSpec extends AnyFunSuite {
         s"$marker leaked into the final stage:\n$plan")
   }
 
+  test("q156 join-cardinality joins per-key aggregates, never raw rows") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val lp = q("q156_join_cardinality").queryExecution.optimizedPlan
+    val joins = lp.collect { case j: Join => j }
+    assert(joins.nonEmpty, "expected at least the ne-x-no key join")
+    // the whole point of the estimator: both inputs of EVERY join are
+    // already aggregated (per-key counts / one-row totals) — a raw
+    // events-x-orders row join here would BE the explosion it predicts
+    joins.foreach { j =>
+      Seq(j.left, j.right).foreach { side =>
+        assert(side.collectFirst { case a: Aggregate => a }.isDefined,
+          s"join side is raw rows:\n$side")
+      }
+    }
+  }
+
+  test("q161 percentile window is partitioned by source, never global") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWin}
+    val lp = q("q161_quantile_normalize").queryExecution.optimizedPlan
+    val wins = lp.collect { case w: LWin => w }
+    assert(wins.nonEmpty)
+    wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"q161 planned a GLOBAL window — single-partition at scale:\n$w"))
+  }
+
+  test("q152/q157/q165 global windows run over aggregated domains only") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
+      Window => LWin}
+    for (name <- Seq("q152_auc_quality", "q157_ks_drift",
+      "q165_pareto_curve")) {
+      val lp = q(name).queryExecution.optimizedPlan
+      // a global (unpartitioned) window is only scale-safe when its
+      // input is a bounded-domain aggregate, not corpus rows
+      lp.collect { case w: LWin if w.partitionSpec.isEmpty => w }
+        .foreach { w =>
+          assert(w.child.collectFirst { case a: Aggregate => a }
+            .isDefined, s"$name: global window over raw rows:\n$w")
+        }
+    }
+  }
+
+  test("q154 containment verify join broadcasts the shingle side") {
+    val plan = q("q154_containment_dedup")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"shingle probe should broadcast at this SF:\n$plan")
+  }
+
   test("projection + filter push down into the parquet scan") {
     val df = graft.Queries.T(spark, SF, "lineitem")
       .where(org.apache.spark.sql.functions.col("l_orderkey") === 1L)
