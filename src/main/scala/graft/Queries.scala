@@ -1952,6 +1952,184 @@ object Queries {
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              |    AS BIGINT) AS cum_users
              |FROM dl LEFT JOIN fn USING (day)
-             |ORDER BY dl.day""".stripMargin))
+             |ORDER BY dl.day""".stripMargin)),
+
+    // ---- inter-arrival latency profile: per event type, the exact
+    // lower-median and p90 of the gap between a user's consecutive
+    // events of that type, in SECONDS. Exact order statistics WITHOUT
+    // a per-row rank window: gaps quantize to a second-granularity
+    // histogram (the ops-honest unit), and the k-th value is the
+    // smallest bucket whose cumulative count reaches k — the windows
+    // run over the per-type HISTOGRAM, bounded by the gap domain,
+    // never by rows (the q152/q165 rule; contrast q113's GK sketch,
+    // which trades exactness for a single pass) ----
+    Q("q167_interarrival_profile",
+      (s, d) => {
+        import s.implicits._
+        val ev = T(s, d, "events").select($"user_id", $"event_type",
+          unix_micros($"ts").as("tus"), $"event_id")
+        val w = Window.partitionBy($"user_id", $"event_type")
+          .orderBy($"tus", $"event_id")
+        val gaps = ev.withColumn("prev", lag($"tus", 1).over(w))
+          .where($"prev".isNotNull)
+          .select($"event_type",
+            expr("(tus - prev) div 1000000").as("gs"))
+        val hist = gaps.groupBy($"event_type", $"gs")
+          .agg(count(lit(1)).as("c"))
+        val wc = Window.partitionBy($"event_type").orderBy($"gs")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val n = hist.groupBy($"event_type").agg(sum($"c").as("n"))
+        hist.withColumn("cum", sum($"c").over(wc))
+          .join(broadcast(n), "event_type")
+          .groupBy($"event_type")
+          .agg(max($"n").as("n_gaps"),
+            min(when($"cum" * 2 >= $"n", $"gs")).as("med_gap_s"),
+            min(when($"cum" * 10 >= $"n" * 9, $"gs")).as("p90_gap_s"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type,
+             |  epoch_us(ts) AS tus, event_id FROM events),
+             |g AS (SELECT event_type,
+             |  (tus - lag(tus) OVER (PARTITION BY user_id, event_type
+             |    ORDER BY tus, event_id)) // 1000000 AS gs
+             |  FROM ev),
+             |g2 AS (SELECT event_type, gs FROM g WHERE gs IS NOT NULL),
+             |h AS (SELECT event_type, gs, count(*) AS c FROM g2
+             |      GROUP BY event_type, gs),
+             |n AS (SELECT event_type, sum(c) AS n FROM h
+             |      GROUP BY event_type),
+             |cu AS (SELECT event_type, gs,
+             |  sum(c) OVER (PARTITION BY event_type ORDER BY gs
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS cum
+             |  FROM h)
+             |SELECT cu.event_type, CAST(max(n.n) AS BIGINT) AS n_gaps,
+             |  min(CASE WHEN cum * 2 >= n.n THEN gs END) AS med_gap_s,
+             |  min(CASE WHEN cum * 10 >= n.n * 9 THEN gs END)
+             |    AS p90_gap_s
+             |FROM cu JOIN n USING (event_type)
+             |GROUP BY cu.event_type ORDER BY cu.event_type"""
+        .stripMargin)),
+
+    // ---- column-level data profile of the events table — the
+    // data-quality report a pipeline runs before trusting a new feed:
+    // per column, row/null/distinct counts and a type-stable min/max
+    // rendering (ids and epoch-µs as digit strings; value quantized
+    // to exact 1e-6 BIGINTs before stringifying, so no float-repr
+    // divergence can flag). Five independent one-row aggregates,
+    // each map-side partial, unioned ----
+    Q("q168_column_profile",
+      (s, d) => {
+        import s.implicits._
+        val ev = T(s, d, "events")
+        def prof(name: String, c: Column): DataFrame =
+          ev.agg(lit(name).as("col_name"),
+            count(lit(1)).as("n"),
+            (count(lit(1)) - count(c)).as("n_null"),
+            countDistinct(c).as("n_distinct"),
+            min(c).cast("string").as("min_s"),
+            max(c).cast("string").as("max_s"))
+        prof("event_id", $"event_id")
+          .unionAll(prof("event_type", $"event_type"))
+          .unionAll(prof("props", $"props"))
+          .unionAll(prof("ts_us", unix_micros($"ts")))
+          .unionAll(prof("user_id", $"user_id"))
+          .unionAll(prof("value_1e6",
+            round($"value" * 1e6, 0).cast("long")))
+          .orderBy($"col_name")
+      },
+      Some("""WITH p1 AS (SELECT 'event_id' AS col_name,
+             |  count(*) AS n, count(*) - count(event_id) AS n_null,
+             |  count(DISTINCT event_id) AS n_distinct,
+             |  CAST(min(event_id) AS VARCHAR) AS min_s,
+             |  CAST(max(event_id) AS VARCHAR) AS max_s FROM events),
+             |p2 AS (SELECT 'event_type', count(*),
+             |  count(*) - count(event_type),
+             |  count(DISTINCT event_type),
+             |  min(event_type), max(event_type) FROM events),
+             |p3 AS (SELECT 'props', count(*),
+             |  count(*) - count(props), count(DISTINCT props),
+             |  min(props), max(props) FROM events),
+             |p4 AS (SELECT 'ts_us', count(*),
+             |  count(*) - count(ts), count(DISTINCT epoch_us(ts)),
+             |  CAST(min(epoch_us(ts)) AS VARCHAR),
+             |  CAST(max(epoch_us(ts)) AS VARCHAR) FROM events),
+             |p5 AS (SELECT 'user_id', count(*),
+             |  count(*) - count(user_id), count(DISTINCT user_id),
+             |  CAST(min(user_id) AS VARCHAR),
+             |  CAST(max(user_id) AS VARCHAR) FROM events),
+             |p6 AS (SELECT 'value_1e6', count(*),
+             |  count(*) - count(value),
+             |  count(DISTINCT CAST(round(value * 1e6) AS BIGINT)),
+             |  CAST(min(CAST(round(value * 1e6) AS BIGINT))
+             |       AS VARCHAR),
+             |  CAST(max(CAST(round(value * 1e6) AS BIGINT))
+             |       AS VARCHAR) FROM events),
+             |u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+             |  UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4
+             |  UNION ALL SELECT * FROM p5 UNION ALL SELECT * FROM p6)
+             |SELECT col_name, CAST(n AS BIGINT) AS n,
+             |  CAST(n_null AS BIGINT) AS n_null,
+             |  CAST(n_distinct AS BIGINT) AS n_distinct, min_s, max_s
+             |FROM u ORDER BY col_name""".stripMargin)),
+
+    // ---- top session journeys: the 10 most common 3-step event-type
+    // paths inside a session (2h gaps-and-islands, the q146
+    // sessionization) — the ordered complement of q146's unordered
+    // itemsets and q147's single-step transitions. Two leads on the
+    // already-co-keyed session window, one hash-agg over the path
+    // domain (≤ 5^3 keys), TakeOrdered 10 with a total tiebreak ----
+    Q("q169_top_paths",
+      (s, d) => {
+        import s.implicits._
+        val ev = T(s, d, "events")
+          .select($"user_id", $"event_type",
+            unix_micros($"ts").as("tus"), $"event_id")
+        val w = Window.partitionBy($"user_id")
+          .orderBy($"tus", $"event_id")
+        val sess = ev
+          .withColumn("prev", lag($"tus", 1).over(w))
+          .withColumn("brk", when($"prev".isNull ||
+            $"tus" >= $"prev" + 7200000000L, 1L).otherwise(0L))
+          .withColumn("sid", sum($"brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val ws = Window.partitionBy($"user_id", $"sid")
+          .orderBy($"tus", $"event_id")
+        sess
+          .withColumn("p2", lead($"event_type", 1).over(ws))
+          .withColumn("p3", lead($"event_type", 2).over(ws))
+          .where($"p3".isNotNull)
+          .select(concat_ws(">", $"event_type", $"p2", $"p3")
+            .as("path"))
+          .groupBy($"path").agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"path").limit(10)
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type,
+             |  epoch_us(ts) AS tus, event_id FROM events),
+             |l AS (SELECT user_id, event_type, tus, event_id,
+             |  lag(tus) OVER (PARTITION BY user_id
+             |    ORDER BY tus, event_id) AS prev
+             |  FROM ev),
+             |m AS (SELECT user_id, event_type, tus, event_id,
+             |  CASE WHEN prev IS NULL OR tus >= prev + 7200000000
+             |       THEN 1 ELSE 0 END AS brk
+             |  FROM l),
+             |s AS (SELECT user_id, event_type, tus, event_id,
+             |  sum(brk) OVER (PARTITION BY user_id
+             |    ORDER BY tus, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS sid
+             |  FROM m),
+             |p AS (SELECT event_type,
+             |  lead(event_type, 1) OVER (PARTITION BY user_id, sid
+             |    ORDER BY tus, event_id) AS p2,
+             |  lead(event_type, 2) OVER (PARTITION BY user_id, sid
+             |    ORDER BY tus, event_id) AS p3
+             |  FROM s),
+             |pc AS (SELECT event_type || '>' || p2 || '>' || p3
+             |         AS path, count(*) AS n
+             |       FROM p WHERE p3 IS NOT NULL GROUP BY 1)
+             |SELECT path, CAST(n AS BIGINT) AS n FROM pc
+             |ORDER BY n DESC, path LIMIT 10""".stripMargin))
   )
 }

@@ -4379,6 +4379,107 @@ object LlmQueries {
               |SELECT th.t, CAST(count(*) AS BIGINT) AS n_pairs,
               |  CAST(count(DISTINCT p.b) AS BIGINT) AS n_dropped
               |FROM p JOIN th ON p.jaccard >= th.t
-              |GROUP BY th.t ORDER BY th.t""".stripMargin))
+              |GROUP BY th.t ORDER BY th.t""".stripMargin)),
+
+    // ---- q170: human-audit sampling of verified near-dup pairs —
+    // up to 2 pairs per Jaccard decile, picked by md5 rank so the
+    // audit sheet is deterministic, unbiased by id order, and
+    // reproducible across runs (the QA step that calibrates the q166
+    // threshold choice against human judgment). Reads the staged pair
+    // artifact; the only window partitions by decile (≤ 6 keys, each
+    // rank-2-pruned by WindowGroupLimit) ----
+    Q("q170_dup_audit_sample",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val pairs = Dedup.stagedNearDupPairs(T(s, d, "documents"),
+          "text", "doc_id", cacheKey = d, threshold = 0.5, ngram = 3)
+        val w = Window.partitionBy($"decile")
+          .orderBy($"pick", $"a", $"b")
+        pairs
+          .withColumn("decile",
+            floor($"jaccard" * 10).cast("long"))
+          .withColumn("pick", md5(concat($"a".cast("string"),
+            lit("|"), $"b".cast("string"))))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .where($"rk" <= 2)
+          .select($"decile", $"rk", $"a", $"b", $"jaccard")
+          .orderBy($"decile", $"rk")
+      },
+      Some(s"""WITH $dCandidateCtes,
+              |sh AS (SELECT doc_id, $dShingles3 AS sh
+              |  FROM documents),
+              |scored AS (
+              |  SELECT c.a, c.b,
+              |         len(x.sh) + len(y.sh) AS st,
+              |         len(list_distinct(list_concat(x.sh, y.sh)))
+              |           AS un
+              |  FROM cand c JOIN sh x ON x.doc_id = c.a
+              |              JOIN sh y ON y.doc_id = c.b),
+              |p AS (SELECT a, b,
+              |  round(CASE WHEN un = 0 THEN 0.0
+              |        ELSE CAST(st - un AS DOUBLE) / un END, 6)
+              |    AS jaccard
+              |  FROM scored
+              |  WHERE round(CASE WHEN un = 0 THEN 0.0
+              |        ELSE CAST(st - un AS DOUBLE) / un END, 6)
+              |        >= 0.5),
+              |r AS (SELECT CAST(floor(jaccard * 10) AS BIGINT)
+              |        AS decile, a, b, jaccard,
+              |  CAST(row_number() OVER (
+              |    PARTITION BY CAST(floor(jaccard * 10) AS BIGINT)
+              |    ORDER BY md5(CAST(a AS VARCHAR) || '|' ||
+              |                 CAST(b AS VARCHAR)), a, b)
+              |    AS BIGINT) AS rk
+              |  FROM p)
+              |SELECT decile, rk, a, b, jaccard FROM r
+              |WHERE rk <= 2 ORDER BY decile, rk""".stripMargin)),
+
+    // ---- q171: dedup component-size histogram — the macro view of
+    // duplication structure (how many pairs, triples, ... giant
+    // cluster) that q57's per-doc labels don't surface directly; the
+    // size distribution is what decides whether near-dup mass is
+    // boilerplate families (many small) or mirrored feeds (few
+    // giant). Reads the staged component artifact; two tiny aggs ----
+    Q("q171_component_histogram",
+      (s, d) => {
+        import s.implicits._
+        val docs = T(s, d, "documents")
+        val comp = Dedup.stagedComponents(docs, "text", "doc_id",
+            cacheKey = d, threshold = 0.5, ngram = 3)
+          .withColumnRenamed("id", "doc_id")
+        docs.select($"doc_id")
+          .join(comp, Seq("doc_id"), "left")
+          .select($"doc_id",
+            coalesce($"component", $"doc_id").as("component"))
+          .groupBy($"component").agg(count(lit(1)).as("sz"))
+          .groupBy($"sz").agg(count(lit(1)).as("n_components"))
+          .select($"sz", $"n_components",
+            ($"sz" * $"n_components").as("n_docs"))
+          .orderBy($"sz")
+      },
+      Some(s"""WITH RECURSIVE $dCandidateCtes,
+              |${dNearDupDropCtes("documents", 0.5)},
+              |edges AS (
+              |  SELECT a, b FROM scored
+              |  WHERE round(CASE WHEN un = 0 THEN 0.0
+              |        ELSE CAST(st - un AS DOUBLE) / un END, 6)
+              |        >= 0.5),
+              |und AS (SELECT a, b FROM edges
+              |        UNION SELECT b AS a, a AS b FROM edges),
+              |reach AS (
+              |  SELECT doc_id AS src, doc_id AS node FROM documents
+              |  UNION
+              |  SELECT r.src, u.b AS node
+              |  FROM reach r JOIN und u ON u.a = r.node),
+              |comp AS (
+              |  SELECT src AS doc_id, min(node) AS component
+              |  FROM reach GROUP BY src),
+              |sizes AS (SELECT component, count(*) AS sz
+              |          FROM comp GROUP BY component)
+              |SELECT CAST(sz AS BIGINT) AS sz,
+              |  CAST(count(*) AS BIGINT) AS n_components,
+              |  CAST(sz * count(*) AS BIGINT) AS n_docs
+              |FROM sizes GROUP BY sz ORDER BY sz""".stripMargin))
   )
 }
