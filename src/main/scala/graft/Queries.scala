@@ -2130,6 +2130,50 @@ object Queries {
              |         AS path, count(*) AS n
              |       FROM p WHERE p3 IS NOT NULL GROUP BY 1)
              |SELECT path, CAST(n AS BIGINT) AS n FROM pc
-             |ORDER BY n DESC, path LIMIT 10""".stripMargin))
+             |ORDER BY n DESC, path LIMIT 10""".stripMargin)),
+
+    // ---- out-of-orderness profile: how late does this feed actually
+    // deliver? Arrival order is event_id (the transport sequence);
+    // an event is LATE if its timestamp precedes the max timestamp
+    // already delivered for that user. Reports, per event type, the
+    // late fraction and worst lateness — the measurement that SETS
+    // the watermark delay the streaming queries (q114/q136/q138)
+    // otherwise have to guess. One running-max window on the co-keyed
+    // user shuffle; exact integer µs throughout ----
+    Q("q173_out_of_order_profile",
+      (s, d) => {
+        import s.implicits._
+        val ev = T(s, d, "events").select($"user_id", $"event_type",
+          unix_micros($"ts").as("tus"), $"event_id")
+        val w = Window.partitionBy($"user_id").orderBy($"event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        ev.withColumn("prevmax", max($"tus").over(w))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when($"prevmax" > $"tus", 1L).otherwise(0L))
+              .as("n_late"),
+            coalesce(max(when($"prevmax" > $"tus",
+              $"prevmax" - $"tus")), lit(0L)).as("max_late_us"))
+          .withColumn("late_share",
+            round($"n_late".cast("double") / $"n_events", 6))
+          .orderBy($"event_type")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type,
+             |  epoch_us(ts) AS tus, event_id FROM events),
+             |m AS (SELECT event_type, tus,
+             |  max(tus) OVER (PARTITION BY user_id ORDER BY event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |    AS prevmax
+             |  FROM ev)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CASE WHEN prevmax > tus THEN 1 ELSE 0 END)
+             |       AS BIGINT) AS n_late,
+             |  CAST(coalesce(max(CASE WHEN prevmax > tus
+             |       THEN prevmax - tus END), 0) AS BIGINT)
+             |    AS max_late_us,
+             |  round(CAST(sum(CASE WHEN prevmax > tus THEN 1 ELSE 0
+             |       END) AS DOUBLE) / count(*), 6) AS late_share
+             |FROM m GROUP BY event_type
+             |ORDER BY event_type""".stripMargin))
   )
 }

@@ -4480,6 +4480,127 @@ object LlmQueries {
               |SELECT CAST(sz AS BIGINT) AS sz,
               |  CAST(count(*) AS BIGINT) AS n_components,
               |  CAST(sz * count(*) AS BIGINT) AS n_docs
-              |FROM sizes GROUP BY sz ORDER BY sz""".stripMargin))
+              |FROM sizes GROUP BY sz ORDER BY sz""".stripMargin)),
+
+    // ---- q172: train/val/test LEAKAGE audit — verified near-dup
+    // pairs whose members land in DIFFERENT q58 splits. Exact-dup
+    // leakage is what decontamination (q63/q108) catches; NEAR-dup
+    // leakage across the split boundary is the quieter eval inflation
+    // this matrix surfaces before anyone trusts a validation number.
+    // Staged pair artifact + two broadcastable split-assign joins
+    // (splits are pure hash projections, no data motion) ----
+    Q("q172_split_leakage",
+      (s, d) => {
+        import s.implicits._
+        val docs = T(s, d, "documents")
+        val pairs = Dedup.stagedNearDupPairs(docs, "text", "doc_id",
+          cacheKey = d, threshold = 0.5, ngram = 3)
+        val splits = Seq("train" -> 8000, "val" -> 1000,
+          "test" -> 1000)
+        val sp = docs.select($"doc_id",
+          Curate.splitAssign($"doc_id", splits).as("split"))
+        pairs
+          .join(sp.select($"doc_id".as("a"), $"split".as("split_a")),
+            Seq("a"))
+          .join(sp.select($"doc_id".as("b"), $"split".as("split_b")),
+            Seq("b"))
+          .groupBy($"split_a", $"split_b")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when($"split_a" =!= $"split_b", 1L).otherwise(0L))
+              .as("n_leaked"))
+          .orderBy($"split_a", $"split_b")
+      },
+      Some(s"""WITH $dCandidateCtes,
+              |sh AS (SELECT doc_id, $dShingles3 AS sh
+              |  FROM documents),
+              |scored AS (
+              |  SELECT c.a, c.b,
+              |         len(x.sh) + len(y.sh) AS st,
+              |         len(list_distinct(list_concat(x.sh, y.sh)))
+              |           AS un
+              |  FROM cand c JOIN sh x ON x.doc_id = c.a
+              |              JOIN sh y ON y.doc_id = c.b),
+              |p AS (SELECT a, b FROM scored
+              |  WHERE round(CASE WHEN un = 0 THEN 0.0
+              |        ELSE CAST(st - un AS DOUBLE) / un END, 6)
+              |        >= 0.5),
+              |sp AS (SELECT doc_id,
+              |  CASE WHEN CAST(concat('0x', substr(md5(concat('graft',
+              |         CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+              |         % 10000 < 8000 THEN 'train'
+              |       WHEN CAST(concat('0x', substr(md5(concat('graft',
+              |         CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+              |         % 10000 < 9000 THEN 'val'
+              |       ELSE 'test' END AS split
+              |  FROM documents)
+              |SELECT sa.split AS split_a, sb.split AS split_b,
+              |  CAST(count(*) AS BIGINT) AS n_pairs,
+              |  CAST(sum(CASE WHEN sa.split != sb.split
+              |           THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked
+              |FROM p JOIN sp sa ON sa.doc_id = p.a
+              |       JOIN sp sb ON sb.doc_id = p.b
+              |GROUP BY sa.split, sb.split
+              |ORDER BY split_a, split_b""".stripMargin)),
+
+    // ---- q174: dataset card — the one-row corpus summary a release
+    // ships with (counts, token volume, language/source breadth,
+    // exact-dup mass, verified near-dup pair count, mean quality).
+    // Every number is an exact integer or a DECIMAL-exact mean; the
+    // near-dup count reads the staged artifact rather than re-running
+    // the kernel (PlanSpec's q100 rule) ----
+    Q("q174_dataset_card",
+      (s, d) => {
+        import s.implicits._
+        val docs = T(s, d, "documents")
+        val base = docs.agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(TextFunctions.tokens($"text")).cast("long"))
+            .as("n_tokens"),
+          countDistinct($"source").as("n_sources"),
+          countDistinct($"lang").as("n_langs"),
+          sum(when($"lang" === "en", 1L).otherwise(0L)).as("en_docs"),
+          (count(lit(1)) - countDistinct(
+            TextFunctions.fingerprint($"text"))).as("n_exact_dup"),
+          round(sum(TextFunctions.qualityScore($"text")
+            .cast("decimal(18,6)")).cast("double") /
+            count(lit(1)), 6).as("mean_quality"))
+        val nd = Dedup.stagedNearDupPairs(docs, "text", "doc_id",
+            cacheKey = d, threshold = 0.5, ngram = 3)
+          .agg(count(lit(1)).as("n_neardup_pairs"))
+        base.crossJoin(nd)
+      },
+      Some(s"""WITH $dCandidateCtes,
+              |sh AS (SELECT doc_id, $dShingles3 AS sh
+              |  FROM documents),
+              |scored AS (
+              |  SELECT c.a, c.b,
+              |         len(x.sh) + len(y.sh) AS st,
+              |         len(list_distinct(list_concat(x.sh, y.sh)))
+              |           AS un
+              |  FROM cand c JOIN sh x ON x.doc_id = c.a
+              |              JOIN sh y ON y.doc_id = c.b),
+              |np AS (SELECT count(*) AS n_neardup_pairs FROM scored
+              |  WHERE round(CASE WHEN un = 0 THEN 0.0
+              |        ELSE CAST(st - un AS DOUBLE) / un END, 6)
+              |        >= 0.5),
+              |f AS ($dQualityFeatures FROM documents),
+              |q AS (SELECT $dQualityExpr AS quality FROM f),
+              |base AS (SELECT
+              |  CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(len($dTokens)) AS BIGINT) AS n_tokens,
+              |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+              |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+              |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+              |       AS BIGINT) AS en_docs,
+              |  CAST(count(*) - count(DISTINCT
+              |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ',
+              |        'g'))) AS BIGINT) AS n_exact_dup
+              |  FROM documents),
+              |mq AS (SELECT round(CAST(sum(CAST(quality
+              |    AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+              |    AS mean_quality FROM q)
+              |SELECT base.*, mq.mean_quality,
+              |  CAST(np.n_neardup_pairs AS BIGINT) AS n_neardup_pairs
+              |FROM base, mq, np""".stripMargin))
   )
 }
