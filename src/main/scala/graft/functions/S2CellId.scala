@@ -72,6 +72,8 @@ object GraftFunctions {
     "simhash64" -> ((args: Seq[Expression]) => SimHash64(args(0))),
     "jaccard_sorted" ->
       ((args: Seq[Expression]) => JaccardSorted(args(0), args(1))),
+    "inter_size_sorted" ->
+      ((args: Seq[Expression]) => InterSizeSorted(args(0), args(1))),
     "hash48_sort_dedup" ->
       ((args: Seq[Expression]) => Hash48SortDedup(args(0))),
     "ngram_hash48" ->

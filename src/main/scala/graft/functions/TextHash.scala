@@ -281,6 +281,30 @@ object TextHashImpl {
       if (d2 == nw) sel else java.util.Arrays.copyOf(sel, d2))
   }
 
+  /** Intersection SIZE of two SORTED, DISTINCT long arrays by linear
+    * merge — the containment-similarity kernel (inter/|A| needs the raw
+    * count, not the Jaccard ratio). Same in-place read discipline as
+    * [[jaccardSortedLong]]; an `array_union`-based formulation measured
+    * 16x slower at sf0.1 (hash-set allocation per candidate pair). */
+  def interSortedLong(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var inter = 0L
+    var x = if (na > 0) a.getLong(0) else 0L
+    var y = if (nb > 0) b.getLong(0) else 0L
+    while (i < na && j < nb) {
+      if (x == y) {
+        inter += 1; i += 1; j += 1
+        if (i < na) x = a.getLong(i)
+        if (j < nb) y = b.getLong(j)
+      } else if (x < y) {
+        i += 1; if (i < na) x = a.getLong(i)
+      } else {
+        j += 1; if (j < nb) y = b.getLong(j)
+      }
+    }
+    inter
+  }
+
   /** Jaccard over two SORTED, DISTINCT long arrays by linear merge —
     * reads elements in place (no array copy per pair). */
   def jaccardSortedLong(a: ArrayData, b: ArrayData): Double = {
@@ -437,6 +461,39 @@ case class JaccardSorted(a: Expression, b: Expression)
     defineCodeGen(ctx, ev, (x, y) =>
       s"graft.functions.TextHashImpl.$fn($x, $y)")
   }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(a = newLeft, b = newRight)
+}
+
+/** `inter_size_sorted(a, b) -> BIGINT`: intersection size of two
+  * sorted distinct ARRAY<LONG> by linear merge (the containment-
+  * similarity kernel — see [[TextHashImpl.interSortedLong]]). */
+case class InterSizeSorted(a: Expression, b: Expression)
+  extends BinaryExpression {
+
+  override def left: Expression = a
+  override def right: Expression = b
+  override def dataType: DataType = LongType
+  override def prettyName: String = "inter_size_sorted"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (a.dataType, b.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"inter_size_sorted expects two ARRAY<LONG>, got $other")
+    }
+
+  override def nullSafeEval(x: Any, y: Any): Any =
+    TextHashImpl.interSortedLong(x.asInstanceOf[ArrayData],
+      y.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) =>
+      s"graft.functions.TextHashImpl.interSortedLong($x, $y)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

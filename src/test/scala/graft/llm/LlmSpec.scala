@@ -120,6 +120,15 @@ class LlmSpec extends AnyFunSuite {
     assert(both.find(_._1 == 2L).get._2.isEmpty) // shorter than n
   }
 
+  test("inter_size_sorted: merge-intersection count over sorted arrays") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq((Seq(1L, 3L, 5L, 9L), Seq(3L, 5L, 7L)),
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(2L, 4L), Seq(2L, 4L))).toDF("a", "b")
+      .selectExpr("inter_size_sorted(a, b) AS i")
+    assert(df.as[Long].collect().toSeq == Seq(2L, 0L, 2L))
+  }
+
   test("ngram jaccard: identity is 1, disjoint is 0") {
     val d = docs(1L -> "abcdef", 2L -> "abcdef", 3L -> "uvwxyz")
     val sh = d.select($"doc_id",
