@@ -4606,6 +4606,163 @@ object LlmQueries {
               |    AS mean_quality FROM q)
               |SELECT base.*, mq.mean_quality,
               |  CAST(np.n_neardup_pairs AS BIGINT) AS n_neardup_pairs
-              |FROM base, mq, np""".stripMargin))
+              |FROM base, mq, np""".stripMargin)),
+
+    // ---- q175: Heaps'-law vocabulary growth curve — distinct types
+    // seen vs tokens processed, at 10 equal checkpoints of the global
+    // token stream (the measurement that sizes a tokenizer vocab and
+    // predicts OOV decay). Global token positions come from the
+    // two-phase tokenStarts prefix scan (+ in-doc offset), NEVER a
+    // corpus-wide row window; first occurrences are a min-agg; the
+    // only window is a 10-row decile cumsum ----
+    Q("q175_heaps_curve",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val tk = T(s, d, "documents")
+          .select($"doc_id", TextFunctions.tokens($"text").as("t"))
+        val starts = Curate.tokenStarts(
+          tk.select($"doc_id", size($"t").cast("long").as("w")),
+          "doc_id", $"w")
+        val pos = tk.join(starts.select($"doc_id", $"start"), "doc_id")
+          .select($"start", posexplode($"t"))
+          .select(col("col").as("w"),
+            ($"start" + $"pos").as("gpos"))
+        val nt = starts.agg(sum($"tok").as("nt"))
+        val firsts = pos.groupBy($"w").agg(min($"gpos").as("fp"))
+        val hist = firsts.crossJoin(broadcast(nt))
+          .groupBy(expr("(fp * 10) div nt").as("decile"))
+          .agg(count(lit(1)).as("n_new_types"))
+        val deciles = s.range(0, 10).select($"id".as("decile"))
+        val w = Window.orderBy($"decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        deciles.join(hist, Seq("decile"), "left")
+          .withColumn("n_new_types",
+            coalesce($"n_new_types", lit(0L)))
+          .crossJoin(broadcast(nt))
+          .select($"decile",
+            expr("((decile + 1) * nt) div 10").as("boundary_tokens"),
+            $"n_new_types",
+            sum($"n_new_types").over(w).as("cum_types"))
+          .orderBy($"decile")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $dTokens AS t
+              |          FROM documents),
+              |e AS (SELECT doc_id, i, t[CAST(i AS INT)] AS w
+              |      FROM (SELECT doc_id, t,
+              |              unnest(generate_series(1, len(t))) AS i
+              |            FROM t)),
+              |gp AS (SELECT w,
+              |  row_number() OVER (ORDER BY doc_id, i) - 1 AS gpos
+              |  FROM e),
+              |nt AS (SELECT count(*) AS nt FROM gp),
+              |f AS (SELECT w, min(gpos) AS fp FROM gp GROUP BY w),
+              |h AS (SELECT (f.fp * 10) // nt.nt AS decile,
+              |        count(*) AS n_new FROM f, nt GROUP BY 1),
+              |ds AS (SELECT unnest(generate_series(0, 9)) AS decile)
+              |SELECT CAST(ds.decile AS BIGINT) AS decile,
+              |  CAST(((ds.decile + 1) * nt.nt) // 10 AS BIGINT)
+              |    AS boundary_tokens,
+              |  CAST(coalesce(h.n_new, 0) AS BIGINT) AS n_new_types,
+              |  CAST(sum(coalesce(h.n_new, 0)) OVER (
+              |    ORDER BY ds.decile
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              |    AS BIGINT) AS cum_types
+              |FROM ds LEFT JOIN h USING (decile), nt
+              |ORDER BY decile""".stripMargin)),
+
+    // ---- q176: sketch calibration — minhash-estimated Jaccard
+    // (matching signature fraction, 16 permutations) vs the TRUE
+    // n-gram Jaccard, per verified near-dup pair. The accuracy audit
+    // that justifies (or indicts) the LSH stage's sketch parameters,
+    // in the q112/q113 tradition of gating estimators against exact
+    // answers. Pair list is the staged artifact; the signature join
+    // is two broadcastable probes; est is the exact rational m/16 ----
+    Q("q176_sketch_calibration",
+      (s, d) => {
+        import s.implicits._
+        val docs = T(s, d, "documents")
+        val pairs = Dedup.stagedNearDupPairs(docs, "text", "doc_id",
+          cacheKey = d, threshold = 0.5, ngram = 3)
+        val sig = docs.select($"doc_id",
+          TextFunctions.minhashSignature($"text", 16).as("sig"))
+        pairs
+          .join(sig.select($"doc_id".as("a"), $"sig".as("sa")), Seq("a"))
+          .join(sig.select($"doc_id".as("b"), $"sig".as("sb")), Seq("b"))
+          .select($"a", $"b", $"jaccard",
+            expr("aggregate(zip_with(sa, sb, (x, y) -> " +
+              "IF(x = y, 1L, 0L)), 0L, (acc, v) -> acc + v)")
+              .as("m"))
+          .select($"a", $"b", $"jaccard",
+            round($"m".cast("double") / 16, 6).as("est"),
+            round($"m".cast("double") / 16 - $"jaccard", 6)
+              .as("err"))
+          .orderBy($"a", $"b")
+      },
+      Some(s"""WITH $dCandidateCtes,
+              |shj AS (SELECT doc_id, $dShingles3 AS sh
+              |  FROM documents),
+              |scored AS (
+              |  SELECT c.a, c.b,
+              |         len(x.sh) + len(y.sh) AS st,
+              |         len(list_distinct(list_concat(x.sh, y.sh)))
+              |           AS un
+              |  FROM cand c JOIN shj x ON x.doc_id = c.a
+              |              JOIN shj y ON y.doc_id = c.b),
+              |p AS (SELECT a, b,
+              |  round(CASE WHEN un = 0 THEN 0.0
+              |        ELSE CAST(st - un AS DOUBLE) / un END, 6)
+              |    AS jaccard
+              |  FROM scored
+              |  WHERE round(CASE WHEN un = 0 THEN 0.0
+              |        ELSE CAST(st - un AS DOUBLE) / un END, 6)
+              |        >= 0.5),
+              |m AS (SELECT p.a, p.b, p.jaccard,
+              |  CAST(list_sum(list_transform(generate_series(1, 16),
+              |    i -> CASE WHEN x.sig[CAST(i AS INT)]
+              |                  = y.sig[CAST(i AS INT)]
+              |              THEN 1 ELSE 0 END)) AS BIGINT) AS m
+              |  FROM p JOIN sig x ON x.doc_id = p.a
+              |         JOIN sig y ON y.doc_id = p.b)
+              |SELECT a, b, jaccard,
+              |  round(CAST(m AS DOUBLE) / 16, 6) AS est,
+              |  round(CAST(m AS DOUBLE) / 16 - jaccard, 6) AS err
+              |FROM m ORDER BY a, b""".stripMargin)),
+
+    // ---- q177: calibration bins (reliability diagram) for the
+    // quality score as an en-classifier — the per-bin positive rate
+    // that complements q152's threshold-free AUC: a well-calibrated
+    // score has pos_rate tracking the bin. 10 clamped score bins,
+    // DECIMAL-exact mean score per bin, exact integer rates ----
+    Q("q177_quality_calibration",
+      (s, d) => {
+        import s.implicits._
+        val sc = T(s, d, "documents").select(
+          TextFunctions.qualityScore($"text").as("score"),
+          when($"lang" === "en", 1L).otherwise(0L).as("pos"))
+        sc.groupBy(least(floor($"score" * 10), lit(9L)).cast("long")
+            .as("bin"))
+          .agg(count(lit(1)).as("n"), sum($"pos").as("n_pos"),
+            round(sum($"score".cast("decimal(18,6)")).cast("double")
+              / count(lit(1)), 6).as("mean_score"))
+          .withColumn("pos_rate",
+            round($"n_pos".cast("double") / $"n", 6))
+          .orderBy($"bin")
+      },
+      Some(s"""WITH f AS ($dQualityFeatures,
+              |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+              |  FROM documents),
+              |sc AS (SELECT $dQualityExpr AS score, pos FROM f),
+              |g AS (SELECT least(CAST(floor(score * 10) AS BIGINT),
+              |        9) AS bin,
+              |  count(*) AS n, sum(pos) AS n_pos,
+              |  round(CAST(sum(CAST(score AS DECIMAL(18,6)))
+              |    AS DOUBLE) / count(*), 6) AS mean_score
+              |  FROM sc GROUP BY 1)
+              |SELECT CAST(bin AS BIGINT) AS bin,
+              |  CAST(n AS BIGINT) AS n,
+              |  CAST(n_pos AS BIGINT) AS n_pos, mean_score,
+              |  round(CAST(n_pos AS DOUBLE) / n, 6) AS pos_rate
+              |FROM g ORDER BY bin""".stripMargin))
   )
 }

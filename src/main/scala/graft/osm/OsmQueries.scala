@@ -1370,6 +1370,50 @@ object OsmQueries {
               |SELECT k, CAST(count(*) AS BIGINT) AS n_uses,
               |  CAST(count(DISTINCT v) AS BIGINT) AS n_values
               |FROM kvs GROUP BY k ORDER BY n_uses DESC, k"""
-        .stripMargin))
+        .stripMargin)),
+
+    // ---- tag-KEY co-occurrence over the open-schema MapType — which
+    // tag keys appear together on the same element (taginfo's
+    // "combinations" page; the schema-inference signal for an
+    // untyped tag soup). Keys explode per element with a type-
+    // prefixed element id (node/way/relation id spaces overlap at
+    // scale), pairs form within-element only (bounded by keys per
+    // element, not corpus), one hash-agg ----
+    Q("q178_tag_cooccurrence",
+      (s, d) => {
+        import s.implicits._
+        val t = SyntheticOsm.materialized(s, d)
+        def keys(df: org.apache.spark.sql.DataFrame, p: String) =
+          df.select(concat(lit(p), lit(":"), $"id").as("eid"),
+            explode(map_keys($"tags")).as("k"))
+        val ks = keys(t.nodes, "n").unionAll(keys(t.ways, "w"))
+          .unionAll(keys(t.relations, "r"))
+        ks.as("x").join(ks.as("y"),
+            col("x.eid") === col("y.eid") && col("x.k") < col("y.k"))
+          .groupBy(col("x.k").as("k1"), col("y.k").as("k2"))
+          .agg(count(lit(1)).as("n_elements"))
+          .orderBy($"n_elements".desc, $"k1", $"k2")
+      },
+      Some(s"""WITH $dOsmCtes,
+              |kvs AS (
+              |  SELECT eid, split_part(x, '=', 1) AS k
+              |  FROM (SELECT 'n:' || CAST(id AS VARCHAR) AS eid,
+              |          unnest(string_split(tags_s, ';')) AS x
+              |        FROM onodes
+              |        UNION ALL
+              |        SELECT 'w:' || CAST(id AS VARCHAR),
+              |          unnest(string_split(tags_s, ';'))
+              |        FROM oways
+              |        UNION ALL
+              |        SELECT 'r:' || CAST(id AS VARCHAR),
+              |          unnest(string_split(tags_s, ';'))
+              |        FROM orelations)
+              |  WHERE x != '')
+              |SELECT x.k AS k1, y.k AS k2,
+              |  CAST(count(*) AS BIGINT) AS n_elements
+              |FROM kvs x JOIN kvs y
+              |  ON x.eid = y.eid AND x.k < y.k
+              |GROUP BY x.k, y.k
+              |ORDER BY n_elements DESC, k1, k2""".stripMargin))
   )
 }
