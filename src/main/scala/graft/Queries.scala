@@ -2174,6 +2174,131 @@ object Queries {
              |  round(CAST(sum(CASE WHEN prevmax > tus THEN 1 ELSE 0
              |       END) AS DOUBLE) / count(*), 6) AS late_share
              |FROM m GROUP BY event_type
-             |ORDER BY event_type""".stripMargin))
+             |ORDER BY event_type""".stripMargin)),
+
+    // ---- point-in-time (bitemporal) join: each order picks up the
+    // customer's event-stream STATUS that was valid at order time —
+    // q145's SCD2 intervals probed by a foreign fact table (the
+    // as-of-validity join every feature store runs to prevent
+    // training-serving skew / time travel leakage). Equi on user +
+    // interval predicate: co-keyed on the user shuffle, at most one
+    // matching interval per probe by construction ----
+    Q("q179_point_in_time_join",
+      (s, d) => {
+        import s.implicits._
+        val ev = T(s, d, "events")
+          .select($"user_id", $"event_type".as("status"),
+            unix_micros($"ts").as("tus"), $"event_id")
+        val w = Window.partitionBy($"user_id")
+          .orderBy($"tus", $"event_id")
+        val iv = ev
+          .withColumn("prev", lag($"status", 1).over(w))
+          .where($"prev".isNull || $"prev" =!= $"status")
+          .withColumn("valid_to", lead($"tus", 1).over(
+            Window.partitionBy($"user_id").orderBy($"tus", $"event_id")))
+          // PIT convention: the user's FIRST status extends backward
+          // (valid_from NULL = since beginning), so probes that
+          // predate the stream still resolve instead of dropping
+          .select($"user_id", $"status",
+            when($"prev".isNull, lit(null).cast("long"))
+              .otherwise($"tus").as("valid_from"),
+            $"valid_to")
+        val orders = T(s, d, "orders").select($"o_orderkey",
+          $"o_custkey".as("user_id"),
+          unix_micros($"o_orderdate").as("ots"))
+        orders.join(iv, orders("user_id") === iv("user_id") &&
+            ($"valid_from".isNull || $"ots" >= $"valid_from") &&
+            ($"valid_to".isNull || $"ots" < $"valid_to"))
+          .select($"o_orderkey", orders("user_id"), $"ots", $"status")
+          .orderBy($"o_orderkey")
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type AS status,
+             |  epoch_us(ts) AS tus, event_id FROM events),
+             |ch AS (SELECT user_id, status, tus, event_id,
+             |  lag(status) OVER (PARTITION BY user_id
+             |    ORDER BY tus, event_id) AS prev
+             |  FROM ev),
+             |iv AS (SELECT user_id, status,
+             |  CASE WHEN prev IS NULL THEN NULL ELSE tus END
+             |    AS valid_from,
+             |  lead(tus) OVER (PARTITION BY user_id
+             |    ORDER BY tus, event_id) AS valid_to
+             |  FROM (SELECT * FROM ch
+             |        WHERE prev IS NULL OR prev != status)),
+             |o AS (SELECT o_orderkey, o_custkey AS user_id,
+             |  epoch_us(o_orderdate) AS ots FROM orders)
+             |SELECT o.o_orderkey, o.user_id, o.ots, iv.status
+             |FROM o JOIN iv ON iv.user_id = o.user_id
+             |  AND (iv.valid_from IS NULL OR o.ots >= iv.valid_from)
+             |  AND (iv.valid_to IS NULL OR o.ots < iv.valid_to)
+             |ORDER BY o.o_orderkey""".stripMargin)),
+
+    // ---- TPC-H Q3-shape shipping priority: the classic 3-table
+    // join + grouped revenue top-10 (customer segment filter, date
+    // band, DECIMAL-exact revenue, total-ordered cutoff) — the
+    // canonical "join then rank" OLAP probe rounding out the
+    // relational suite's TPC-H coverage ----
+    Q("q181_shipping_priority",
+      (s, d) => {
+        import s.implicits._
+        val cust = T(s, d, "customer")
+          .where($"c_mktsegment" === "BUILDING")
+          .select($"c_custkey")
+        val orders = T(s, d, "orders")
+          .select($"o_orderkey", $"o_custkey", $"o_orderpriority")
+        val li = T(s, d, "lineitem")
+          .select($"l_orderkey",
+            ($"l_extendedprice".cast(DecimalType(18, 4)) *
+              (lit(java.math.BigDecimal.ONE).cast(DecimalType(18, 4))
+                - $"l_discount".cast(DecimalType(18, 4))))
+              .as("rev"))
+        li.join(orders, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+          .groupBy($"o_orderkey", $"o_orderpriority")
+          .agg(sum($"rev").cast("double").as("revenue"))
+          .orderBy($"revenue".desc, $"o_orderkey")
+          .limit(10)
+      },
+      Some("""SELECT l.l_orderkey AS o_orderkey, o.o_orderpriority,
+             |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4)) *
+             |    (CAST(1 AS DECIMAL(18,4)) -
+             |     CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+             |    AS revenue
+             |FROM lineitem l
+             |JOIN orders o ON o.o_orderkey = l.l_orderkey
+             |JOIN customer c ON c.c_custkey = o.o_custkey
+             |WHERE c.c_mktsegment = 'BUILDING'
+             |GROUP BY l.l_orderkey, o.o_orderpriority
+             |ORDER BY revenue DESC, o_orderkey LIMIT 10"""
+        .stripMargin)),
+
+    // ---- week-over-week volume deltas: per event type and integer
+    // epoch-week, event count, previous week's count and the exact
+    // integer delta (the trend report behind every ops dashboard).
+    // One lag window over the (type, week) AGGREGATE — bounded by
+    // the calendar times 5 types, never by rows ----
+    Q("q182_wow_change",
+      (s, d) => {
+        import s.implicits._
+        val wk = T(s, d, "events").select($"event_type",
+          expr("unix_micros(ts) div 604800000000").as("week"))
+        val g = wk.groupBy($"event_type", $"week")
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy($"event_type").orderBy($"week")
+        g.withColumn("prev_n", lag($"n", 1).over(w))
+          .select($"event_type", $"week", $"n", $"prev_n",
+            ($"n" - coalesce($"prev_n", lit(0L))).as("delta"))
+          .orderBy($"event_type", $"week")
+      },
+      Some("""WITH wk AS (SELECT event_type,
+             |  epoch_us(ts) // 604800000000 AS week FROM events),
+             |g AS (SELECT event_type, week, count(*) AS n FROM wk
+             |      GROUP BY event_type, week)
+             |SELECT event_type, week, CAST(n AS BIGINT) AS n,
+             |  CAST(lag(n) OVER (PARTITION BY event_type
+             |    ORDER BY week) AS BIGINT) AS prev_n,
+             |  CAST(n - coalesce(lag(n) OVER (PARTITION BY event_type
+             |    ORDER BY week), 0) AS BIGINT) AS delta
+             |FROM g ORDER BY event_type, week""".stripMargin))
   )
 }

@@ -4763,6 +4763,36 @@ object LlmQueries {
               |  CAST(n AS BIGINT) AS n,
               |  CAST(n_pos AS BIGINT) AS n_pos, mean_score,
               |  round(CAST(n_pos AS DOUBLE) / n, 6) AS pos_rate
-              |FROM g ORDER BY bin""".stripMargin))
+              |FROM g ORDER BY bin""".stripMargin)),
+
+    // ---- q180: grouped top-k — the best 3 documents per source by
+    // quality (the per-feed showcase/spot-check every curation run
+    // exports). The rank-filter shape Spark rewrites to
+    // WindowGroupLimit: each source's partition keeps a 3-row heap
+    // instead of fully sorting, so the operator is shuffle-once and
+    // memory-O(k) per group at any corpus size (PlanSpec pins the
+    // rewrite fired) ----
+    Q("q180_grouped_topk",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val sc = T(s, d, "documents").select($"doc_id", $"source",
+          TextFunctions.qualityScore($"text").as("score"))
+        val w = Window.partitionBy($"source")
+          .orderBy($"score".desc, $"doc_id")
+        sc.withColumn("rk", row_number().over(w).cast("long"))
+          .where($"rk" <= 3)
+          .select($"source", $"rk", $"doc_id", $"score")
+          .orderBy($"source", $"rk")
+      },
+      Some(s"""WITH f AS ($dQualityFeatures, source FROM documents),
+              |sc AS (SELECT doc_id, source, $dQualityExpr AS score
+              |       FROM f),
+              |r AS (SELECT source, doc_id, score,
+              |  CAST(row_number() OVER (PARTITION BY source
+              |    ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+              |  FROM sc)
+              |SELECT source, rk, doc_id, score FROM r
+              |WHERE rk <= 3 ORDER BY source, rk""".stripMargin))
   )
 }

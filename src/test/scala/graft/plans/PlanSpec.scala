@@ -218,6 +218,13 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q180 grouped top-k plans WindowGroupLimit, not a full sort") {
+    val plan = q("q180_grouped_topk").queryExecution.executedPlan
+      .toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k filter should rewrite to a per-group limit:\n$plan")
+  }
+
   test("q154 containment verify join broadcasts the shingle side") {
     val plan = q("q154_containment_dedup")
       .queryExecution.executedPlan.toString
