@@ -2299,6 +2299,75 @@ object Queries {
              |    ORDER BY week) AS BIGINT) AS prev_n,
              |  CAST(n - coalesce(lag(n) OVER (PARTITION BY event_type
              |    ORDER BY week), 0) AS BIGINT) AS delta
-             |FROM g ORDER BY event_type, week""".stripMargin))
+             |FROM g ORDER BY event_type, week""".stripMargin)),
+
+    // ---- A/B experiment readout: users hash-split into two arms
+    // (deterministic md5 bucketing — the same mechanism as q58's
+    // corpus splits, so assignment is reproducible and orthogonal to
+    // any id pattern), conversion = user had >= 1 purchase event;
+    // per-arm exact counts and the two-proportion z statistic in one
+    // identical double expression. The product-experimentation
+    // operator; counts are two tiny per-user aggs ----
+    Q("q184_ab_test",
+      (s, d) => {
+        import s.implicits._
+        val users = T(s, d, "events")
+          .groupBy($"user_id")
+          // success = purchase share above the 1-in-5 expectation —
+          // integer compare, non-degenerate at every SF (a has-any-
+          // purchase metric saturates to p=1 and zeroes the z-test
+          // denominator)
+          .agg((sum(when($"event_type" === "purchase", 1L)
+            .otherwise(0L)) * 5 > count(lit(1))).cast("long")
+            .as("converted"))
+          .withColumn("arm",
+            (conv(substring(md5(concat(lit("ab"),
+              $"user_id".cast("string"))), 1, 8), 16, 10)
+              .cast("long") % 2).as("arm"))
+        val g = users.groupBy($"arm")
+          .agg(count(lit(1)).as("n_users"),
+            sum($"converted").as("n_conv"))
+        val a = g.where($"arm" === 0).select($"n_users".as("n0"),
+          $"n_conv".as("c0"))
+        val b = g.where($"arm" === 1).select($"n_users".as("n1"),
+          $"n_conv".as("c1"))
+        a.crossJoin(b).select(
+          $"n0", $"c0", $"n1", $"c1",
+          round($"c0".cast("double") / $"n0", 6).as("rate0"),
+          round($"c1".cast("double") / $"n1", 6).as("rate1"),
+          round(($"c0".cast("double") / $"n0" -
+            $"c1".cast("double") / $"n1") /
+            sqrt((($"c0" + $"c1").cast("double") / ($"n0" + $"n1")) *
+              (lit(1.0) - ($"c0" + $"c1").cast("double") /
+                ($"n0" + $"n1")) *
+              (lit(1.0) / $"n0" + lit(1.0) / $"n1")), 4).as("z"))
+      },
+      Some("""WITH u AS (SELECT user_id,
+             |  CASE WHEN sum(CASE WHEN event_type = 'purchase'
+             |         THEN 1 ELSE 0 END) * 5 > count(*)
+             |       THEN 1 ELSE 0 END AS converted
+             |  FROM events GROUP BY user_id),
+             |arms AS (SELECT
+             |  CAST(concat('0x', substr(md5(concat('ab',
+             |    CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) % 2
+             |    AS arm, converted
+             |  FROM u),
+             |g AS (SELECT arm, count(*) AS n, sum(converted) AS c
+             |      FROM arms GROUP BY arm),
+             |a AS (SELECT n AS n0, c AS c0 FROM g WHERE arm = 0),
+             |b AS (SELECT n AS n1, c AS c1 FROM g WHERE arm = 1)
+             |SELECT CAST(a.n0 AS BIGINT) AS n0,
+             |  CAST(a.c0 AS BIGINT) AS c0,
+             |  CAST(b.n1 AS BIGINT) AS n1,
+             |  CAST(b.c1 AS BIGINT) AS c1,
+             |  round(CAST(a.c0 AS DOUBLE) / a.n0, 6) AS rate0,
+             |  round(CAST(b.c1 AS DOUBLE) / b.n1, 6) AS rate1,
+             |  round((CAST(a.c0 AS DOUBLE) / a.n0 -
+             |    CAST(b.c1 AS DOUBLE) / b.n1) /
+             |    sqrt((CAST(a.c0 + b.c1 AS DOUBLE) / (a.n0 + b.n1)) *
+             |      (1.0 - CAST(a.c0 + b.c1 AS DOUBLE) /
+             |        (a.n0 + b.n1)) *
+             |      (1.0 / a.n0 + 1.0 / b.n1)), 4) AS z
+             |FROM a, b""".stripMargin))
   )
 }

@@ -4793,6 +4793,116 @@ object LlmQueries {
               |    ORDER BY score DESC, doc_id) AS BIGINT) AS rk
               |  FROM sc)
               |SELECT source, rk, doc_id, score FROM r
-              |WHERE rk <= 3 ORDER BY source, rk""".stripMargin))
+              |WHERE rk <= 3 ORDER BY source, rk""".stripMargin)),
+
+    // ---- q183: top principal direction of the embedding cloud by
+    // TWO unrolled power-iteration steps (u0 = e1) — the embedding-
+    // space analysis op behind anisotropy checks and whitening
+    // decisions. Every corpus-sized sum is quantized to exact 1e-6
+    // BIGINTs BEFORE aggregation (the q123/q119 integer-exactness
+    // rule), so shuffle order can't move a bit; normalization is
+    // sqrt/÷ (correctly-rounded IEEE) in identical shapes on both
+    // engines. The iter-1 result reaches iter 2 as EXACT integers
+    // (collected s_d longs -> driver-rebuilt doubles == the oracle's
+    // CTE arithmetic bit-for-bit); each iteration is one corpus scan ----
+    Q("q183_pca_direction",
+      (s, d) => {
+        import s.implicits._
+        val emb = T(s, d, "embeddings")
+          .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        // iteration 1: dot = <v, e1> = v[0]; s_d = Σ round(v[d]*dot*1e6)
+        val it1 = emb
+          .select(posexplode($"v").as(Seq("d0", "x")),
+            element_at($"v", 1).as("dot"))
+          .groupBy(($"d0" + 1).cast("long").as("dim"))
+          .agg(sum(round($"x" * $"dot" * 1e6, 0).cast("long")).as("s"))
+        val s1 = it1.orderBy($"dim").select($"s").as[Long].collect()
+        val w1 = s1.map(_.toDouble / 1e6)
+        val n1 = math.sqrt(w1.foldLeft(0.0)((a, x) => a + x * x))
+        val u1 = w1.map(_ / n1).toSeq
+        // iteration 2 with u1 as a literal: sequential fold dot,
+        // quantized per-dim sums, normalize, 6-dp display
+        val it2 = emb
+          .withColumn("u", typedlit(u1))
+          .withColumn("dot", expr("aggregate(zip_with(v, u," +
+            " (a, b) -> a * b), 0D, (acc, x) -> acc + x)"))
+          .select(posexplode($"v").as(Seq("d0", "x")), $"dot")
+          .groupBy(($"d0" + 1).cast("long").as("dim"))
+          .agg(sum(round($"x" * $"dot" * 1e6, 0).cast("long")).as("s2"))
+        val n2df = it2.agg(
+          sqrt(sum(($"s2" / 1e6) * ($"s2" / 1e6))).as("n2"))
+        it2.crossJoin(broadcast(n2df))
+          .select($"dim", $"s2",
+            round($"s2" / 1e6 / $"n2", 6).as("u"))
+          .orderBy($"dim")
+      },
+      Some("""WITH e AS (SELECT vec_id,
+             |  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |ds AS (SELECT unnest(generate_series(1, 64)) AS dim),
+             |i1 AS (SELECT ds.dim,
+             |  sum(CAST(round(e.v[CAST(ds.dim AS INT)] * e.v[1]
+             |    * 1e6) AS BIGINT)) AS s
+             |  FROM e, ds GROUP BY ds.dim),
+             |u1n AS (SELECT sqrt(list_sum(list_transform(
+             |    list(s / 1e6 ORDER BY dim), x -> x * x))) AS n1,
+             |  list(s / 1e6 ORDER BY dim) AS w1 FROM i1),
+             |u1 AS (SELECT list_transform(w1, x -> x / n1) AS u
+             |       FROM u1n),
+             |dots AS (SELECT e.vec_id, e.v,
+             |  list_sum(list_transform(generate_series(1, 64), k ->
+             |    e.v[CAST(k AS INT)] * u1.u[CAST(k AS INT)])) AS dot
+             |  FROM e, u1),
+             |i2 AS (SELECT ds.dim,
+             |  sum(CAST(round(dots.v[CAST(ds.dim AS INT)] * dots.dot
+             |    * 1e6) AS BIGINT)) AS s2
+             |  FROM dots, ds GROUP BY ds.dim),
+             |n2 AS (SELECT sqrt(sum((s2 / 1e6) * (s2 / 1e6))) AS n2
+             |       FROM i2)
+             |SELECT CAST(i2.dim AS BIGINT) AS dim,
+             |  CAST(i2.s2 AS BIGINT) AS s2,
+             |  round(i2.s2 / 1e6 / n2.n2, 6) AS u
+             |FROM i2, n2 ORDER BY dim""".stripMargin)),
+
+    // ---- q185: Gini coefficient of the token-budget distribution —
+    // the single-number inequality complement to q165's full Pareto
+    // curve (how concentrated is the corpus in its longest docs).
+    // Grouped closed form over the distinct token-count histogram:
+    // 2Σ(rank·x) expands per value-run to v·(2·c·C + c·(c+1)), all
+    // BIGINT until the final two-term double expression ----
+    Q("q185_gini_tokens",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val g = T(s, d, "documents")
+          .select(size(TextFunctions.tokens($"text")).cast("long")
+            .as("tc"))
+          .groupBy($"tc").agg(count(lit(1)).as("c"))
+        val w = Window.orderBy($"tc")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val r = g.withColumn("cb", coalesce(sum($"c").over(w), lit(0L)))
+          .agg(sum($"c").as("n"), sum($"tc" * $"c").as("t"),
+            sum($"tc" * ($"c" * $"cb" * 2 + $"c" * ($"c" + 1)))
+              .as("s2"))
+        r.select($"n".as("n_docs"), $"t".as("n_tokens"),
+          round($"s2".cast("double") /
+            ($"n".cast("double") * $"t") -
+            ($"n" + 1).cast("double") / $"n", 6).as("gini"))
+      },
+      Some(s"""WITH tcs AS (SELECT CAST(len($dTokens) AS BIGINT)
+              |    AS tc FROM documents),
+              |g AS (SELECT tc, count(*) AS c FROM tcs GROUP BY tc),
+              |cu AS (SELECT tc, c,
+              |  coalesce(sum(c) OVER (ORDER BY tc
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              |    0) AS cb
+              |  FROM g),
+              |a AS (SELECT sum(c) AS n, sum(tc * c) AS t,
+              |  sum(tc * (c * cb * 2 + c * (c + 1))) AS s2 FROM cu)
+              |SELECT CAST(n AS BIGINT) AS n_docs,
+              |  CAST(t AS BIGINT) AS n_tokens,
+              |  round(CAST(s2 AS DOUBLE) /
+              |    (CAST(n AS DOUBLE) * t) -
+              |    CAST(n + 1 AS DOUBLE) / n, 6) AS gini
+              |FROM a""".stripMargin))
   )
 }
