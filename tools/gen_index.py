@@ -1,0 +1,53 @@
+#!/usr/bin/env python3
+"""Regenerate README's suite-index table (dev tooling, driver-side deps
+only): result-row counts from a Verify outDir + per-query seconds from a
+Bench JSON, rendered as the two-column markdown table.
+
+Usage: python3 tools/gen_index.py <verify_outdir> <bench_json>
+Prints the table to stdout; paste into README under "Suite index".
+"""
+import glob
+import json
+import math
+import os
+import sys
+
+import duckdb
+
+
+def qnum(name):
+    return int(name[1:].split("_")[0])
+
+
+def main(out_dir, bench_json):
+    bench = json.load(open(bench_json))["queries"]
+    con = duckdb.connect()
+    rows = {}
+    for d in sorted(glob.glob(os.path.join(out_dir, "q*"))):
+        name = os.path.basename(d)
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        if not files:
+            continue
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{d}/*.parquet')"
+        ).fetchone()[0]
+        rows[name] = n
+    names = sorted(rows, key=qnum)
+    half = math.ceil(len(names) / 2)
+    left, right = names[:half], names[half:]
+    print("| query | rows (sf0.01) | sf0.1 sec | | query | rows (sf0.01)"
+          " | sf0.1 sec |")
+    print("|---|---|---|---|---|---|---|")
+    for i in range(half):
+        def cell(ns, i):
+            if i >= len(ns):
+                return " | | "
+            n = ns[i]
+            sec = bench.get(n)
+            s = f"{sec:.1f}" if isinstance(sec, (int, float)) else "-"
+            return f"{n} | {rows[n]} | {s}"
+        print(f"| {cell(left, i)} | | {cell(right, i)} |")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
