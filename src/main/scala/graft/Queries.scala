@@ -2368,6 +2368,133 @@ object Queries {
              |      (1.0 - CAST(a.c0 + b.c1 AS DOUBLE) /
              |        (a.n0 + b.n1)) *
              |      (1.0 / a.n0 + 1.0 / b.n1)), 4) AS z
-             |FROM a, b""".stripMargin))
+             |FROM a, b""".stripMargin)),
+
+    // ---- CSV sink/scan round trip — the interchange format the
+    // messy half of the world still ships. The hard part is QUOTING:
+    // `props` is JSON (embedded commas, quotes, braces), so a naive
+    // writer/parser shears columns; the gate hash-compares every row
+    // after write -> read-with-schema, so escaping must be exactly
+    // inverse. Timestamps travel as exact epoch-µs BIGINTs (CSV has
+    // no timestamp type worth trusting) ----
+    Q("q186_csv_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        val ev = T(s, d, "events").select($"event_id",
+          unix_micros($"ts").as("tus"), $"user_id", $"event_type",
+          $"props")
+        val dir = graft.TempDirs.create("graft-q186-csv")
+        ev.write.mode("overwrite").option("header", "true")
+          .option("escape", "\"").csv(dir)
+        s.read.option("header", "true").option("escape", "\"")
+          .schema("event_id BIGINT, tus BIGINT, user_id BIGINT," +
+            " event_type STRING, props STRING")
+          .csv(dir)
+          .orderBy($"event_id")
+      },
+      Some("""SELECT event_id, epoch_us(ts) AS tus, user_id,
+             |  event_type, props
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // ---- ORC sink/scan round trip — the second columnar format
+    // (predicate pushdown, stripe statistics) a lakehouse speaks.
+    // Full typed row fidelity including TIMESTAMP and DOUBLE is the
+    // gate: write ORC, read back, aggregate per type with the
+    // DECIMAL-exact money rule; equality with the parquet-derived
+    // oracle proves the conversion lossless ----
+    Q("q187_orc_roundtrip",
+      (s, d) => {
+        import s.implicits._
+        val ev = T(s, d, "events").select($"event_id", $"ts",
+          $"event_type", $"value")
+        val dir = graft.TempDirs.create("graft-q187-orc")
+        ev.write.mode("overwrite").orc(dir)
+        s.read.orc(dir)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum($"value".cast(DecimalType(18, 4))).cast("double")
+              .as("sum_value"),
+            min(unix_micros($"ts")).as("min_tus"),
+            max(unix_micros($"ts")).as("max_tus"))
+          .orderBy($"event_type")
+      },
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+             |    AS sum_value,
+             |  min(epoch_us(ts)) AS min_tus,
+             |  max(epoch_us(ts)) AS max_tus
+             |FROM events GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
+
+    // ---- Hive-style partition pruning: events written
+    // partitionBy(event_type), read back with a type filter — the
+    // layout that turns a 100 TB scan into a 20 TB scan BEFORE any
+    // row is read. PlanSpec pins PartitionFilters actually pruned
+    // the directories (not a post-scan filter); the daily rollup on
+    // top proves the pruned read is still value-exact ----
+    Q("q188_partition_pruning",
+      (s, d) => {
+        import s.implicits._
+        val ev = T(s, d, "events").select($"event_id",
+          unix_micros($"ts").as("tus"), $"value", $"event_type")
+        val dir = graft.TempDirs.create("graft-q188-part")
+        ev.write.mode("overwrite").partitionBy("event_type")
+          .parquet(dir)
+        s.read.parquet(dir)
+          .where($"event_type" === "purchase")
+          .groupBy(expr("tus div 86400000000").as("day"))
+          .agg(count(lit(1)).as("n"),
+            sum($"value".cast(DecimalType(18, 4))).cast("double")
+              .as("sum_value"))
+          .orderBy($"day")
+      },
+      Some("""SELECT epoch_us(ts) // 86400000000 AS day,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+             |    AS sum_value
+             |FROM events WHERE event_type = 'purchase'
+             |GROUP BY 1 ORDER BY day""".stripMargin)),
+
+    // ---- bucketed co-located join: events and orders both saved
+    // bucketed+sorted by user key (8 buckets, external tables) and
+    // joined WITHOUT a shuffle — the pre-partitioned layout that
+    // makes a daily fact-to-fact join exchange-free at warehouse
+    // scale (PlanSpec pins zero Exchange above the bucketed scans).
+    // The aggregate on top is the per-user activity-vs-spend
+    // correlation table ----
+    Q("q189_bucketed_join",
+      (s, d) => {
+        import s.implicits._
+        val ev = T(s, d, "events")
+          .groupBy($"user_id").agg(count(lit(1)).as("n_events"))
+        val od = T(s, d, "orders")
+          .groupBy($"o_custkey".as("user_id"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum($"o_totalprice".cast(DecimalType(18, 4)))
+              .cast("double").as("spend"))
+        val de = graft.TempDirs.create("graft-q189-ev")
+        val dod = graft.TempDirs.create("graft-q189-od")
+        ev.write.mode("overwrite").bucketBy(8, "user_id")
+          .sortBy("user_id").option("path", de)
+          .saveAsTable("graft_q189_events")
+        od.write.mode("overwrite").bucketBy(8, "user_id")
+          .sortBy("user_id").option("path", dod)
+          .saveAsTable("graft_q189_orders")
+        s.table("graft_q189_events")
+          .join(s.table("graft_q189_orders"), "user_id")
+          .select($"user_id", $"n_events", $"n_orders", $"spend")
+          .orderBy($"user_id")
+      },
+      Some("""WITH ev AS (SELECT user_id, count(*) AS n_events
+             |           FROM events GROUP BY user_id),
+             |od AS (SELECT o_custkey AS user_id,
+             |  CAST(count(*) AS BIGINT) AS n_orders,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+             |       AS DOUBLE) AS spend
+             |  FROM orders GROUP BY o_custkey)
+             |SELECT ev.user_id, CAST(ev.n_events AS BIGINT)
+             |    AS n_events, od.n_orders, od.spend
+             |FROM ev JOIN od USING (user_id)
+             |ORDER BY user_id""".stripMargin))
   )
 }

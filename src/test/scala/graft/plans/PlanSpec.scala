@@ -232,6 +232,33 @@ class PlanSpec extends AnyFunSuite {
       s"shingle probe should broadcast at this SF:\n$plan")
   }
 
+  test("q188 prunes partitions at the scan, not with a row filter") {
+    val plan = q("q188_partition_pruning")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("event_type"),
+      s"event_type filter must prune directories:\n$plan")
+  }
+
+  test("q189 bucketed join plans no exchange above the bucketed scans") {
+    val plan = q("q189_bucketed_join").queryExecution.executedPlan
+    // the join itself must consume the 8-bucket layout directly: no
+    // ShuffleExchange between either bucketed relation and the join
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.{SortMergeJoinExec,
+      ShuffledHashJoinExec}
+    val joins = plan.collect {
+      case j: SortMergeJoinExec => j
+      case j: ShuffledHashJoinExec => j
+    }
+    assert(joins.nonEmpty, s"expected a shuffled-family join:\n$plan")
+    joins.foreach { j =>
+      val shuffles = j.collect { case e: ShuffleExchangeLike => e }
+      assert(shuffles.isEmpty,
+        s"bucketed join must not re-shuffle its inputs:\n$plan")
+    }
+  }
+
   test("projection + filter push down into the parquet scan") {
     val df = graft.Queries.T(spark, SF, "lineitem")
       .where(org.apache.spark.sql.functions.col("l_orderkey") === 1L)
