@@ -2495,6 +2495,32 @@ object Queries {
              |SELECT ev.user_id, CAST(ev.n_events AS BIGINT)
              |    AS n_events, od.n_orders, od.spend
              |FROM ev JOIN od USING (user_id)
-             |ORDER BY user_id""".stripMargin))
+             |ORDER BY user_id""".stripMargin)),
+
+    // ---- pure-SQL interface: the same engine driven entirely
+    // through `spark.sql` over registered temp views — including a
+    // GRAFT CUSTOM AGGREGATE (`bitmap_agg`/`bitmap_cardinality`, the
+    // Roaring-style ID bitmap) resolved by the SQL parser via
+    // GraftFunctions.register. Proves a SQL-only consumer (BI tool,
+    // notebook) gets the full surface, not just the DataFrame API ----
+    Q("q190_sql_interface",
+      (s, d) => {
+        T(s, d, "events").createOrReplaceTempView("g_events")
+        T(s, d, "customer").createOrReplaceTempView("g_customer")
+        s.sql("""
+          SELECT c.c_mktsegment AS segment, e.event_type,
+                 count(*) AS n,
+                 bitmap_cardinality(bitmap_agg(e.user_id)) AS n_users
+          FROM g_events e
+          JOIN g_customer c ON c.c_custkey = e.user_id
+          GROUP BY c.c_mktsegment, e.event_type
+          ORDER BY segment, event_type""")
+      },
+      Some("""SELECT c.c_mktsegment AS segment, e.event_type,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+             |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+             |GROUP BY c.c_mktsegment, e.event_type
+             |ORDER BY segment, event_type""".stripMargin))
   )
 }
