@@ -2521,6 +2521,88 @@ object Queries {
              |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
              |FROM events e JOIN customer c ON c.c_custkey = e.user_id
              |GROUP BY c.c_mktsegment, e.event_type
-             |ORDER BY segment, event_type""".stripMargin))
+             |ORDER BY segment, event_type""".stripMargin)),
+
+    // ---- schema-on-read resilience: a deterministic 1-in-97 slice
+    // of `props` is corrupted (truncated mid-JSON, the classic
+    // producer-crash artifact) and the feed is parsed PERMISSIVE-
+    // style — from_json yields NULL for the broken rows instead of
+    // failing the job, and the report counts parse health per event
+    // type. The dead-letter accounting every ingest front door needs;
+    // the oracle repeats the truncation and uses json_valid ----
+    Q("q191_malformed_tolerance",
+      (s, d) => {
+        import s.implicits._
+        val ev = T(s, d, "events").select($"event_id", $"event_type",
+          when($"event_id" % 97 === 0,
+            expr("substring(props, 1, greatest(length(props) - 3, 1))"))
+            .otherwise($"props").as("raw"))
+        val parsed = ev.withColumn("j",
+          from_json($"raw", org.apache.spark.sql.types.MapType(
+            StringType, StringType)))
+        parsed.groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(when($"j".isNull, 1L).otherwise(0L))
+              .as("n_malformed"),
+            countDistinct(when($"j".isNotNull,
+              element_at($"j", "k"))).as("n_vals"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH ev AS (SELECT event_id, event_type,
+             |  CASE WHEN event_id % 97 = 0
+             |       THEN substr(props, 1,
+             |              greatest(length(props) - 3, 1))
+             |       ELSE props END AS raw
+             |  FROM events),
+             |p AS (SELECT event_type,
+             |  CASE WHEN json_valid(raw) THEN raw END AS j
+             |  FROM ev)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN j IS NULL THEN 1 ELSE 0 END)
+             |       AS BIGINT) AS n_malformed,
+             |  CAST(count(DISTINCT json_extract_string(j, '$.k'))
+             |       AS BIGINT) AS n_vals
+             |FROM p GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
+
+    // ---- daily Pearson correlation between two behavioural series
+    // (purchase count vs click count per day) — the metric-coupling
+    // readout behind "do these move together" dashboard claims. All
+    // five sums are exact BIGINTs over the 30-row day aggregate; r is
+    // one identical closed-form double expression on both engines ----
+    Q("q192_daily_corr",
+      (s, d) => {
+        import s.implicits._
+        val daily = T(s, d, "events")
+          .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+          .agg(sum(when($"event_type" === "purchase", 1L)
+            .otherwise(0L)).as("x"),
+            sum(when($"event_type" === "click", 1L).otherwise(0L))
+              .as("y"))
+        daily.agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+            sum($"y").as("sy"), sum($"x" * $"x").as("sxx"),
+            sum($"y" * $"y").as("syy"), sum($"x" * $"y").as("sxy"))
+          .select($"n", $"sx", $"sy",
+            round(($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+              (sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double")) *
+                sqrt(($"n" * $"syy" - $"sy" * $"sy").cast("double"))),
+              6).as("r"))
+      },
+      Some("""WITH daily AS (SELECT
+             |  epoch_us(ts) // 86400000000 AS day,
+             |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+             |      END) AS x,
+             |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+             |      END) AS y
+             |  FROM events GROUP BY 1),
+             |a AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             |  sum(x * x) AS sxx, sum(y * y) AS syy,
+             |  sum(x * y) AS sxy FROM daily)
+             |SELECT CAST(n AS BIGINT) AS n,
+             |  CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
+             |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+             |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+             |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS r
+             |FROM a""".stripMargin))
   )
 }
