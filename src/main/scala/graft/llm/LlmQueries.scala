@@ -4903,6 +4903,170 @@ object LlmQueries {
               |  round(CAST(s2 AS DOUBLE) /
               |    (CAST(n AS DOUBLE) * t) -
               |    CAST(n + 1 AS DOUBLE) / n, 6) AS gini
-              |FROM a""".stripMargin))
+              |FROM a""".stripMargin)),
+
+    // ---- q193: EXACT set-similarity self-join by prefix filtering
+    // (the PPJoin family) — the deterministic alternative to LSH
+    // (q25/q27): no probabilistic misses, no banding parameters.
+    // Tokens rank rarest-first by global df; a pair with Jaccard >= t
+    // MUST share a token in each side's (n - ceil(t*n) + 1)-prefix,
+    // so candidates come from tiny rare-token buckets plus a length
+    // band (|a|/|b| within t), then verify runs the codegen'd
+    // sorted-merge kernel. Both engines apply the IDENTICAL candidate
+    // rule, so the gate is value-exact end to end ----
+    Q("q193_prefix_filter_join",
+      (s, d) => {
+        import s.implicits._
+        val toks = T(s, d, "documents")
+          .select($"doc_id",
+            array_distinct(TextFunctions.tokens($"text")).as("ts"))
+          .where(size($"ts") > 0)
+        val dfr = toks.select($"doc_id", explode($"ts").as("w"))
+          .groupBy($"w").agg(count(lit(1)).as("df"))
+        val ranked = toks.select($"doc_id", explode($"ts").as("w"))
+          .join(broadcast(dfr), "w")
+          .groupBy($"doc_id")
+          .agg(sort_array(collect_list(struct($"df", $"w")))
+            .as("rw"), count(lit(1)).as("n"))
+          .select($"doc_id", $"n",
+            expr("transform(rw, x -> x.w)").as("rs"))
+        val pre = ranked.select($"doc_id", $"n",
+          explode(expr(
+            "slice(rs, 1, CAST(n - ((4 * n + 4) div 5) + 1 AS INT))"))
+            .as("w"))
+        val cand = pre.as("x").join(pre.as("y"),
+            col("x.w") === col("y.w") &&
+              col("x.doc_id") < col("y.doc_id") &&
+              col("x.n") * 4 <= col("y.n") * 5 &&
+              col("y.n") * 4 <= col("x.n") * 5)
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .distinct()
+        val js = toks.select($"doc_id", sort_array($"ts").as("js"))
+        val est = js.queryExecution.optimizedPlan.stats.sizeInBytes
+        val hinted: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.DataFrame =
+          if (est <= (64L << 20)) broadcast(_) else identity
+        cand
+          .join(hinted(js.select($"doc_id".as("a"), $"js".as("ja"))),
+            Seq("a"))
+          .join(hinted(js.select($"doc_id".as("b"), $"js".as("jb"))),
+            Seq("b"))
+          .select($"a", $"b",
+            round(call_function("jaccard_sorted", $"ja", $"jb"), 6)
+              .as("jaccard"))
+          .where($"jaccard" >= 0.8)
+          .orderBy($"a", $"b")
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+              |    list_distinct($dTokens) AS ts
+              |  FROM documents
+              |  WHERE len(list_distinct($dTokens)) > 0),
+              |e AS (SELECT doc_id, unnest(ts) AS w FROM t),
+              |df AS (SELECT w, count(*) AS df FROM e GROUP BY w),
+              |rw AS (SELECT e.doc_id,
+              |    list(e.w ORDER BY df.df, e.w) AS rs,
+              |    count(*) AS n
+              |  FROM e JOIN df USING (w) GROUP BY e.doc_id),
+              |pre AS (SELECT doc_id, n,
+              |    unnest(rs[1 : CAST(n - ((4 * n + 4) // 5) + 1
+              |                   AS INT)]) AS w
+              |  FROM rw),
+              |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              |  FROM pre x JOIN pre y ON x.w = y.w
+              |    AND x.doc_id < y.doc_id
+              |    AND x.n * 4 <= y.n * 5 AND y.n * 4 <= x.n * 5),
+              |js AS (SELECT doc_id, len(ts) AS n FROM t),
+              |tt AS (SELECT doc_id, ts FROM t),
+              |sc AS (SELECT c.a, c.b,
+              |    ja.n + jb.n AS st,
+              |    len(list_distinct(list_concat(xa.ts, xb.ts)))
+              |      AS un
+              |  FROM cand c JOIN js ja ON ja.doc_id = c.a
+              |             JOIN js jb ON jb.doc_id = c.b
+              |             JOIN tt xa ON xa.doc_id = c.a
+              |             JOIN tt xb ON xb.doc_id = c.b)
+              |SELECT a, b,
+              |  round(CAST(st - un AS DOUBLE) / un, 6) AS jaccard
+              |FROM sc
+              |WHERE round(CAST(st - un AS DOUBLE) / un, 6) >= 0.8
+              |ORDER BY a, b""".stripMargin)),
+
+    // ---- q194: per-source distinctive-token signatures by
+    // chi-square — "what vocabulary characterizes this feed" (the
+    // drift/contamination fingerprint that reads better than raw
+    // counts). Doc-frequency 2x2 contingency per (source, token),
+    // the chi2 closed form in one identical double expression
+    // (products stay in exact BIGINT range before the one double
+    // squaring), top-5 per source via the WindowGroupLimit rank ----
+    Q("q194_source_signatures",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val docs = T(s, d, "documents")
+          .select($"doc_id", $"source",
+            array_distinct(TextFunctions.tokens($"text")).as("ts"))
+        val dt = docs.select($"source", $"doc_id",
+          explode($"ts").as("w"))
+        val bySrc = dt.groupBy($"source", $"w")
+          .agg(count(lit(1)).as("a"))
+        val nSrc = docs.groupBy($"source")
+          .agg(count(lit(1)).as("n_src"))
+        val byTok = dt.groupBy($"w").agg(count(lit(1)).as("n_tok"))
+        val nTot = docs.agg(count(lit(1)).as("n_tot"))
+        val scored = bySrc.join(broadcast(nSrc), "source")
+          .join(broadcast(byTok), "w")
+          .crossJoin(broadcast(nTot))
+          // a token present in EVERY doc has no discriminative power
+          // and a zero (b+d) margin — excluded, not divided by
+          .where($"n_tok" < $"n_tot")
+          .withColumn("b", $"n_src" - $"a")
+          .withColumn("c", $"n_tok" - $"a")
+          .withColumn("dd", $"n_tot" - $"n_src" - $"c")
+          .withColumn("chi2",
+            round($"n_tot".cast("double") *
+              ($"a" * $"dd" - $"b" * $"c").cast("double") *
+              ($"a" * $"dd" - $"b" * $"c").cast("double") /
+              (($"a" + $"b").cast("double") * ($"c" + $"dd") *
+                ($"a" + $"c") * ($"b" + $"dd")), 4))
+        val w = Window.partitionBy($"source")
+          .orderBy($"chi2".desc, $"w")
+        scored.withColumn("rk", row_number().over(w).cast("long"))
+          .where($"rk" <= 5)
+          .select($"source", $"rk", $"w".as("token"), $"a", $"chi2")
+          .orderBy($"source", $"rk")
+      },
+      Some(s"""WITH docs AS (SELECT doc_id, source,
+              |    list_distinct($dTokens) AS ts FROM documents),
+              |dt AS (SELECT source, doc_id, unnest(ts) AS w
+              |       FROM docs),
+              |bs AS (SELECT source, w, count(*) AS a FROM dt
+              |       GROUP BY source, w),
+              |ns AS (SELECT source, count(*) AS n_src FROM docs
+              |       GROUP BY source),
+              |ntk AS (SELECT w, count(*) AS n_tok FROM dt
+              |        GROUP BY w),
+              |nt AS (SELECT count(*) AS n_tot FROM docs),
+              |sc AS (SELECT bs.source, bs.w, bs.a,
+              |  ns.n_src - bs.a AS b, ntk.n_tok - bs.a AS c,
+              |  nt.n_tot - ns.n_src - (ntk.n_tok - bs.a) AS dd,
+              |  nt.n_tot AS n_tot
+              |  FROM bs JOIN ns USING (source)
+              |          JOIN ntk USING (w), nt
+              |  WHERE ntk.n_tok < nt.n_tot),
+              |ch AS (SELECT source, w, a,
+              |  round(CAST(n_tot AS DOUBLE) *
+              |    CAST(a * dd - b * c AS DOUBLE) *
+              |    CAST(a * dd - b * c AS DOUBLE) /
+              |    (CAST(a + b AS DOUBLE) * (c + dd) * (a + c)
+              |     * (b + dd)), 4) AS chi2
+              |  FROM sc),
+              |r AS (SELECT source, w, a, chi2,
+              |  CAST(row_number() OVER (PARTITION BY source
+              |    ORDER BY chi2 DESC, w) AS BIGINT) AS rk
+              |  FROM ch)
+              |SELECT source, rk, w AS token, CAST(a AS BIGINT) AS a,
+              |  chi2
+              |FROM r WHERE rk <= 5 ORDER BY source, rk"""
+        .stripMargin))
   )
 }
