@@ -4917,39 +4917,53 @@ object LlmQueries {
     Q("q193_prefix_filter_join",
       (s, d) => {
         import s.implicits._
-        val toks = T(s, d, "documents")
+        // 4-char-gram shingle hash sets: a realistic set domain
+        // (word-level prefixes degenerate on this corpus's 31-word
+        // vocab — every "rare" token still hits 1000s of docs and the
+        // candidate join measured 66s; hashes make rarity real)
+        val sh = T(s, d, "documents")
           .select($"doc_id",
-            array_distinct(TextFunctions.tokens($"text")).as("ts"))
-          .where(size($"ts") > 0)
-        val dfr = toks.select($"doc_id", explode($"ts").as("w"))
-          .groupBy($"w").agg(count(lit(1)).as("df"))
-        val ranked = toks.select($"doc_id", explode($"ts").as("w"))
-          .join(broadcast(dfr), "w")
+            TextFunctions.ngramShingleHashes($"text", 4).as("hs"))
+          .where(size($"hs") > 0)
+        val dfr = sh.select($"doc_id", explode($"hs").as("h"))
+          .groupBy($"h").agg(count(lit(1)).as("df"))
+        val ranked = sh.select($"doc_id", explode($"hs").as("h"))
+          .join(dfr, "h")
           .groupBy($"doc_id")
-          .agg(sort_array(collect_list(struct($"df", $"w")))
+          .agg(sort_array(collect_list(struct($"df", $"h")))
             .as("rw"), count(lit(1)).as("n"))
           .select($"doc_id", $"n",
-            expr("transform(rw, x -> x.w)").as("rs"))
+            expr("transform(rw, x -> x.h)").as("rs"))
         val pre = ranked.select($"doc_id", $"n",
           explode(expr(
             "slice(rs, 1, CAST(n - ((4 * n + 4) div 5) + 1 AS INT))"))
-            .as("w"))
-        val cand = pre.as("x").join(pre.as("y"),
-            col("x.w") === col("y.w") &&
+            .as("h"))
+        // cap-exact bucket truncation (the q25/q105 guardrail): each
+        // prefix-hash bucket keeps its maxBucket smallest doc_ids,
+        // mirrored by the oracle's row_number rule — degenerate
+        // boilerplate grams can't go quadratic at any SF
+        val cap = Dedup.DefaultMaxBucket
+        val buck = pre.groupBy($"h")
+          .agg(sort_array(collect_list(struct($"doc_id", $"n")))
+            .as("ms"))
+          .select($"h", explode(slice($"ms", 1, cap)).as("m"))
+          .select($"h", $"m.doc_id".as("doc_id"), $"m.n".as("n"))
+        val cand = buck.as("x").join(buck.as("y"),
+            col("x.h") === col("y.h") &&
               col("x.doc_id") < col("y.doc_id") &&
               col("x.n") * 4 <= col("y.n") * 5 &&
               col("y.n") * 4 <= col("x.n") * 5)
           .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
           .distinct()
-        val js = toks.select($"doc_id", sort_array($"ts").as("js"))
+        val js = sh.select($"doc_id", $"hs")
         val est = js.queryExecution.optimizedPlan.stats.sizeInBytes
         val hinted: org.apache.spark.sql.DataFrame =>
           org.apache.spark.sql.DataFrame =
           if (est <= (64L << 20)) broadcast(_) else identity
         cand
-          .join(hinted(js.select($"doc_id".as("a"), $"js".as("ja"))),
+          .join(hinted(js.select($"doc_id".as("a"), $"hs".as("ja"))),
             Seq("a"))
-          .join(hinted(js.select($"doc_id".as("b"), $"js".as("jb"))),
+          .join(hinted(js.select($"doc_id".as("b"), $"hs".as("jb"))),
             Seq("b"))
           .select($"a", $"b",
             round(call_function("jaccard_sorted", $"ja", $"jb"), 6)
@@ -4957,34 +4971,34 @@ object LlmQueries {
           .where($"jaccard" >= 0.8)
           .orderBy($"a", $"b")
       },
-      Some(s"""WITH t AS (SELECT doc_id,
-              |    list_distinct($dTokens) AS ts
-              |  FROM documents
-              |  WHERE len(list_distinct($dTokens)) > 0),
-              |e AS (SELECT doc_id, unnest(ts) AS w FROM t),
-              |df AS (SELECT w, count(*) AS df FROM e GROUP BY w),
+      Some(s"""WITH t AS (SELECT doc_id, ${dShinglesN(4)} AS ts
+              |  FROM documents),
+              |t2 AS (SELECT doc_id, ts FROM t WHERE len(ts) > 0),
+              |e AS (SELECT doc_id, unnest(ts) AS h FROM t2),
+              |df AS (SELECT h, count(*) AS df FROM e GROUP BY h),
               |rw AS (SELECT e.doc_id,
-              |    list(e.w ORDER BY df.df, e.w) AS rs,
+              |    list(e.h ORDER BY df.df, e.h) AS rs,
               |    count(*) AS n
-              |  FROM e JOIN df USING (w) GROUP BY e.doc_id),
+              |  FROM e JOIN df USING (h) GROUP BY e.doc_id),
               |pre AS (SELECT doc_id, n,
               |    unnest(rs[1 : CAST(n - ((4 * n + 4) // 5) + 1
-              |                   AS INT)]) AS w
+              |                   AS INT)]) AS h
               |  FROM rw),
+              |buck AS (SELECT h, doc_id, n FROM (
+              |  SELECT h, doc_id, n, row_number() OVER (
+              |    PARTITION BY h ORDER BY doc_id) AS rk
+              |  FROM pre) WHERE rk <= ${Dedup.DefaultMaxBucket}),
               |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-              |  FROM pre x JOIN pre y ON x.w = y.w
+              |  FROM buck x JOIN buck y ON x.h = y.h
               |    AND x.doc_id < y.doc_id
               |    AND x.n * 4 <= y.n * 5 AND y.n * 4 <= x.n * 5),
-              |js AS (SELECT doc_id, len(ts) AS n FROM t),
-              |tt AS (SELECT doc_id, ts FROM t),
+              |js AS (SELECT doc_id, ts, len(ts) AS n FROM t2),
               |sc AS (SELECT c.a, c.b,
-              |    ja.n + jb.n AS st,
+              |    xa.n + xb.n AS st,
               |    len(list_distinct(list_concat(xa.ts, xb.ts)))
               |      AS un
-              |  FROM cand c JOIN js ja ON ja.doc_id = c.a
-              |             JOIN js jb ON jb.doc_id = c.b
-              |             JOIN tt xa ON xa.doc_id = c.a
-              |             JOIN tt xb ON xb.doc_id = c.b)
+              |  FROM cand c JOIN js xa ON xa.doc_id = c.a
+              |             JOIN js xb ON xb.doc_id = c.b)
               |SELECT a, b,
               |  round(CAST(st - un AS DOUBLE) / un, 6) AS jaccard
               |FROM sc
