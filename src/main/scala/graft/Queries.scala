@@ -60,6 +60,43 @@ object Queries {
   private def moneySum(c: Column): Column =
     sum(c.cast(DecimalType(18, 4))).cast("double")
 
+  /** 2h gaps-and-islands sessionization: adds `sid` to rows carrying
+    * (user_id, tus, event_id). ONE definition of the session-break
+    * rule (`tus >= prev + 7200000000`, ties kept in-session) shared
+    * by q146 (itemsets) and q169 (journey paths) — and mirrored by
+    * [[dSessionCtes]] — so the gap constant and tie semantics cannot
+    * drift between consumers. */
+  private def sessionize(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    ev.withColumn("prev", lag(col("tus"), 1).over(w))
+      .withColumn("brk", when(col("prev").isNull ||
+        col("tus") >= col("prev") + 7200000000L, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("prev", "brk")
+  }
+
+  /** DuckDB twin of [[sessionize]]: CTEs ev/l/m/s, where `s` has
+    * (user_id, event_type, tus, event_id, sid) over `events`. */
+  private val dSessionCtes: String =
+    """ev AS (SELECT user_id, event_type,
+      |  epoch_us(ts) AS tus, event_id FROM events),
+      |l AS (SELECT user_id, event_type, tus, event_id,
+      |  lag(tus) OVER (PARTITION BY user_id
+      |    ORDER BY tus, event_id) AS prev
+      |  FROM ev),
+      |m AS (SELECT user_id, event_type, tus, event_id,
+      |  CASE WHEN prev IS NULL OR tus >= prev + 7200000000
+      |       THEN 1 ELSE 0 END AS brk
+      |  FROM l),
+      |s AS (SELECT user_id, event_type, tus, event_id,
+      |  sum(brk) OVER (PARTITION BY user_id
+      |    ORDER BY tus, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS sid
+      |  FROM m)""".stripMargin
+
   /** Equal time slices of `ev` (epoch-µs column `us`): returns
     * (loUs, span, slice) where slice(k) is rows in
     * [lo + k*span, lo + (k+1)*span). Shared by the streaming replay
@@ -1619,14 +1656,7 @@ object Queries {
         val ev = T(s, d, "events")
           .select($"user_id", $"event_type",
             unix_micros($"ts").as("tus"), $"event_id")
-        val w = Window.partitionBy($"user_id")
-          .orderBy($"tus", $"event_id")
-        val sess = ev
-          .withColumn("prev", lag($"tus", 1).over(w))
-          .withColumn("brk", when($"prev".isNull ||
-            $"tus" >= $"prev" + 7200000000L, 1L).otherwise(0L))
-          .withColumn("sid", sum($"brk").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val sess = sessionize(ev)
           .select($"user_id", $"sid", $"event_type").distinct()
         val nSess = sess.select($"user_id", $"sid").distinct()
           .agg(count(lit(1)).as("n_sessions"))
@@ -1642,28 +1672,13 @@ object Queries {
               .as("support"))
           .orderBy($"n_cosess".desc, $"ta", $"tb")
       },
-      Some("""WITH ev AS (SELECT user_id, event_type,
-             |  epoch_us(ts) AS tus, event_id FROM events),
-             |l AS (SELECT user_id, event_type, tus, event_id,
-             |  lag(tus) OVER (PARTITION BY user_id
-             |    ORDER BY tus, event_id) AS prev
-             |  FROM ev),
-             |m AS (SELECT user_id, event_type, tus, event_id,
-             |  CASE WHEN prev IS NULL OR tus >= prev + 7200000000
-             |       THEN 1 ELSE 0 END AS brk
-             |  FROM l),
-             |s AS (SELECT DISTINCT user_id,
-             |  sum(brk) OVER (PARTITION BY user_id
-             |    ORDER BY tus, event_id
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             |    AS sid,
-             |  event_type
-             |  FROM m),
+      Some(s"""WITH $dSessionCtes,
+             |sd AS (SELECT DISTINCT user_id, sid, event_type FROM s),
              |t AS (SELECT count(*) AS n_sessions FROM
-             |      (SELECT DISTINCT user_id, sid FROM s)),
+             |      (SELECT DISTINCT user_id, sid FROM sd)),
              |p AS (SELECT a.event_type AS ta, b.event_type AS tb,
              |  count(*) AS n_cosess
-             |  FROM s a JOIN s b ON a.user_id = b.user_id
+             |  FROM sd a JOIN sd b ON a.user_id = b.user_id
              |    AND a.sid = b.sid AND a.event_type < b.event_type
              |  GROUP BY 1, 2)
              |SELECT ta, tb, CAST(n_cosess AS BIGINT) AS n_cosess,
@@ -2016,26 +2031,34 @@ object Queries {
     // per column, row/null/distinct counts and a type-stable min/max
     // rendering (ids and epoch-µs as digit strings; value quantized
     // to exact 1e-6 BIGINTs before stringifying, so no float-repr
-    // divergence can flag). Five independent one-row aggregates,
-    // each map-side partial, unioned ----
+    // divergence can flag). ONE scan: all six columns' aggregates in
+    // a single pass, unpivoted to rows with stack() ----
     Q("q168_column_profile",
       (s, d) => {
         import s.implicits._
         val ev = T(s, d, "events")
-        def prof(name: String, c: Column): DataFrame =
-          ev.agg(lit(name).as("col_name"),
-            count(lit(1)).as("n"),
-            (count(lit(1)) - count(c)).as("n_null"),
-            countDistinct(c).as("n_distinct"),
-            min(c).cast("string").as("min_s"),
-            max(c).cast("string").as("max_s"))
-        prof("event_id", $"event_id")
-          .unionAll(prof("event_type", $"event_type"))
-          .unionAll(prof("props", $"props"))
-          .unionAll(prof("ts_us", unix_micros($"ts")))
-          .unionAll(prof("user_id", $"user_id"))
-          .unionAll(prof("value_1e6",
-            round($"value" * 1e6, 0).cast("long")))
+        val cols: Seq[(String, Column)] = Seq(
+          "event_id" -> $"event_id",
+          "event_type" -> $"event_type",
+          "props" -> $"props",
+          "ts_us" -> unix_micros($"ts"),
+          "user_id" -> $"user_id",
+          "value_1e6" -> round($"value" * 1e6, 0).cast("long"))
+        val aggs = count(lit(1)).as("n") +: cols.zipWithIndex.flatMap {
+          case ((_, c), i) => Seq(
+            (count(lit(1)) - count(c)).as(s"nn$i"),
+            countDistinct(c).as(s"nd$i"),
+            min(c).cast("string").as(s"mn$i"),
+            max(c).cast("string").as(s"mx$i"))
+        }
+        val stacked = cols.zipWithIndex.map { case ((name, _), i) =>
+          s"'$name', nn$i, nd$i, mn$i, mx$i"
+        }.mkString(", ")
+        ev.agg(aggs.head, aggs.tail: _*)
+          .select($"n", expr(s"stack(${cols.size}, $stacked) AS " +
+            "(col_name, n_null, n_distinct, min_s, max_s)"))
+          .select($"col_name", $"n", $"n_null", $"n_distinct",
+            $"min_s", $"max_s")
           .orderBy($"col_name")
       },
       Some("""WITH p1 AS (SELECT 'event_id' AS col_name,
@@ -2085,14 +2108,7 @@ object Queries {
         val ev = T(s, d, "events")
           .select($"user_id", $"event_type",
             unix_micros($"ts").as("tus"), $"event_id")
-        val w = Window.partitionBy($"user_id")
-          .orderBy($"tus", $"event_id")
-        val sess = ev
-          .withColumn("prev", lag($"tus", 1).over(w))
-          .withColumn("brk", when($"prev".isNull ||
-            $"tus" >= $"prev" + 7200000000L, 1L).otherwise(0L))
-          .withColumn("sid", sum($"brk").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val sess = sessionize(ev)
         val ws = Window.partitionBy($"user_id", $"sid")
           .orderBy($"tus", $"event_id")
         sess
@@ -2104,22 +2120,7 @@ object Queries {
           .groupBy($"path").agg(count(lit(1)).as("n"))
           .orderBy($"n".desc, $"path").limit(10)
       },
-      Some("""WITH ev AS (SELECT user_id, event_type,
-             |  epoch_us(ts) AS tus, event_id FROM events),
-             |l AS (SELECT user_id, event_type, tus, event_id,
-             |  lag(tus) OVER (PARTITION BY user_id
-             |    ORDER BY tus, event_id) AS prev
-             |  FROM ev),
-             |m AS (SELECT user_id, event_type, tus, event_id,
-             |  CASE WHEN prev IS NULL OR tus >= prev + 7200000000
-             |       THEN 1 ELSE 0 END AS brk
-             |  FROM l),
-             |s AS (SELECT user_id, event_type, tus, event_id,
-             |  sum(brk) OVER (PARTITION BY user_id
-             |    ORDER BY tus, event_id
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             |    AS sid
-             |  FROM m),
+      Some(s"""WITH $dSessionCtes,
              |p AS (SELECT event_type,
              |  lead(event_type, 1) OVER (PARTITION BY user_id, sid
              |    ORDER BY tus, event_id) AS p2,
@@ -2335,12 +2336,17 @@ object Queries {
           $"n0", $"c0", $"n1", $"c1",
           round($"c0".cast("double") / $"n0", 6).as("rate0"),
           round($"c1".cast("double") / $"n1", 6).as("rate1"),
-          round(($"c0".cast("double") / $"n0" -
-            $"c1".cast("double") / $"n1") /
-            sqrt((($"c0" + $"c1").cast("double") / ($"n0" + $"n1")) *
-              (lit(1.0) - ($"c0" + $"c1").cast("double") /
-                ($"n0" + $"n1")) *
-              (lit(1.0) / $"n0" + lit(1.0) / $"n1")), 4).as("z"))
+          // pooled rate 0 or 1: z undefined -> NULL on BOTH engines
+          // (DuckDB /0 is NULL; without the guard Spark says NaN)
+          when($"c0" + $"c1" === 0 ||
+            $"c0" + $"c1" === $"n0" + $"n1",
+            lit(null).cast("double"))
+            .otherwise(round(($"c0".cast("double") / $"n0" -
+              $"c1".cast("double") / $"n1") /
+              sqrt((($"c0" + $"c1").cast("double") / ($"n0" + $"n1")) *
+                (lit(1.0) - ($"c0" + $"c1").cast("double") /
+                  ($"n0" + $"n1")) *
+                (lit(1.0) / $"n0" + lit(1.0) / $"n1")), 4)).as("z"))
       },
       Some("""WITH u AS (SELECT user_id,
              |  CASE WHEN sum(CASE WHEN event_type = 'purchase'
@@ -2582,11 +2588,18 @@ object Queries {
         daily.agg(count(lit(1)).as("n"), sum($"x").as("sx"),
             sum($"y").as("sy"), sum($"x" * $"x").as("sxx"),
             sum($"y" * $"y").as("syy"), sum($"x" * $"y").as("sxy"))
+          // zero-variance series: r undefined -> NULL on BOTH engines
+          // (DuckDB /0 is NULL; without the guard Spark says NaN)
           .select($"n", $"sx", $"sy",
-            round(($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
-              (sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double")) *
-                sqrt(($"n" * $"syy" - $"sy" * $"sy").cast("double"))),
-              6).as("r"))
+            when(($"n" * $"sxx" - $"sx" * $"sx") === 0 ||
+              ($"n" * $"syy" - $"sy" * $"sy") === 0,
+              lit(null).cast("double"))
+              .otherwise(
+                round(($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+                  (sqrt(($"n" * $"sxx" - $"sx" * $"sx")
+                    .cast("double")) *
+                    sqrt(($"n" * $"syy" - $"sy" * $"sy")
+                      .cast("double"))), 6)).as("r"))
       },
       Some("""WITH daily AS (SELECT
              |  epoch_us(ts) // 86400000000 AS day,

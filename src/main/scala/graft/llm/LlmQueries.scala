@@ -164,6 +164,32 @@ object LlmQueries {
 
   private val dShingles3: String = dShinglesN(3)
 
+  /** Shared verify-stage oracle tail over `cand` (append after
+    * [[dCandidateCtesFrom]]): hashed shingles, pair scoring, and the
+    * verified-pair set `p` — threshold-rounded exactly like the
+    * engine's staged artifact. Single source of truth for the
+    * staged-artifact consumer oracles (q162/q166/q170/q172/q174/
+    * q176), so a change to the verify rule cannot silently desync
+    * them. */
+  private def dVerifiedPairCtes(threshold: Double): String =
+    s"""sh AS (SELECT doc_id, $dShingles3 AS sh
+       |  FROM documents),
+       |scored AS (
+       |  SELECT c.a, c.b,
+       |         len(x.sh) + len(y.sh) AS st,
+       |         len(list_distinct(list_concat(x.sh, y.sh)))
+       |           AS un
+       |  FROM cand c JOIN sh x ON x.doc_id = c.a
+       |              JOIN sh y ON y.doc_id = c.b),
+       |p AS (SELECT a, b,
+       |  round(CASE WHEN un = 0 THEN 0.0
+       |        ELSE CAST(st - un AS DOUBLE) / un END, 6)
+       |    AS jaccard
+       |  FROM scored
+       |  WHERE round(CASE WHEN un = 0 THEN 0.0
+       |        ELSE CAST(st - un AS DOUBLE) / un END, 6)
+       |        >= $threshold)""".stripMargin
+
   /** Hashed-shingle CTE (`sh`) + verified near-dup drop set (`dropped`)
     * over `src` at `threshold` — the q27/q44 pipeline pieces. */
   private def dNearDupDropCtes(src: String, threshold: Double): String =
@@ -4155,7 +4181,8 @@ object LlmQueries {
              |       JOIN h1 ON h1.node = adj.a),
              |h3 AS (SELECT DISTINCT adj.b AS node FROM adj
              |       JOIN h2 ON h2.node = adj.a),
-             |u AS (SELECT CAST(0 AS BIGINT) AS node, 0 AS hop
+             |u AS (SELECT vec_id AS node, 0 AS hop
+             |    FROM embeddings WHERE vec_id = 0
              |  UNION ALL SELECT node, 1 FROM h1
              |  UNION ALL SELECT node, 2 FROM h2
              |  UNION ALL SELECT node, 3 FROM h3)
@@ -4223,19 +4250,7 @@ object LlmQueries {
           .orderBy($"s1", $"s2")
       },
       Some(s"""WITH $dCandidateCtes,
-              |sh AS (SELECT doc_id, $dShingles3 AS sh
-              |  FROM documents),
-              |scored AS (
-              |  SELECT c.a, c.b,
-              |         len(x.sh) + len(y.sh) AS st,
-              |         len(list_distinct(list_concat(x.sh, y.sh)))
-              |           AS un
-              |  FROM cand c JOIN sh x ON x.doc_id = c.a
-              |              JOIN sh y ON y.doc_id = c.b),
-              |p AS (SELECT a, b FROM scored
-              |  WHERE round(CASE WHEN un = 0 THEN 0.0
-              |        ELSE CAST(st - un AS DOUBLE) / un END, 6)
-              |        >= 0.5),
+              |${dVerifiedPairCtes(0.5)},
               |m AS (SELECT least(da.source, db.source) AS s1,
               |             greatest(da.source, db.source) AS s2
               |      FROM p JOIN documents da ON da.doc_id = p.a
@@ -4362,23 +4377,7 @@ object LlmQueries {
           .orderBy($"t")
       },
       Some(s"""WITH $dCandidateCtes,
-              |sh AS (SELECT doc_id, $dShingles3 AS sh
-              |  FROM documents),
-              |scored AS (
-              |  SELECT c.a, c.b,
-              |         len(x.sh) + len(y.sh) AS st,
-              |         len(list_distinct(list_concat(x.sh, y.sh)))
-              |           AS un
-              |  FROM cand c JOIN sh x ON x.doc_id = c.a
-              |              JOIN sh y ON y.doc_id = c.b),
-              |p AS (SELECT a, b,
-              |  round(CASE WHEN un = 0 THEN 0.0
-              |        ELSE CAST(st - un AS DOUBLE) / un END, 6)
-              |    AS jaccard
-              |  FROM scored
-              |  WHERE round(CASE WHEN un = 0 THEN 0.0
-              |        ELSE CAST(st - un AS DOUBLE) / un END, 6)
-              |        >= 0.5),
+              |${dVerifiedPairCtes(0.5)},
               |th AS (SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8, 0.9])
               |              AS DOUBLE) AS t)
               |SELECT th.t, CAST(count(*) AS BIGINT) AS n_pairs,
@@ -4412,23 +4411,7 @@ object LlmQueries {
           .orderBy($"decile", $"rk")
       },
       Some(s"""WITH $dCandidateCtes,
-              |sh AS (SELECT doc_id, $dShingles3 AS sh
-              |  FROM documents),
-              |scored AS (
-              |  SELECT c.a, c.b,
-              |         len(x.sh) + len(y.sh) AS st,
-              |         len(list_distinct(list_concat(x.sh, y.sh)))
-              |           AS un
-              |  FROM cand c JOIN sh x ON x.doc_id = c.a
-              |              JOIN sh y ON y.doc_id = c.b),
-              |p AS (SELECT a, b,
-              |  round(CASE WHEN un = 0 THEN 0.0
-              |        ELSE CAST(st - un AS DOUBLE) / un END, 6)
-              |    AS jaccard
-              |  FROM scored
-              |  WHERE round(CASE WHEN un = 0 THEN 0.0
-              |        ELSE CAST(st - un AS DOUBLE) / un END, 6)
-              |        >= 0.5),
+              |${dVerifiedPairCtes(0.5)},
               |r AS (SELECT CAST(floor(jaccard * 10) AS BIGINT)
               |        AS decile, a, b, jaccard,
               |  CAST(row_number() OVER (
@@ -4516,19 +4499,7 @@ object LlmQueries {
           .orderBy($"split_a", $"split_b")
       },
       Some(s"""WITH $dCandidateCtes,
-              |sh AS (SELECT doc_id, $dShingles3 AS sh
-              |  FROM documents),
-              |scored AS (
-              |  SELECT c.a, c.b,
-              |         len(x.sh) + len(y.sh) AS st,
-              |         len(list_distinct(list_concat(x.sh, y.sh)))
-              |           AS un
-              |  FROM cand c JOIN sh x ON x.doc_id = c.a
-              |              JOIN sh y ON y.doc_id = c.b),
-              |p AS (SELECT a, b FROM scored
-              |  WHERE round(CASE WHEN un = 0 THEN 0.0
-              |        ELSE CAST(st - un AS DOUBLE) / un END, 6)
-              |        >= 0.5),
+              |${dVerifiedPairCtes(0.5)},
               |sp AS (SELECT doc_id,
               |  CASE WHEN CAST(concat('0x', substr(md5(concat('graft',
               |         CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
@@ -4575,19 +4546,8 @@ object LlmQueries {
         base.crossJoin(nd)
       },
       Some(s"""WITH $dCandidateCtes,
-              |sh AS (SELECT doc_id, $dShingles3 AS sh
-              |  FROM documents),
-              |scored AS (
-              |  SELECT c.a, c.b,
-              |         len(x.sh) + len(y.sh) AS st,
-              |         len(list_distinct(list_concat(x.sh, y.sh)))
-              |           AS un
-              |  FROM cand c JOIN sh x ON x.doc_id = c.a
-              |              JOIN sh y ON y.doc_id = c.b),
-              |np AS (SELECT count(*) AS n_neardup_pairs FROM scored
-              |  WHERE round(CASE WHEN un = 0 THEN 0.0
-              |        ELSE CAST(st - un AS DOUBLE) / un END, 6)
-              |        >= 0.5),
+              |${dVerifiedPairCtes(0.5)},
+              |np AS (SELECT count(*) AS n_neardup_pairs FROM p),
               |f AS ($dQualityFeatures FROM documents),
               |q AS (SELECT $dQualityExpr AS quality FROM f),
               |base AS (SELECT
@@ -4700,23 +4660,7 @@ object LlmQueries {
           .orderBy($"a", $"b")
       },
       Some(s"""WITH $dCandidateCtes,
-              |shj AS (SELECT doc_id, $dShingles3 AS sh
-              |  FROM documents),
-              |scored AS (
-              |  SELECT c.a, c.b,
-              |         len(x.sh) + len(y.sh) AS st,
-              |         len(list_distinct(list_concat(x.sh, y.sh)))
-              |           AS un
-              |  FROM cand c JOIN shj x ON x.doc_id = c.a
-              |              JOIN shj y ON y.doc_id = c.b),
-              |p AS (SELECT a, b,
-              |  round(CASE WHEN un = 0 THEN 0.0
-              |        ELSE CAST(st - un AS DOUBLE) / un END, 6)
-              |    AS jaccard
-              |  FROM scored
-              |  WHERE round(CASE WHEN un = 0 THEN 0.0
-              |        ELSE CAST(st - un AS DOUBLE) / un END, 6)
-              |        >= 0.5),
+              |${dVerifiedPairCtes(0.5)},
               |m AS (SELECT p.a, p.b, p.jaccard,
               |  CAST(list_sum(list_transform(generate_series(1, 16),
               |    i -> CASE WHEN x.sig[CAST(i AS INT)]
@@ -5036,12 +4980,15 @@ object LlmQueries {
           .withColumn("b", $"n_src" - $"a")
           .withColumn("c", $"n_tok" - $"a")
           .withColumn("dd", $"n_tot" - $"n_src" - $"c")
+          // a single-source corpus zeroes the (c+dd) margin: chi2
+          // undefined -> NULL on BOTH engines (DuckDB /0 is NULL)
           .withColumn("chi2",
-            round($"n_tot".cast("double") *
-              ($"a" * $"dd" - $"b" * $"c").cast("double") *
-              ($"a" * $"dd" - $"b" * $"c").cast("double") /
-              (($"a" + $"b").cast("double") * ($"c" + $"dd") *
-                ($"a" + $"c") * ($"b" + $"dd")), 4))
+            when($"n_tot" === $"n_src", lit(null).cast("double"))
+              .otherwise(round($"n_tot".cast("double") *
+                ($"a" * $"dd" - $"b" * $"c").cast("double") *
+                ($"a" * $"dd" - $"b" * $"c").cast("double") /
+                (($"a" + $"b").cast("double") * ($"c" + $"dd") *
+                  ($"a" + $"c") * ($"b" + $"dd")), 4)))
         val w = Window.partitionBy($"source")
           .orderBy($"chi2".desc, $"w")
         scored.withColumn("rk", row_number().over(w).cast("long"))

@@ -27,6 +27,10 @@ def main(out_dir, bench_json):
         name = os.path.basename(d)
         files = glob.glob(os.path.join(d, "*.parquet"))
         if not files:
+            # a query with no written result must not silently vanish
+            # from the README table — flag it loudly
+            print(f"WARNING: {name}: no parquet result in {d}; "
+                  "EXCLUDED from index", file=sys.stderr)
             continue
         n = con.execute(
             f"SELECT count(*) FROM read_parquet('{d}/*.parquet')"
