@@ -2571,6 +2571,40 @@ object Queries {
              |FROM p GROUP BY event_type
              |ORDER BY event_type""".stripMargin)),
 
+    // ---- schema evolution round trip: a dataset written by an OLD
+    // producer (2 columns) and appended by a NEW one (+user_id),
+    // read back with mergeSchema — the widened schema must surface
+    // and legacy rows must read as NULLs in the new column (the
+    // lakehouse contract that lets producers upgrade without
+    // rewriting history). The per-type report pins exact legacy/new
+    // row accounting against the source-of-truth oracle ----
+    Q("q195_schema_evolution",
+      (s, d) => {
+        import s.implicits._
+        val ev = T(s, d, "events")
+        val dir = graft.TempDirs.create("graft-q195-evo")
+        ev.where($"event_id" % 2 === 0)
+          .select($"event_id", $"event_type")
+          .write.mode("overwrite").parquet(dir)
+        ev.where($"event_id" % 2 === 1)
+          .select($"event_id", $"event_type", $"user_id")
+          .write.mode("append").parquet(dir)
+        s.read.option("mergeSchema", "true").parquet(dir)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(when($"user_id".isNull, 1L).otherwise(0L))
+              .as("n_legacy"),
+            countDistinct($"user_id").as("n_users"))
+          .orderBy($"event_type")
+      },
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0
+             |      END) AS BIGINT) AS n_legacy,
+             |  CAST(count(DISTINCT CASE WHEN event_id % 2 = 1
+             |      THEN user_id END) AS BIGINT) AS n_users
+             |FROM events GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
+
     // ---- daily Pearson correlation between two behavioural series
     // (purchase count vs click count per day) — the metric-coupling
     // readout behind "do these move together" dashboard claims. All
