@@ -2031,34 +2031,30 @@ object Queries {
     // per column, row/null/distinct counts and a type-stable min/max
     // rendering (ids and epoch-µs as digit strings; value quantized
     // to exact 1e-6 BIGINTs before stringifying, so no float-repr
-    // divergence can flag). ONE scan: all six columns' aggregates in
-    // a single pass, unpivoted to rows with stack() ----
+    // divergence can flag). Six SEPARATE one-row aggregates unioned,
+    // DELIBERATELY not one multi-distinct pass: Spark plans N
+    // countDistincts in one Aggregate via Expand (each input row
+    // duplicated N+1 times through the shuffle) — measured 3x SLOWER
+    // (1.1s -> 3.6s at sf0.1) than six scans that each read ONE
+    // pruned column ----
     Q("q168_column_profile",
       (s, d) => {
         import s.implicits._
         val ev = T(s, d, "events")
-        val cols: Seq[(String, Column)] = Seq(
-          "event_id" -> $"event_id",
-          "event_type" -> $"event_type",
-          "props" -> $"props",
-          "ts_us" -> unix_micros($"ts"),
-          "user_id" -> $"user_id",
-          "value_1e6" -> round($"value" * 1e6, 0).cast("long"))
-        val aggs = count(lit(1)).as("n") +: cols.zipWithIndex.flatMap {
-          case ((_, c), i) => Seq(
-            (count(lit(1)) - count(c)).as(s"nn$i"),
-            countDistinct(c).as(s"nd$i"),
-            min(c).cast("string").as(s"mn$i"),
-            max(c).cast("string").as(s"mx$i"))
-        }
-        val stacked = cols.zipWithIndex.map { case ((name, _), i) =>
-          s"'$name', nn$i, nd$i, mn$i, mx$i"
-        }.mkString(", ")
-        ev.agg(aggs.head, aggs.tail: _*)
-          .select($"n", expr(s"stack(${cols.size}, $stacked) AS " +
-            "(col_name, n_null, n_distinct, min_s, max_s)"))
-          .select($"col_name", $"n", $"n_null", $"n_distinct",
-            $"min_s", $"max_s")
+        def prof(name: String, c: Column): DataFrame =
+          ev.agg(lit(name).as("col_name"),
+            count(lit(1)).as("n"),
+            (count(lit(1)) - count(c)).as("n_null"),
+            countDistinct(c).as("n_distinct"),
+            min(c).cast("string").as("min_s"),
+            max(c).cast("string").as("max_s"))
+        prof("event_id", $"event_id")
+          .unionAll(prof("event_type", $"event_type"))
+          .unionAll(prof("props", $"props"))
+          .unionAll(prof("ts_us", unix_micros($"ts")))
+          .unionAll(prof("user_id", $"user_id"))
+          .unionAll(prof("value_1e6",
+            round($"value" * 1e6, 0).cast("long")))
           .orderBy($"col_name")
       },
       Some("""WITH p1 AS (SELECT 'event_id' AS col_name,
