@@ -81,7 +81,14 @@ object Bench {
         spark.sharedState.cacheManager.clearCache()
         spark.sparkContext.getPersistentRDDs.valuesIterator
           .foreach(_.unpersist(blocking = false))
-      } catch { case _: Throwable => }
+      } catch {
+        // best-effort, but never silent: a failing cache clear skews
+        // every subsequent measurement (r7 lesson on quiet drift)
+        case t: Throwable =>
+          System.err.println(
+            s"[bench] WARN cache sweep failed: ${t.getClass.getName}: " +
+              s"${t.getMessage}")
+      }
       System.gc()
       // let the async ContextCleaner drain the post-GC reference queue
       // (broadcast/shuffle deletions) BEFORE the next timed region —
@@ -118,7 +125,14 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfEsc"}"""
     println(json)
     try Files.writeString(Paths.get("/tmp/graft_bench_out.json"), json + "\n")
-    catch { case _: Throwable => }
+    catch {
+      // the stdout JSON above is the contract; the file is a dev
+      // convenience — warn so a read-only /tmp is visible, not silent
+      case t: Throwable =>
+        System.err.println(
+          s"[bench] WARN result-file write failed: " +
+            s"${t.getClass.getName}: ${t.getMessage}")
+    }
     spark.stop()
   }
 }

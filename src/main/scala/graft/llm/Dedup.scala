@@ -97,8 +97,19 @@ object Dedup {
   def minhashNearDuplicates(docs: DataFrame, textCol: String, idCol: String,
                             threshold: Double = 0.6, ngram: Int = 3,
                             maxBroadcastBytes: Long = 64L << 20)
+  : DataFrame =
+    verifyCandidates(minhashCandidatePairs(docs, textCol, idCol),
+      docs, textCol, idCol, threshold, ngram, maxBroadcastBytes)
+
+  /** Exact n-gram-Jaccard verification of a candidate-pair stream —
+    * the verify half of the candidate->verify pipeline, split out so
+    * the staged candidate artifact ([[stagedCandidatePairs]]) can feed
+    * it without re-running LSH. */
+  private def verifyCandidates(pairs: DataFrame, docs: DataFrame,
+                               textCol: String, idCol: String,
+                               threshold: Double, ngram: Int,
+                               maxBroadcastBytes: Long = 64L << 20)
   : DataFrame = {
-    val pairs = minhashCandidatePairs(docs, textCol, idCol)
     // hashed shingles: 8-byte sorted longs instead of string arrays —
     // ~10x less data copied per candidate probe, same jaccard values
     // (md5-48bit hashing is deterministic and engine-identical)
@@ -127,6 +138,34 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  private val stagedCandidateDirs =
+    scala.collection.concurrent.TrieMap[(String, Int, Int, Int), String]()
+
+  /** LSH candidate pairs (`a`, `b`, pre-verify) materialized to parquet
+    * ONCE per JVM per (cacheKey, bands, rowsPerBand, maxBucket) and read
+    * back by every consumer. The candidate build (signature + banding +
+    * bucket truncation) is a full-corpus pass that is INDEPENDENT of the
+    * verify threshold/ngram, so one artifact serves every verify chain
+    * (threshold 0.5 AND 0.6) plus the pre-verify consumers (containment
+    * dedup) — at 100 TB the banding pass runs once per corpus snapshot,
+    * period. `cacheKey` must identify the corpus (the source dir). */
+  def stagedCandidatePairs(docs: DataFrame, textCol: String, idCol: String,
+                           cacheKey: String, bands: Int = 4,
+                           rowsPerBand: Int = 4,
+                           maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val s = docs.sparkSession
+    val dir = stagedCandidateDirs.getOrElseUpdate(
+      (cacheKey, bands, rowsPerBand, maxBucket), {
+        val tmp = graft.TempDirs.create("graft-dedup-cand")
+        minhashCandidatePairs(docs, textCol, idCol, bands, rowsPerBand,
+          maxBucket).write.mode("overwrite").parquet(tmp)
+        tmp
+      })
+    // explicit schema: a corpus with zero colliding buckets writes no
+    // parquet files and inference would fail on read-back
+    s.read.schema("a BIGINT, b BIGINT").parquet(dir)
+  }
+
   private val stagedPairDirs =
     scala.collection.concurrent.TrieMap[(String, Double, Int), String]()
 
@@ -145,7 +184,10 @@ object Dedup {
     val dir = stagedPairDirs.getOrElseUpdate(
       (cacheKey, threshold, ngram), {
         val tmp = graft.TempDirs.create("graft-dedup-pairs")
-        minhashNearDuplicates(docs, textCol, idCol, threshold, ngram)
+        // verify FROM the staged candidate artifact: the corpus-scale
+        // banding pass runs once per corpus, shared across thresholds
+        val cand = stagedCandidatePairs(docs, textCol, idCol, cacheKey)
+        verifyCandidates(cand, docs, textCol, idCol, threshold, ngram)
           .write.mode("overwrite").parquet(tmp)
         tmp
       })

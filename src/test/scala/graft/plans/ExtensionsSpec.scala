@@ -17,7 +17,13 @@ class ExtensionsSpec extends AnyFunSuite {
   test("withExtensions registers functions and the region-rewrite " +
     "rule without register()") {
     // other suites' (finished) shared sessions must not satisfy
-    // getOrCreate — extensions only apply to a NEWLY created session
+    // getOrCreate — extensions only apply to a NEWLY created session.
+    // SAFETY: stopping the active session is only safe because
+    // build.sbt runs test suites SEQUENTIALLY in one forked JVM
+    // (Test / fork := true, no forked-parallel setting); if parallel
+    // forked tests are ever enabled, this must move to an isolated
+    // helper that builds its own session without touching the shared
+    // one
     SparkSession.getActiveSession.foreach(_.stop())
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()

@@ -165,6 +165,29 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("staged LSH candidates: one banding pass per corpus, consumers read back") {
+    val docs = graft.Queries.T(spark, SF, "documents")
+    // first call stages the candidate artifact...
+    graft.llm.Dedup.stagedCandidatePairs(docs, "text", "doc_id",
+      cacheKey = SF)
+    // ...subsequent calls are a bare parquet read: lsh_first_band_pairs
+    // must appear in NO consumer plan (the r8 q154 lesson — the
+    // pre-verify consumers were re-running the corpus-scale banding
+    // pass their verify-chain siblings already stage)
+    val again = graft.llm.Dedup.stagedCandidatePairs(docs, "text",
+      "doc_id", cacheKey = SF)
+    val plan = again.queryExecution.executedPlan.toString
+    assert(plan.contains("FileScan parquet") &&
+      !plan.contains("lsh_first_band_pairs"),
+      s"staged candidates must not re-run LSH:\n$plan")
+    for (name <- Seq("q25_minhash_pairs", "q154_containment_dedup")) {
+      val p = q(name).queryExecution.executedPlan.toString
+      assert(!p.contains("lsh_first_band_pairs"),
+        s"$name must consume the staged candidate artifact:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name cartesian:\n$p")
+    }
+  }
+
   test("q100 manifest consumes materialized artifacts, not live pipelines") {
     val plan = q("q100_training_build")
       .queryExecution.executedPlan.toString

@@ -32,8 +32,9 @@ def main(out_dir, bench_json):
             print(f"WARNING: {name}: no parquet result in {d}; "
                   "EXCLUDED from index", file=sys.stderr)
             continue
+        # path via a bound parameter, never interpolated into the SQL
         n = con.execute(
-            f"SELECT count(*) FROM read_parquet('{d}/*.parquet')"
+            "SELECT count(*) FROM read_parquet(?)", [f"{d}/*.parquet"]
         ).fetchone()[0]
         rows[name] = n
     names = sorted(rows, key=qnum)
@@ -48,6 +49,12 @@ def main(out_dir, bench_json):
                 return " | | "
             n = ns[i]
             sec = bench.get(n)
+            if isinstance(sec, (int, float)) and sec < 0:
+                # Bench's "query threw" sentinel — a failure must not
+                # render as a plausible timing
+                print(f"WARNING: {n}: bench sec={sec} (query threw); "
+                      "rendered as '-'", file=sys.stderr)
+                sec = None
             s = f"{sec:.1f}" if isinstance(sec, (int, float)) else "-"
             return f"{n} | {rows[n]} | {s}"
         print(f"| {cell(left, i)} | | {cell(right, i)} |")
