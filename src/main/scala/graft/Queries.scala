@@ -2092,6 +2092,96 @@ object Queries {
              |  CAST(n_distinct AS BIGINT) AS n_distinct, min_s, max_s
              |FROM u ORDER BY col_name""".stripMargin)),
 
+    // ---- q196: ONE-SCAN sketch profile — q168's 100 TB scale path.
+    // q168's six pruned-column scans are the right shape at oracle
+    // scale (one multi-distinct Aggregate plans an Expand that 7x-es
+    // the shuffle, commit cae36b6), but at 100 TB six scans of a wide
+    // fact table is 6x the dominant cost. The scale answer: per-column
+    // count/null/min/max/HLL-distinct in a SINGLE Aggregate over ONE
+    // scan — no countDistinct means no Expand, and the KB-sized HLL
+    // partials merge map-side (the q112 mergeability story). The
+    // oracle-checked contract is q112's: the EXACT distinct counts
+    // (from the six-scan path, which stays as the small-scale/gate
+    // side) plus est_ok, |est - exact| <= 5% * exact (lgK=12 gives
+    // ~1.6% standard error, so the gate holds at any SF; the estimate
+    // itself is engine-internal, never oracle-visible). README
+    // "Sketch profiler" note has the measured one-scan-vs-six-scan
+    // comparison ----
+    Q("q196_sketch_profile",
+      (s, d) => {
+        import s.implicits._
+        val ev = T(s, d, "events")
+        val cols: Seq[(String, Column)] = Seq(
+          "event_id" -> $"event_id",
+          "event_type" -> $"event_type",
+          "props" -> $"props",
+          "ts_us" -> unix_micros($"ts"),
+          "user_id" -> $"user_id",
+          "value_1e6" -> round($"value" * 1e6, 0).cast("long"))
+        // one scan, one Aggregate: 6 x (count, min, max, sketch) + n
+        val aggs = cols.flatMap { case (nm, c) => Seq(
+          count(c).as(s"cnt_$nm"),
+          min(c).cast("string").as(s"min_$nm"),
+          max(c).cast("string").as(s"max_$nm"),
+          hll_sketch_agg(c, lit(12)).as(s"sk_$nm")) }
+        val one = ev.agg(count(lit(1)).as("n"), aggs: _*)
+        val rows = cols.map { case (nm, _) =>
+          struct(lit(nm).as("col_name"), $"n",
+            ($"n" - col(s"cnt_$nm")).as("n_null"),
+            col(s"min_$nm").as("min_s"), col(s"max_$nm").as("max_s"),
+            hll_sketch_estimate(col(s"sk_$nm")).as("est"))
+        }
+        val sketchSide = one
+          .select(explode(array(rows: _*)).as("r")).select($"r.*")
+        // exact distincts: the six-scan q168 shape gates the sketch
+        def exact(name: String, c: Column): DataFrame =
+          ev.agg(lit(name).as("col_name"),
+            countDistinct(c).as("n_distinct"))
+        val exacts = cols.map { case (nm, c) => exact(nm, c) }
+          .reduce(_.unionAll(_))
+        sketchSide.join(broadcast(exacts), Seq("col_name"))
+          .select($"col_name", $"n", $"n_null", $"n_distinct",
+            $"min_s", $"max_s",
+            (abs($"est".cast("double") - $"n_distinct".cast("double"))
+              <= $"n_distinct".cast("double") * 0.05).as("est_ok"))
+          .orderBy($"col_name")
+      },
+      Some("""WITH p1 AS (SELECT 'event_id' AS col_name,
+             |  count(*) AS n, count(*) - count(event_id) AS n_null,
+             |  count(DISTINCT event_id) AS n_distinct,
+             |  CAST(min(event_id) AS VARCHAR) AS min_s,
+             |  CAST(max(event_id) AS VARCHAR) AS max_s FROM events),
+             |p2 AS (SELECT 'event_type', count(*),
+             |  count(*) - count(event_type),
+             |  count(DISTINCT event_type),
+             |  min(event_type), max(event_type) FROM events),
+             |p3 AS (SELECT 'props', count(*),
+             |  count(*) - count(props), count(DISTINCT props),
+             |  min(props), max(props) FROM events),
+             |p4 AS (SELECT 'ts_us', count(*),
+             |  count(*) - count(ts), count(DISTINCT epoch_us(ts)),
+             |  CAST(min(epoch_us(ts)) AS VARCHAR),
+             |  CAST(max(epoch_us(ts)) AS VARCHAR) FROM events),
+             |p5 AS (SELECT 'user_id', count(*),
+             |  count(*) - count(user_id), count(DISTINCT user_id),
+             |  CAST(min(user_id) AS VARCHAR),
+             |  CAST(max(user_id) AS VARCHAR) FROM events),
+             |p6 AS (SELECT 'value_1e6', count(*),
+             |  count(*) - count(value),
+             |  count(DISTINCT CAST(round(value * 1e6) AS BIGINT)),
+             |  CAST(min(CAST(round(value * 1e6) AS BIGINT))
+             |       AS VARCHAR),
+             |  CAST(max(CAST(round(value * 1e6) AS BIGINT))
+             |       AS VARCHAR) FROM events),
+             |u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+             |  UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4
+             |  UNION ALL SELECT * FROM p5 UNION ALL SELECT * FROM p6)
+             |SELECT col_name, CAST(n AS BIGINT) AS n,
+             |  CAST(n_null AS BIGINT) AS n_null,
+             |  CAST(n_distinct AS BIGINT) AS n_distinct, min_s, max_s,
+             |  true AS est_ok
+             |FROM u ORDER BY col_name""".stripMargin)),
+
     // ---- top session journeys: the 10 most common 3-step event-type
     // paths inside a session (2h gaps-and-islands, the q146
     // sessionization) — the ordered complement of q146's unordered
