@@ -44,9 +44,16 @@ import scala.jdk.CollectionConverters._
 object VersionedTable {
 
   /** Bucketed-table layout: `nBuckets` hash buckets on column `key`;
-    * `versions(b)` = the version whose directory holds bucket b. */
+    * `versions(b)` = the version whose directory holds bucket b.
+    * `schema` is the table's DDL, recorded at commit time so a table
+    * that has NEVER held a row (zero parquet footers anywhere) still
+    * reads back with resolvable columns — without it, a store holding
+    * e.g. zero relations breaks every downstream join at analysis
+    * time (CdcPropertySpec). Optional for manifests written before
+    * round 9. */
   final case class BucketSpec(nBuckets: Int, key: String,
-                              versions: Vector[Long])
+                              versions: Vector[Long],
+                              schema: Option[String] = None)
 
   final case class Manifest(version: Long, tables: Seq[String],
                             meta: Map[String, String],
@@ -109,7 +116,8 @@ object VersionedTable {
             e.getKey -> BucketSpec(
               b.get("nbuckets").asInt(),
               b.get("key").asText(),
-              b.get("versions").elements().asScala.map(_.asLong()).toVector)
+              b.get("versions").elements().asScala.map(_.asLong()).toVector,
+              if (b.has("schema")) Some(b.get("schema").asText()) else None)
           }.toMap
         else Map.empty[String, BucketSpec]
       Some(Manifest(
@@ -171,7 +179,14 @@ object VersionedTable {
         new org.apache.hadoop.conf.Configuration()).globStatus(glob)
       if (hits != null && hits.nonEmpty)
         spark.read.parquet(hits.head.getPath.toString).limit(0)
-      else spark.emptyDataFrame // table has never had a row
+      else spec.schema match {
+        // table has never had a row: empty frame with the DDL the
+        // manifest recorded at commit time, so joins still resolve
+        case Some(ddl) => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(ddl))
+        case None => spark.emptyDataFrame // pre-round-9 manifest
+      }
     }
   }
 
@@ -193,6 +208,7 @@ object VersionedTable {
       val s = bNode.putObject(t)
       s.put("nbuckets", spec.nBuckets)
       s.put("key", spec.key)
+      spec.schema.foreach(s.put("schema", _))
       val vs = s.putArray("versions")
       spec.versions.foreach(vs.add)
     }
@@ -255,7 +271,8 @@ object VersionedTable {
     }
     if (!dryRun) {
       val bk = tables.map { case (name, (_, key)) =>
-        name -> BucketSpec(nBuckets, key, Vector.fill(nBuckets)(next))
+        name -> BucketSpec(nBuckets, key, Vector.fill(nBuckets)(next),
+          Some(tables(name)._1.schema.toDDL))
       }
       val prevM = prev.getOrElse(Manifest(0L, Nil, Map.empty))
       writeManifest(root, Manifest(next,

@@ -103,7 +103,23 @@ object Replication {
       s"catch-up needs a bucketed store at $root (commitBucketed)")
     // the locations upsert recomputes the s2cell index column
     graft.functions.GraftFunctions.register(spark)
-    val changes = batch.persist()
+    // Latest-version-wins dedup (A8) BEFORE applying: AvailableNow
+    // coalesces many diff files into one micro-batch (up to 1000), so
+    // one element can legitimately appear at several seqnums (created
+    // then modified across minutely diffs). The reference applies rows
+    // strictly in file order (`src/update.cpp:228-291`, single
+    // writer); the batch-set equivalent is keeping only the last
+    // change per element — without this, the anti-join/union delta
+    // keeps BOTH versions as duplicate rows (CdcPropertySpec pins
+    // this). Per-element window: partitioned by id, never global.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("etype"), col("id"))
+      .orderBy(col("seqnum").desc,
+        coalesce(col("version"), col("meta.version"), lit(0)).desc)
+    val changes = batch
+      .withColumn("_rk", row_number().over(w))
+      .where(col("_rk") === 1).drop("_rk")
+      .persist()
     try {
       val nodeCh = changes.where(col("etype") === "node")
       val wayCh = changes.where(col("etype") === "way")
