@@ -2635,7 +2635,6 @@ object LlmQueries {
     Q("q121_triplet_mining",
       (s, d) => {
         import s.implicits._
-        import org.apache.spark.sql.expressions.Window
         val emb = T(s, d, "embeddings")
           .select($"vec_id", $"label",
             $"embedding".cast("array<double>").as("v"))
@@ -2650,18 +2649,24 @@ object LlmQueries {
             ($"label" === $"albl").as("same"),
             round(call_function("cosine_sim", $"v", $"qv"), 6)
               .as("score"))
-        // one pass: rank within (anchor, same?), keep the two rank-1
-        // rows, then pivot them onto one output row per anchor — a
-        // pos/neg self-join here would recompute the whole broadcast
-        // cross product twice
+        // one pass: top-1 per (anchor, same?) as a HASH AGGREGATE —
+        // max over struct(score, -vec_id) is the deterministic argmax
+        // (score desc, vec_id asc tiebreak) with MAP-SIDE partial
+        // aggregation, so the N*|A| scored stream reduces to <= 2|A|
+        // rows per task before any exchange. The prior window
+        // formulation shuffled + sorted the entire scored stream
+        // (40M rows at sf10 — the suite's one superlinear decade-2
+        // row, 15.2x; a pos/neg self-join would be worse still,
+        // recomputing the broadcast cross product twice)
         scored
-          .withColumn("rk", row_number().over(Window
-            .partitionBy($"anchor", $"same")
-            .orderBy($"score".desc, $"vec_id".asc)))
-          .where($"rk" === 1)
+          .groupBy($"anchor", $"same")
+          .agg(max(struct($"score", (-$"vec_id").as("nvi"),
+            $"vec_id".as("vec_id"))).as("b"))
           .groupBy($"anchor")
-          .agg(max(when($"same", struct($"vec_id", $"score"))).as("p"),
-            max(when(!$"same", struct($"vec_id", $"score"))).as("ng"))
+          .agg(max(when($"same", struct($"b.vec_id".as("vec_id"),
+              $"b.score".as("score")))).as("p"),
+            max(when(!$"same", struct($"b.vec_id".as("vec_id"),
+              $"b.score".as("score")))).as("ng"))
           .where($"p".isNotNull && $"ng".isNotNull)
           .select($"anchor",
             $"p.vec_id".as("pos_id"), $"p.score".as("pos_score"),
@@ -4917,25 +4922,41 @@ object LlmQueries {
             .as("rw"), count(lit(1)).as("n"))
           .select($"doc_id", $"n",
             expr("transform(rw, x -> x.h)").as("rs"))
+        // prefix explode KEEPS each token's 1-based rank position px
+        // (positions in the sliced prefix equal positions in the full
+        // ranked list) for the positional filter below
         val pre = ranked.select($"doc_id", $"n",
-          explode(expr(
-            "slice(rs, 1, CAST(n - ((4 * n + 4) div 5) + 1 AS INT))"))
-            .as("h"))
+          posexplode(expr(
+            "slice(rs, 1, CAST(n - ((4 * n + 4) div 5) + 1 AS INT))")))
+          .select($"doc_id", $"n", ($"pos" + 1).cast("long").as("px"),
+            $"col".as("h"))
         // cap-exact bucket truncation (the q25/q105 guardrail): each
         // prefix-hash bucket keeps its maxBucket smallest doc_ids,
         // mirrored by the oracle's row_number rule — degenerate
         // boilerplate grams can't go quadratic at any SF
         val cap = Dedup.DefaultMaxBucket
         val buck = pre.groupBy($"h")
-          .agg(sort_array(collect_list(struct($"doc_id", $"n")))
+          .agg(sort_array(collect_list(struct($"doc_id", $"n", $"px")))
             .as("ms"))
           .select($"h", explode(slice($"ms", 1, cap)).as("m"))
-          .select($"h", $"m.doc_id".as("doc_id"), $"m.n".as("n"))
+          .select($"h", $"m.doc_id".as("doc_id"), $"m.n".as("n"),
+            $"m.px".as("px"))
+        // PPJoin positional filter (EXACT, no recall loss): J >= 4/5
+        // needs overlap >= ceil(4(nx+ny)/9), and at a shared token at
+        // ranks (px, py) the overlap is bounded by 1 + the shorter
+        // remaining suffix. A true pair's FIRST shared prefix token
+        // always passes this bound, so OR-ing across shared tokens
+        // (the distinct below) keeps recall exact while pruning the
+        // deep-prefix collisions that dominated candidate volume
+        // (sf1: 55.2M -> measured below; the oracle applies the
+        // identical integer rule)
         val cand = buck.as("x").join(buck.as("y"),
             col("x.h") === col("y.h") &&
               col("x.doc_id") < col("y.doc_id") &&
               col("x.n") * 4 <= col("y.n") * 5 &&
-              col("y.n") * 4 <= col("x.n") * 5)
+              col("y.n") * 4 <= col("x.n") * 5 &&
+              expr("1 + least(x.n - x.px, y.n - y.px) >= " +
+                "(4 * (x.n + y.n) + 8) div 9"))
           .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
           .distinct()
         val js = sh.select($"doc_id", $"hs")
@@ -4965,16 +4986,20 @@ object LlmQueries {
               |  FROM e JOIN df USING (h) GROUP BY e.doc_id),
               |pre AS (SELECT doc_id, n,
               |    unnest(rs[1 : CAST(n - ((4 * n + 4) // 5) + 1
-              |                   AS INT)]) AS h
+              |                   AS INT)]) AS h,
+              |    generate_subscripts(rs[1 : CAST(n - ((4 * n + 4)
+              |                   // 5) + 1 AS INT)], 1) AS px
               |  FROM rw),
-              |buck AS (SELECT h, doc_id, n FROM (
-              |  SELECT h, doc_id, n, row_number() OVER (
+              |buck AS (SELECT h, doc_id, n, px FROM (
+              |  SELECT h, doc_id, n, px, row_number() OVER (
               |    PARTITION BY h ORDER BY doc_id) AS rk
               |  FROM pre) WHERE rk <= ${Dedup.DefaultMaxBucket}),
               |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
               |  FROM buck x JOIN buck y ON x.h = y.h
               |    AND x.doc_id < y.doc_id
-              |    AND x.n * 4 <= y.n * 5 AND y.n * 4 <= x.n * 5),
+              |    AND x.n * 4 <= y.n * 5 AND y.n * 4 <= x.n * 5
+              |    AND 1 + least(x.n - x.px, y.n - y.px) >=
+              |        (4 * (x.n + y.n) + 8) // 9),
               |js AS (SELECT doc_id, ts, len(ts) AS n FROM t2),
               |sc AS (SELECT c.a, c.b,
               |    xa.n + xb.n AS st,

@@ -53,14 +53,20 @@ class PlanSpec extends AnyFunSuite {
       s"delta-vs-base must not sort-merge the corpus:\n$plan")
   }
 
-  test("q121 triplet mining is one broadcast pass with rank-1 pruning") {
+  test("q121 triplet mining is one broadcast pass with map-side argmax") {
     val plan = q("q121_triplet_mining")
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") ||
       plan.contains("BroadcastNestedLoopJoin"),
       s"anchor batch should broadcast against one candidate scan:\n$plan")
-    assert(plan.contains("WindowGroupLimit"),
-      s"rank<=1 should prune below the window sort:\n$plan")
+    // top-1 per (anchor, same?) must be a hash aggregate with a
+    // map-side partial (the scored stream reduces to <= 2|A| rows per
+    // task BEFORE any exchange) — the old window formulation shuffled
+    // and sorted the whole N*|A| stream (superlinear at sf10)
+    assert(plan.contains("partial_max"),
+      s"argmax must partial-aggregate map-side:\n$plan")
+    assert(!plan.contains("Window"),
+      s"no window sort over the scored stream:\n$plan")
     // single-pass: exactly one join over the cross product — the old
     // pos/neg self-join shape scanned it twice
     assert("BroadcastHashJoin".r.findAllIn(plan).size <= 1,
