@@ -26,10 +26,30 @@ object Curate {
   def curate(docs: DataFrame, textCol: String = "text",
              idCol: String = "doc_id", minQuality: Double = 0.5,
              langs: Seq[String] = Seq("en"),
-             nearDupThreshold: Double = 0.6): DataFrame = {
+             nearDupThreshold: Double = 0.6,
+             cacheKey: Option[String] = None): DataFrame = {
     val exact = Dedup.exactDedup(docs, textCol, idCol)
-    val nearDup = Dedup.nearDupSurvivors(exact, textCol, idCol,
-      nearDupThreshold)
+    // With a cacheKey, the near-dup stage reads the CORPUS-LEVEL
+    // staged pair artifact restricted to pairs whose BOTH endpoints
+    // survived exact dedup — the production shape: one LSH+verify
+    // pass per corpus snapshot serves every funnel, instead of each
+    // funnel re-running banding+verify on its own subset (at sf10
+    // that duplicate pass was ~90% of q45's 203s). Without one, the
+    // subset pipeline runs fresh (the self-contained small-scale
+    // path).
+    val nearDup = cacheKey match {
+      case Some(k) =>
+        val pairs = Dedup.stagedNearDupPairs(docs, textCol, idCol, k,
+          nearDupThreshold)
+        val ids = exact.select(col(idCol))
+        val dropped = pairs
+          .join(ids.withColumnRenamed(idCol, "a"), Seq("a"), "left_semi")
+          .join(ids.withColumnRenamed(idCol, "b"), Seq("b"), "left_semi")
+          .select(col("b").as(idCol)).distinct()
+        exact.join(dropped, Seq(idCol), "left_anti")
+      case None =>
+        Dedup.nearDupSurvivors(exact, textCol, idCol, nearDupThreshold)
+    }
     nearDup
       .where(TextFunctions.qualityScore(col(textCol)) >= minQuality)
       .where(TextFunctions.langId(col(textCol))

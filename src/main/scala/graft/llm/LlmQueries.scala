@@ -673,7 +673,8 @@ object LlmQueries {
       (s, d) => {
         import s.implicits._
         Curate.curate(T(s, d, "documents"), "text", "doc_id",
-          minQuality = 0.5, langs = Seq("en"), nearDupThreshold = 0.5)
+          minQuality = 0.5, langs = Seq("en"), nearDupThreshold = 0.5,
+          cacheKey = Some(d))
           .select($"doc_id", $"lang", $"source")
           .orderBy($"doc_id")
       },
@@ -682,8 +683,12 @@ object LlmQueries {
               |    SELECT min(doc_id) FROM documents
               |    GROUP BY md5(regexp_replace(lower(trim(text)),
               |                 '\\s+', ' ', 'g')))),
-              |${dCandidateCtesFrom("exact")},
-              |${dNearDupDropCtes("exact", 0.5)},
+              |${dCandidateCtes},
+              |${dVerifiedPairCtes(0.5)},
+              |dropped AS (
+              |  SELECT DISTINCT p.b FROM p
+              |  WHERE p.a IN (SELECT doc_id FROM exact)
+              |    AND p.b IN (SELECT doc_id FROM exact)),
               |survivors AS (
               |  SELECT * FROM exact
               |  WHERE doc_id NOT IN (SELECT b FROM dropped)),
@@ -1778,7 +1783,8 @@ object LlmQueries {
         // staged: ~5s). Stage 1: curate -> parquet.
         val buildDir = graft.TempDirs.create("graft-q100-corpus")
         Curate.curate(docs, "text", "doc_id",
-            minQuality = 0.5, langs = Seq("en"), nearDupThreshold = 0.5)
+            minQuality = 0.5, langs = Seq("en"), nearDupThreshold = 0.5,
+            cacheKey = Some(d))
           .select($"doc_id", $"text")
           .write.mode("overwrite").parquet(s"$buildDir/curated")
         val curated = s.read.parquet(s"$buildDir/curated")
@@ -1823,8 +1829,12 @@ object LlmQueries {
               |    SELECT min(doc_id) FROM documents
               |    GROUP BY md5(regexp_replace(lower(trim(text)),
               |                 '\\s+', ' ', 'g')))),
-              |${dCandidateCtesFrom("exact")},
-              |${dNearDupDropCtes("exact", 0.5)},
+              |${dCandidateCtes},
+              |${dVerifiedPairCtes(0.5)},
+              |dropped AS (
+              |  SELECT DISTINCT p.b FROM p
+              |  WHERE p.a IN (SELECT doc_id FROM exact)
+              |    AND p.b IN (SELECT doc_id FROM exact)),
               |survivors AS (
               |  SELECT * FROM exact
               |  WHERE doc_id NOT IN (SELECT b FROM dropped)),
