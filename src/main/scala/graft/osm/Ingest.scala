@@ -122,12 +122,20 @@ object Ingest {
 
   /** Full expand: XML/PBF path -> committed version in `root`
     * (analytic layout: range-sorted tables, full rewrite per commit). */
+  /** `numPartitions <= 0` (the default) scales the sorted write to the
+    * cluster (`defaultParallelism`): the external-sort commit is eight
+    * sequential per-table jobs, and a fixed partition count leaves a
+    * 1000-executor cluster (or local[32]) mostly idle — the r9 sf10
+    * decade measured expand as q52's dominant stage for exactly this
+    * reason. Pass an explicit count to pin file layout (tests). */
   def expand(spark: SparkSession, xmlPath: String, root: String,
-             numPartitions: Int = 8, dryRun: Boolean = false,
+             numPartitions: Int = -1, dryRun: Boolean = false,
              readerOptions: Map[String, String] = Map.empty): Long =
     withRaws(spark, xmlPath, readerOptions) { (n, w, r) =>
+      val np = if (numPartitions > 0) numPartitions
+               else spark.sparkContext.defaultParallelism
       VersionedTable.commit(root,
-        derive(n, w, r, numPartitions, sorted = true),
+        derive(n, w, r, np, sorted = true),
         importMeta(xmlPath, n), dryRun = dryRun)
     }
 

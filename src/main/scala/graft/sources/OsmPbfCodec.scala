@@ -419,9 +419,10 @@ object OsmPbfCodec {
             "non-dense Node groups are not supported")
         case (2, 2) => // DenseNodes
           val dn = g.readLen()
-          var ids, lats, lons: Seq[Long] = Nil
-          var kv: Seq[Long] = Nil
-          var versions, tss, css, uids, userSids: Seq[Long] = Nil
+          var ids, lats, lons: Array[Long] = Array.emptyLongArray
+          var kv: Array[Long] = Array.emptyLongArray
+          var versions, tss, css, uids, userSids: Array[Long] =
+            Array.emptyLongArray
           while (dn.hasMore) dn.readTag() match {
             case (1, 2) => ids = dn.undelta(dn.readLen().packedSints())
             case (5, 2) =>
@@ -463,7 +464,7 @@ object OsmPbfCodec {
         case (3, 2) => // Way
           val m = g.readLen()
           var id = 0L
-          var keys, vals, refs: Seq[Long] = Nil
+          var keys, vals, refs: Array[Long] = Array.emptyLongArray
           var version = 0; var ts = 0L; var cs = 0L; var uid = 0L
           var user = ""
           while (m.hasMore) m.readTag() match {
@@ -484,11 +485,14 @@ object OsmPbfCodec {
             case (_, w) => m.skip(w)
           }
           onWay(RawWay(id, version, ts, cs, uid, user,
-            keys.zip(vals).map { case (k, v) => (s(k), s(v)) }, refs))
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(
+              keys.zip(vals).map { case (k, v) => (s(k), s(v)) }),
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(refs)))
         case (4, 2) => // Relation
           val m = g.readLen()
           var id = 0L
-          var keys, vals, roles, memids, types: Seq[Long] = Nil
+          var keys, vals, roles, memids, types: Array[Long] =
+            Array.emptyLongArray
           var version = 0; var ts = 0L; var cs = 0L; var uid = 0L
           var user = ""
           while (m.hasMore) m.readTag() match {
@@ -516,7 +520,8 @@ object OsmPbfCodec {
             case _ => "relation"
           }
           onRelation(RawRelation(id, version, ts, cs, uid, user,
-            keys.zip(vals).map { case (k, v) => (s(k), s(v)) },
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(
+              keys.zip(vals).map { case (k, v) => (s(k), s(v)) }),
             memids.indices.map(i =>
               (memids(i), mtypes(i), s(roles(i))))))
         case (_, w) => g.skip(w)

@@ -106,15 +106,27 @@ object Pbf {
       case 5 => pos += 4
       case w => throw new IllegalStateException(s"wire $w")
     }
-    def packedVarints(): Seq[Long] = {
-      val out = scala.collection.mutable.ArrayBuffer[Long]()
+    // Decode-side packed readers are PRIMITIVE Array[Long] with
+    // in-place unzigzag/undelta: the dense-node hot loop indexes these
+    // per element, and the boxed-Seq formulation (ArrayBuffer ->
+    // toSeq -> map -> map) allocated 3 boxed collections per packed
+    // field (see the q52 decode numbers in README's round-9 notes).
+    def packedVarints(): Array[Long] = {
+      val out = new scala.collection.mutable.ArrayBuilder.ofLong
       while (hasMore) out += readVarint()
-      out.toSeq
+      out.result()
     }
-    def packedSints(): Seq[Long] = packedVarints().map(unzigzag)
-    def undelta(vs: Seq[Long]): Seq[Long] = {
+    def packedSints(): Array[Long] = {
+      val a = packedVarints()
+      var i = 0
+      while (i < a.length) { a(i) = unzigzag(a(i)); i += 1 }
+      a
+    }
+    def undelta(vs: Array[Long]): Array[Long] = {
       var acc = 0L
-      vs.map { d => acc += d; acc }
+      var i = 0
+      while (i < vs.length) { acc += vs(i); vs(i) = acc; i += 1 }
+      vs
     }
   }
 }
