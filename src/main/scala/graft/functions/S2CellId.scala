@@ -72,6 +72,9 @@ object GraftFunctions {
     "simhash64" -> ((args: Seq[Expression]) => SimHash64(args(0))),
     "jaccard_sorted" ->
       ((args: Seq[Expression]) => JaccardSorted(args(0), args(1))),
+    "jaccard_ge_sorted" ->
+      ((args: Seq[Expression]) =>
+        JaccardGeSorted(args(0), args(1), args(2))),
     "inter_size_sorted" ->
       ((args: Seq[Expression]) => InterSizeSorted(args(0), args(1))),
     "hash48_sort_dedup" ->

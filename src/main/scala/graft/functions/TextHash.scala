@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -327,6 +327,47 @@ object TextHashImpl {
     inter.toDouble / (na + nb - inter).toDouble
   }
 
+  /** Threshold-aware Jaccard over two SORTED, DISTINCT long arrays:
+    * returns the EXACT jaccard when it can still round (6 dp, half-up)
+    * to >= `t`, and null as soon as the running upper bound proves it
+    * cannot — `inter_final <= inter + min(remaining)`, so
+    * `UB = interMax / (na + nb - interMax)`. The bail margin is
+    * `t - 5e-7` (the 6-dp round boundary) minus a 1e-9 float-safety
+    * slack, so NO pair whose rounded value passes the filter is ever
+    * dropped — survivors carry bit-identical values to
+    * [[jaccardSortedLong]]. The early exit is what makes exact
+    * verification affordable on heavy-collision candidate streams:
+    * most candidates fail the threshold long before the merge ends. */
+  def jaccardGeSortedLong(a: ArrayData, b: ArrayData, t: Double)
+  : java.lang.Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (na == 0 && nb == 0) return null
+    val tAdj = t - 5e-7
+    val sum = (na + nb).toDouble
+    // length filter: even a full overlap of the shorter side fails
+    val interCap = if (na < nb) na else nb
+    if (interCap * (1.0 + tAdj) < tAdj * sum - 1e-9) return null
+    var i = 0; var j = 0; var inter = 0
+    var x = if (na > 0) a.getLong(0) else 0L
+    var y = if (nb > 0) b.getLong(0) else 0L
+    while (i < na && j < nb) {
+      if (x == y) {
+        inter += 1; i += 1; j += 1
+        if (i < na) x = a.getLong(i)
+        if (j < nb) y = b.getLong(j)
+      } else {
+        if (x < y) { i += 1; if (i < na) x = a.getLong(i) }
+        else { j += 1; if (j < nb) y = b.getLong(j) }
+        // a miss lowers the bound; a match never does — check here
+        val ra = na - i; val rb = nb - j
+        val interMax = inter + (if (ra < rb) ra else rb)
+        if (interMax * (1.0 + tAdj) < tAdj * sum - 1e-9) return null
+      }
+    }
+    val jac = inter.toDouble / (na + nb - inter).toDouble
+    if (jac >= tAdj) java.lang.Double.valueOf(jac) else null
+  }
+
   /** Jaccard similarity of two SORTED, DISTINCT string arrays by linear
     * merge — no hash-set allocation (equal to (|A|+|B|-|U|)/|U| with a
     * hash union, but O(n+m)). Both-empty -> 0. */
@@ -465,6 +506,52 @@ case class JaccardSorted(a: Expression, b: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(a = newLeft, b = newRight)
+}
+
+/** `jaccard_ge_sorted(a, b, t) -> DOUBLE?` over sorted distinct
+  * ARRAY<LONG>: the exact jaccard when it can still round (6 dp) to
+  * >= `t`, NULL once the merge's running upper bound proves it cannot
+  * (early exit — see [[TextHashImpl.jaccardGeSortedLong]]). The
+  * verify-stage kernel for thresholded candidate streams; survivors
+  * carry values bit-identical to `jaccard_sorted`. */
+case class JaccardGeSorted(a: Expression, b: Expression, t: Expression)
+  extends TernaryExpression {
+
+  override def first: Expression = a
+  override def second: Expression = b
+  override def third: Expression = t
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "jaccard_ge_sorted"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (a.dataType, b.dataType, t.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _), DoubleType)
+        if t.foldable => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        "jaccard_ge_sorted expects (ARRAY<LONG>, ARRAY<LONG>, " +
+          s"literal DOUBLE), got $other")
+    }
+
+  override def nullSafeEval(x: Any, y: Any, tv: Any): Any =
+    TextHashImpl.jaccardGeSortedLong(x.asInstanceOf[ArrayData],
+      y.asInstanceOf[ArrayData], tv.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y, tv) => {
+      val r = ctx.freshName("jge")
+      s"""
+         |java.lang.Double $r =
+         |  graft.functions.TextHashImpl.jaccardGeSortedLong($x, $y, $tv);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression)
+  : Expression = copy(a = newFirst, b = newSecond, t = newThird)
 }
 
 /** `inter_size_sorted(a, b) -> BIGINT`: intersection size of two

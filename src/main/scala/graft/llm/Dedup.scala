@@ -127,14 +127,19 @@ object Dedup {
     val estBytes = sh.queryExecution.optimizedPlan.stats.sizeInBytes
     val hinted: DataFrame => DataFrame =
       if (estBytes <= maxBroadcastBytes) broadcast(_) else identity
+    // threshold-aware kernel: NULL (early merge exit) once the running
+    // bound proves the pair can't round to >= threshold — most
+    // candidates on a heavy-collision stream fail long before the
+    // merge ends; survivors carry values identical to jaccard_sorted
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     pairs
       .join(hinted(sh.withColumnRenamed("sid", "a")
         .withColumnRenamed("shingles", "sha")), Seq("a"))
       .join(hinted(sh.withColumnRenamed("sid", "b")
         .withColumnRenamed("shingles", "shb")), Seq("b"))
       .select(col("a"), col("b"),
-        round(TextFunctions.jaccard(col("sha"), col("shb")), 6)
-          .as("jaccard"))
+        round(TextFunctions.jaccardGe(col("sha"), col("shb"), threshold),
+          6).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 

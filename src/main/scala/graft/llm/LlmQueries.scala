@@ -4979,9 +4979,12 @@ object LlmQueries {
             Seq("a"))
           .join(hinted(js.select($"doc_id".as("b"), $"hs".as("jb"))),
             Seq("b"))
+          // threshold-aware kernel: early merge exit once the pair
+          // provably can't round to >= 0.8; survivors carry values
+          // identical to jaccard_sorted (oracle unchanged)
           .select($"a", $"b",
-            round(call_function("jaccard_sorted", $"ja", $"jb"), 6)
-              .as("jaccard"))
+            round(call_function("jaccard_ge_sorted", $"ja", $"jb",
+              lit(0.8)), 6).as("jaccard"))
           .where($"jaccard" >= 0.8)
           .orderBy($"a", $"b")
       },

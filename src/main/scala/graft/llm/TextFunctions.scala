@@ -116,6 +116,12 @@ object TextFunctions {
   def jaccard(a: Column, b: Column): Column =
     call_function("jaccard_sorted", a, b)
 
+  /** Threshold-aware jaccard: exact value when it can round (6 dp) to
+    * >= t, NULL (early merge exit) once provably below — the verify
+    * kernel for thresholded candidate streams. */
+  def jaccardGe(a: Column, b: Column, t: Double): Column =
+    call_function("jaccard_ge_sorted", a, b, lit(t))
+
   // ------------------------------------------------------------ quality
 
   /** Stopword lists used by the language-ID heuristic. Tiny on purpose:

@@ -176,4 +176,32 @@ class PropertySpec extends AnyFunSuite {
       assert(b >= 0 && b < graft.functions.TextHashImpl.P)
     }
   }
+
+  test("jaccard_ge_sorted: early exit never drops a rounded survivor") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val impl = graft.functions.TextHashImpl
+    val rnd = new scala.util.Random(7)
+    def arr(xs: Array[Long]): ArrayData = ArrayData.toArrayData(xs)
+    for (_ <- 1 to 2000) {
+      val universe = 1 + rnd.nextInt(60)
+      def set(): Array[Long] =
+        (0 until universe).filter(_ => rnd.nextBoolean())
+          .map(_.toLong).toArray // sorted distinct by construction
+      val a = set(); val b = set()
+      val t = Seq(0.3, 0.5, 0.8, 0.9)(rnd.nextInt(4))
+      val exact = impl.jaccardSortedLong(arr(a), arr(b))
+      val ge = impl.jaccardGeSortedLong(arr(a), arr(b), t)
+      val rounded = BigDecimal(exact)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (rounded >= t)
+        // the filterable survivors MUST come through with the exact value
+        assert(ge != null && ge.doubleValue() == exact,
+          s"dropped survivor: |a|=${a.length} |b|=${b.length} " +
+            s"exact=$exact t=$t")
+      else if (ge != null)
+        // a returned value below the rounded threshold is fine (the
+        // query's round()>=t filter drops it) but must still be exact
+        assert(ge.doubleValue() == exact)
+    }
+  }
 }
