@@ -31,6 +31,26 @@ object Dedup {
     * at every scale factor. */
   val DefaultMaxBucket = 1000
 
+  /** In-memory amplification of a hashed-shingle frame over its
+    * optimizer size estimate: the estimate tracks PARQUET bytes of the
+    * pruned source columns, but each ~1 character of (snappy ~4:1
+    * compressed) text becomes one 8-byte hash — ~32x. Gating a
+    * broadcast on the raw estimate passes frames that materialize at
+    * hundreds of MB (measured at sf10: 17 MB estimate, ~570 MB real),
+    * which survives a 24g local JVM but OOMs 4g cluster executors.
+    * All shingle-side broadcast gates divide by this; AQE can still
+    * flip a conservatively-shuffled join back to broadcast from REAL
+    * runtime sizes. */
+  val ShingleBytesAmplification = 32L
+
+  /** Conservative broadcast gate for a hashed-shingle frame (driver-
+    * side, no job): the optimizer estimate scaled by
+    * [[ShingleBytesAmplification]] must fit the cap. */
+  def shingleBroadcastable(df: DataFrame,
+                           maxBytes: Long = 64L << 20): Boolean =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes *
+      ShingleBytesAmplification <= maxBytes
+
   /** Exact duplicate groups by normalized-content fingerprint.
     * Output: fingerprint, keep_id (min id), n_dups. */
   def exactGroups(docs: DataFrame, textCol: String, idCol: String)
@@ -124,9 +144,9 @@ object Dedup {
     // size estimate (no job): under the cap, hint broadcast; over it,
     // leave the join un-hinted so Spark plans a shuffled join (and AQE
     // can still flip it back to broadcast from real runtime sizes).
-    val estBytes = sh.queryExecution.optimizedPlan.stats.sizeInBytes
     val hinted: DataFrame => DataFrame =
-      if (estBytes <= maxBroadcastBytes) broadcast(_) else identity
+      if (shingleBroadcastable(sh, maxBroadcastBytes)) broadcast(_)
+      else identity
     // threshold-aware kernel: NULL (early merge exit) once the running
     // bound proves the pair can't round to >= threshold — most
     // candidates on a heavy-collision stream fail long before the

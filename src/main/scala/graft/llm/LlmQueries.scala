@@ -3937,10 +3937,11 @@ object LlmQueries {
           cacheKey = d)
         val sh = docs.select($"doc_id",
           TextFunctions.ngramShingleHashes($"text", 3).as("sh"))
-        val est = sh.queryExecution.optimizedPlan.stats.sizeInBytes
+        // width-aware gate: hashed shingles materialize ~32x their
+        // parquet-bytes estimate (Dedup.ShingleBytesAmplification)
         val hinted: org.apache.spark.sql.DataFrame =>
           org.apache.spark.sql.DataFrame =
-          if (est <= (64L << 20)) broadcast(_) else identity
+          if (Dedup.shingleBroadcastable(sh)) broadcast(_) else identity
         pairs
           .join(hinted(sh.select($"doc_id".as("a"), $"sh".as("sha"))),
             Seq("a"))
@@ -4970,10 +4971,11 @@ object LlmQueries {
           .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
           .distinct()
         val js = sh.select($"doc_id", $"hs")
-        val est = js.queryExecution.optimizedPlan.stats.sizeInBytes
+        // width-aware gate: hashed shingles materialize ~32x their
+        // parquet-bytes estimate (Dedup.ShingleBytesAmplification)
         val hinted: org.apache.spark.sql.DataFrame =>
           org.apache.spark.sql.DataFrame =
-          if (est <= (64L << 20)) broadcast(_) else identity
+          if (Dedup.shingleBroadcastable(js)) broadcast(_) else identity
         cand
           .join(hinted(js.select($"doc_id".as("a"), $"hs".as("ja"))),
             Seq("a"))
