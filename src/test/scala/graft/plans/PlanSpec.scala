@@ -25,6 +25,28 @@ class PlanSpec extends AnyFunSuite {
 
   private def q(name: String) = SparkEntry.queries(name)(spark, SF)
 
+  test("SUITE-WIDE: no query ever plans a CartesianProduct") {
+    // every named pin above guards one shape; this sweep guards ALL
+    // 196 — a future non-equi join that silently degrades to a
+    // cartesian fails here, at plan time, before it becomes an
+    // all-pairs explosion at 100 TB. Scalar one-row crossJoins plan
+    // as BroadcastNestedLoopJoin, never CartesianProduct, so no
+    // whitelist is needed. Streaming replays and side-effecting
+    // round-trip builders execute real jobs at construction time at
+    // sf0.001 (sub-second each) — acceptable for one sweep.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan =
+          try fn(spark, SF).queryExecution.executedPlan.toString
+          catch { case e: Throwable =>
+            fail(s"$name failed to plan at $SF: $e")
+          }
+        if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"queries planning CartesianProduct: $offenders")
+  }
+
   test("q87 range-band join broadcasts the band dimension (no shuffle)") {
     val plan = q("q87_range_band_join")
       .queryExecution.executedPlan.toString
