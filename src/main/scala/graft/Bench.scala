@@ -100,29 +100,43 @@ object Bench {
     // optional isolation filter (dev loop: bench one query per JVM)
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // JSON-escape free-form strings (paths, exception messages)
+    def jsonEsc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map {
       case (name, fn) =>
         sweep()
         val t0 = System.nanoTime()
-        val ok = try { run(fn); true } catch { case _: Throwable => false }
-        (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
+        // a failed row carries its cause so the artifact alone is
+        // diagnosable (not just a -1 sentinel)
+        val err: Option[String] =
+          try { run(fn); None } catch { case e: Throwable =>
+            val reason = s"${e.getClass.getName}: " +
+              String.valueOf(e.getMessage).replace('\n', ' ').take(300)
+            System.err.println(s"[bench] FAILED $name: $reason")
+            Some(reason)
+          }
+        (name, if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0,
+          err)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, _, Some(_)) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    // JSON-escape the env-provided path (quotes/backslashes/control chars)
-    val sfEsc = sfDir.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
+    // additive key: per-failure reason strings, {} when all green
+    val failures = results.collect { case (k, _, Some(msg)) =>
+      "\"" + k + "\":\"" + jsonEsc(msg) + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, None) => v }.sum
+    val sfEsc = jsonEsc(sfDir)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfEsc"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"failures":$failures,"sf":"$sfEsc"}"""
     println(json)
     try Files.writeString(Paths.get("/tmp/graft_bench_out.json"), json + "\n")
     catch {

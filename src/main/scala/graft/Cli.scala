@@ -90,15 +90,22 @@ object Cli {
     val (flags, pos) = a.partition(_.startsWith("--"))
     if (pos.length != 2) fail(
       "Usage: graft.Cli expand INPUT[.osm|.osm.pbf|dir] DB_DIR " +
-        "[--buckets N] [--analytic] [--dry-run]")
+        "[--buckets N] [--analytic] [--partitions N] [--dry-run]\n" +
+        "  --analytic sorted-table file count defaults to the session's " +
+        "parallelism (layout varies by machine; row content does not) — " +
+        "pass --partitions N to pin a reproducible file layout")
     val Seq(in, root) = pos.toSeq
     val dryRun = flags.contains("--dry-run")
     val buckets = flags.collectFirst {
       case f if f.startsWith("--buckets=") => f.drop(10).toInt
     }.getOrElse(64)
+    val partitions = flags.collectFirst {
+      case f if f.startsWith("--partitions=") => f.drop(13).toInt
+    }.getOrElse(-1)
     val version =
       if (flags.contains("--analytic"))
-        osm.Ingest.expand(spark, in, root, dryRun = dryRun)
+        osm.Ingest.expand(spark, in, root, numPartitions = partitions,
+          dryRun = dryRun)
       else
         osm.Ingest.expandBucketed(spark, in, root, nBuckets = buckets,
           dryRun = dryRun)

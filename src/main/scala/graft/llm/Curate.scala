@@ -23,24 +23,35 @@ object Curate {
                           afterNearDup: Long, afterQuality: Long,
                           output: Long)
 
-  def curate(docs: DataFrame, textCol: String = "text",
-             idCol: String = "doc_id", minQuality: Double = 0.5,
-             langs: Seq[String] = Seq("en"),
-             nearDupThreshold: Double = 0.6,
-             cacheKey: Option[String] = None): DataFrame = {
-    val exact = Dedup.exactDedup(docs, textCol, idCol)
-    // With a cacheKey, the near-dup stage reads the CORPUS-LEVEL
-    // staged pair artifact restricted to pairs whose BOTH endpoints
-    // survived exact dedup — the production shape: one LSH+verify
-    // pass per corpus snapshot serves every funnel, instead of each
-    // funnel re-running banding+verify on its own subset (at sf10
-    // that duplicate pass was ~90% of q45's 203s). Without one, the
-    // subset pipeline runs fresh (the self-contained small-scale
-    // path).
-    val nearDup = cacheKey match {
+  /** The near-dup stage under one of two SEMANTIC MODES — `cacheKey`
+    * is a mode switch, not a transparent cache:
+    *
+    *   - `Some(k)` (corpus-level, the production shape): read the
+    *     CORPUS-LEVEL staged pair artifact (one LSH+verify pass per
+    *     corpus snapshot serves every funnel — at sf10 the per-funnel
+    *     duplicate pass was ~90% of q45's 203s) restricted to pairs
+    *     whose BOTH endpoints survived exact dedup.
+    *   - `None` (subset-level): run banding+verify fresh on exactly
+    *     the rows given — self-contained, no artifact.
+    *
+    * The two modes can legitimately DIFFER when LSH bucket truncation
+    * (maxBucket) is active: corpus-level banding truncates each
+    * bucket against the whole corpus's membership, subset-level
+    * against the subset's — so a pair dropped by corpus-level
+    * crowding can surface in the subset pass and vice versa. Pick the
+    * mode by what the duplicate relation should range over (dedup
+    * "within this corpus" vs "within this slice"); don't treat the
+    * switch as a pure performance knob. Both funnels (curate and
+    * curateWithReport) share this selector, so the reported stage
+    * counts always agree with the corresponding curate() output. */
+  private def nearDupStage(exact: DataFrame, docs: DataFrame,
+                           textCol: String, idCol: String,
+                           threshold: Double,
+                           cacheKey: Option[String]): DataFrame =
+    cacheKey match {
       case Some(k) =>
         val pairs = Dedup.stagedNearDupPairs(docs, textCol, idCol, k,
-          nearDupThreshold)
+          threshold)
         val ids = exact.select(col(idCol))
         val dropped = pairs
           .join(ids.withColumnRenamed(idCol, "a"), Seq("a"), "left_semi")
@@ -48,8 +59,17 @@ object Curate {
           .select(col("b").as(idCol)).distinct()
         exact.join(dropped, Seq(idCol), "left_anti")
       case None =>
-        Dedup.nearDupSurvivors(exact, textCol, idCol, nearDupThreshold)
+        Dedup.nearDupSurvivors(exact, textCol, idCol, threshold)
     }
+
+  def curate(docs: DataFrame, textCol: String = "text",
+             idCol: String = "doc_id", minQuality: Double = 0.5,
+             langs: Seq[String] = Seq("en"),
+             nearDupThreshold: Double = 0.6,
+             cacheKey: Option[String] = None): DataFrame = {
+    val exact = Dedup.exactDedup(docs, textCol, idCol)
+    val nearDup = nearDupStage(exact, docs, textCol, idCol,
+      nearDupThreshold, cacheKey)
     nearDup
       .where(TextFunctions.qualityScore(col(textCol)) >= minQuality)
       .where(TextFunctions.langId(col(textCol))
@@ -57,18 +77,22 @@ object Curate {
   }
 
   /** Same funnel with per-stage counts (each count is an action; use
-    * for audits, not hot paths). */
+    * for audits, not hot paths). Takes the same `cacheKey` mode switch
+    * as [[curate]] and routes through the same stage selector, so the
+    * report's counts describe exactly the curate() output for the
+    * same arguments. */
   def curateWithReport(docs: DataFrame, textCol: String = "text",
                        idCol: String = "doc_id",
                        minQuality: Double = 0.5,
                        langs: Seq[String] = Seq("en"),
-                       nearDupThreshold: Double = 0.6)
+                       nearDupThreshold: Double = 0.6,
+                       cacheKey: Option[String] = None)
   : (DataFrame, Report) = {
     val input = docs.count()
     val exact = Dedup.exactDedup(docs, textCol, idCol)
     val nExact = exact.count()
-    val nearDup = Dedup.nearDupSurvivors(exact, textCol, idCol,
-      nearDupThreshold)
+    val nearDup = nearDupStage(exact, docs, textCol, idCol,
+      nearDupThreshold, cacheKey)
     val nNear = nearDup.count()
     val qual = nearDup
       .where(TextFunctions.qualityScore(col(textCol)) >= minQuality)

@@ -173,7 +173,15 @@ object Dedup {
     * verify threshold/ngram, so one artifact serves every verify chain
     * (threshold 0.5 AND 0.6) plus the pre-verify consumers (containment
     * dedup) — at 100 TB the banding pass runs once per corpus snapshot,
-    * period. `cacheKey` must identify the corpus (the source dir). */
+    * period. `cacheKey` must identify an IMMUTABLE corpus snapshot
+    * (the source dir of fixed content): the artifact is keyed only by
+    * (cacheKey, bands, rowsPerBand, maxBucket), so re-provisioning the
+    * docs under the same key within one JVM would silently serve stale
+    * candidates to every consumer — fold a snapshot/version token
+    * (e.g. the store's manifest version) into the key if the corpus
+    * can change during the JVM's lifetime. The same contract applies
+    * to [[stagedNearDupPairs]] and [[stagedComponents]], which build
+    * on this artifact. */
   def stagedCandidatePairs(docs: DataFrame, textCol: String, idCol: String,
                            cacheKey: String, bands: Int = 4,
                            rowsPerBand: Int = 4,

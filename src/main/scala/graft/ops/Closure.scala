@@ -37,8 +37,9 @@ object Closure {
     * zero per-round job overhead. The default limit is the memory- AND
     * time-honest [[DriverBudget.edgeCollectLimit]] (the round-8 q57
     * lesson: fitting in 5% of heap does not make a multi-million-row
-    * collect fast); callers whose seed sets dwarf the edge set should
-    * pass `driverEdgeLimit = 0` to force the distributed loop.
+    * collect fast), and it gates the SEED cardinality too — a small
+    * edge table with a huge seed set takes the distributed loop.
+    * `driverEdgeLimit = 0` forces the distributed loop outright.
     */
   def reachable(seeds: DataFrame, edges: DataFrame,
                 childCol: String, parentCol: String,
@@ -49,16 +50,22 @@ object Closure {
     val e = edges.select(col(childCol).cast("long").as("child"),
       col(parentCol).cast("long").as("parent"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val seedsDf = seeds
+      .select(col(seeds.columns.head).cast("long").as("id")).distinct()
 
-    if (e.count() <= driverEdgeLimit) {
+    // BOTH collected sets must fit the budget: planet-shape inputs can
+    // pair a small edge table (relation_relation ≈ 497K) with a seed
+    // set of millions (every relation in a large extract) — gating
+    // edges alone would collect the seeds ungated. One count() on the
+    // seed side is cheap insurance; over budget, the distributed loop
+    // below handles any cardinality.
+    if (e.count() <= driverEdgeLimit && seedsDf.count() <= driverEdgeLimit) {
       // reference-style driver closure (`src/extract.cpp:211-237`)
       val adj = e.collect()
         .groupBy(_.getLong(0))
         .map { case (c, rows) => c -> rows.map(_.getLong(1)) }
       e.unpersist(blocking = false)
-      val seedIds = seeds
-        .select(col(seeds.columns.head).cast("long").as("id"))
-        .distinct().collect().map(_.getLong(0))
+      val seedIds = seedsDf.collect().map(_.getLong(0))
       val visited = scala.collection.mutable.LinkedHashSet[Long](
         seedIds: _*)
       var frontier: Seq[Long] = seedIds.toSeq
@@ -72,8 +79,7 @@ object Closure {
       import spark.implicits._
       return visited.toSeq.toDF("id")
     }
-    var visited = seeds.select(col(seeds.columns.head).cast("long").as("id"))
-      .distinct().localCheckpoint(eager = true)
+    var visited = seedsDf.localCheckpoint(eager = true)
     var frontier = visited
     var iter = 0
     var novelty = frontier.count()

@@ -127,7 +127,13 @@ object Ingest {
     * sequential per-table jobs, and a fixed partition count leaves a
     * 1000-executor cluster (or local[32]) mostly idle — the r9 sf10
     * decade measured expand as q52's dominant stage for exactly this
-    * reason. Pass an explicit count to pin file layout (tests). */
+    * reason. CAVEAT: the default therefore makes the committed FILE
+    * LAYOUT machine-dependent (file count and row-group pruning
+    * granularity track defaultParallelism; row CONTENT is
+    * deterministic either way). Pass an explicit count wherever the
+    * layout itself is compared (tests, byte-identical re-commits) or
+    * consumed by layout-sensitive maintenance (vacuum/GC accounting
+    * of per-version file sets). The CLI inherits the scaled default. */
   def expand(spark: SparkSession, xmlPath: String, root: String,
              numPartitions: Int = -1, dryRun: Boolean = false,
              readerOptions: Map[String, String] = Map.empty): Long =

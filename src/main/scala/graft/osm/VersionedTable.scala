@@ -6,7 +6,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{FileAlreadyExistsException, Files, Paths,
+  StandardCopyOption, StandardOpenOption}
 import scala.jdk.CollectionConverters._
 
 /** Snapshot-isolated versioned table directory — the engine's stand-in
@@ -40,8 +41,47 @@ import scala.jdk.CollectionConverters._
   * Dry-run (`--commit` absent, `src/update.cpp:287-291`): compute and
   * even write the candidate version's data, but skip the manifest swap —
   * readers never see it (the directory is garbage-collectable).
+  *
+  * CONCURRENCY CONTRACT (the reference gets this from LMDB's one-write-
+  * txn-at-a-time env, `src/storage.cpp:6-19`, plus the exclusive
+  * lockfile in `utils/osmx-update:16-17`):
+  *   - ONE writer: a commit CLAIMS its version number by creating
+  *     `manifest.v=<N>.json` with `CREATE_NEW` (O_EXCL) BEFORE writing
+  *     any data. Two committers that both observed version N-1 both
+  *     compute N; exactly one claim succeeds — the loser throws
+  *     [[ConcurrentCommitException]] loudly (its delta was computed
+  *     against state that is no longer current; retrying from fresh
+  *     state is the caller's decision). No silent lost update, and no
+  *     data-directory stomping: the loser fails before its first write.
+  *   - MANY readers: readers pin a [[Manifest]] and read immutable
+  *     `v=N/` directories. The per-version manifest files double as a
+  *     durable history ([[manifestAt]]), and [[vacuum]] takes a
+  *     `retainVersions` window so a pinned time-travel reader within
+  *     the window survives GC — the reference's reader-snapshot
+  *     retention (`docs/MANUAL.md:126`).
+  *   - Dry-runs never claim (their output is inspect-only garbage), so
+  *     a dry-run followed by a real commit reuses the version number —
+  *     the reference's no-`--commit` → `--commit` flow.
   */
 object VersionedTable {
+
+  /** A commit lost the publish race: `version` was already claimed by
+    * another writer (or a crashed writer left an orphan claim). The
+    * first commit's data is intact; this one wrote NOTHING. */
+  final class ConcurrentCommitException(root: String, version: Long,
+                                        cause: Throwable)
+    extends IllegalStateException(
+      s"concurrent commit at $root: version $version is already claimed " +
+        s"by another writer (manifest.v=$version.json exists). This " +
+        "commit wrote nothing; re-read the current version and retry. " +
+        "If the claiming writer is known dead and never published, " +
+        s"delete $root/manifest.v=$version.json to recover.", cause)
+
+  /** Test seam: runs inside [[claimVersion]] after the committer has
+    * observed the previous version but before the CREATE_NEW claim —
+    * lets a spec hold two committers at the exact race window with a
+    * barrier (deterministic, no sleeps). */
+  private[osm] var commitRaceHook: () => Unit = () => ()
 
   /** Bucketed-table layout: `nBuckets` hash buckets on column `key`;
     * `versions(b)` = the version whose directory holds bucket b.
@@ -98,12 +138,29 @@ object VersionedTable {
     (if (m < 0) m + nBuckets else m).toInt
   }
 
+  private def versionManifestPath(root: String, v: Long) =
+    Paths.get(root, s"manifest.v=$v.json")
+
   /** Current committed manifest, if any. */
   def current(root: String): Option[Manifest] = {
     val p = manifestPath(root)
-    if (!Files.exists(p)) None
+    if (!Files.exists(p)) None else parseManifest(Files.readString(p))
+  }
+
+  /** The manifest published as `version`, from the durable per-version
+    * history file — disk-backed time travel. None if that version was
+    * never published, predates the history files, or its snapshot was
+    * pruned by [[vacuum]]'s retention window (an unpublished in-flight
+    * claim also reads as None). */
+  def manifestAt(root: String, version: Long): Option[Manifest] = {
+    val p = versionManifestPath(root, version)
+    if (!Files.exists(p)) None else parseManifest(Files.readString(p))
+  }
+
+  private def parseManifest(json: String): Option[Manifest] = {
+    val n = mapper.readTree(json)
+    if (!n.has("version")) None // placeholder claim of an in-flight commit
     else {
-      val n = mapper.readTree(Files.readString(p))
       val tv =
         if (n.has("tableVersions"))
           n.get("tableVersions").properties().asScala
@@ -190,6 +247,24 @@ object VersionedTable {
     }
   }
 
+  /** CAS step of a commit: exclusively claim `version` by creating its
+    * per-version manifest file with CREATE_NEW. Exactly one writer can
+    * claim any version; the loser throws BEFORE writing any data. */
+  private def claimVersion(root: String, version: Long): Unit = {
+    Files.createDirectories(Paths.get(root))
+    commitRaceHook()
+    try Files.write(versionManifestPath(root, version),
+      "{}".getBytes(StandardCharsets.UTF_8), StandardOpenOption.CREATE_NEW)
+    catch {
+      case e: FileAlreadyExistsException =>
+        throw new ConcurrentCommitException(root, version, e)
+    }
+  }
+
+  /** Undo a claim after a data-write failure (never after publish). */
+  private def releaseClaim(root: String, version: Long): Unit =
+    Files.deleteIfExists(versionManifestPath(root, version))
+
   private def writeManifest(root: String, m: Manifest): Unit = {
     val node: ObjectNode = mapper.createObjectNode()
     node.put("version", m.version)
@@ -212,10 +287,15 @@ object VersionedTable {
       val vs = s.putArray("versions")
       spec.versions.foreach(vs.add)
     }
-    val tmp = Paths.get(root, s".manifest.${m.version}.tmp")
+    val bytes = mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsString(node).getBytes(StandardCharsets.UTF_8)
     Files.createDirectories(Paths.get(root))
-    Files.write(tmp, mapper.writerWithDefaultPrettyPrinter()
-      .writeValueAsString(node).getBytes(StandardCharsets.UTF_8))
+    // finalize our own claim file into the durable history entry (we
+    // hold the claim — no other writer can touch this path)...
+    Files.write(versionManifestPath(root, m.version), bytes)
+    // ...then atomically advance the current pointer for readers
+    val tmp = Paths.get(root, s".manifest.${m.version}.tmp")
+    Files.write(tmp, bytes)
     Files.move(tmp, manifestPath(root),
       StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
@@ -234,8 +314,11 @@ object VersionedTable {
              dryRun: Boolean = false): Long = {
     val prev = current(root)
     val next = prev.map(_.version).getOrElse(0L) + 1L
-    tables.foreach { case (name, df) =>
+    if (!dryRun) claimVersion(root, next)
+    try tables.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$root/v=$next/$name")
+    } catch { case e: Throwable =>
+      if (!dryRun) releaseClaim(root, next); throw e
     }
     if (!dryRun) {
       val prevM = prev.getOrElse(Manifest(0L, Nil, Map.empty))
@@ -262,12 +345,15 @@ object VersionedTable {
                      dryRun: Boolean = false): Long = {
     val prev = current(root)
     val next = prev.map(_.version).getOrElse(0L) + 1L
-    tables.foreach { case (name, (df, key)) =>
+    if (!dryRun) claimVersion(root, next)
+    try tables.foreach { case (name, (df, key)) =>
       df.withColumn("__bucket", bucketExpr(key, nBuckets))
         .repartition(col("__bucket"))
         .sortWithinPartitions(col(key))
         .write.mode("overwrite").partitionBy("__bucket")
         .parquet(s"$root/v=$next/$name")
+    } catch { case e: Throwable =>
+      if (!dryRun) releaseClaim(root, next); throw e
     }
     if (!dryRun) {
       val bk = tables.map { case (name, (_, key)) =>
@@ -284,22 +370,40 @@ object VersionedTable {
     next
   }
 
-  /** Garbage-collect data directories the CURRENT manifest does not
-    * reference: dry-run leftovers and tables/buckets superseded by
-    * later commits. Safe only when no reader still pins an older
-    * manifest (the reference's one-writer/many-current-readers
-    * contract, `docs/MANUAL.md:126` — LMDB reclaims old pages the same
-    * way once the last reader moves on). Returns the deleted paths. */
-  def vacuum(root: String): Seq[String] = current(root) match {
+  /** Garbage-collect data directories no RETAINED manifest references:
+    * dry-run leftovers and tables/buckets superseded by commits older
+    * than the retention window. `retainVersions = k` keeps the last k
+    * published snapshots fully readable (current plus k-1 predecessors
+    * via their durable history manifests), so a reader pinned to —
+    * or time-travelling to, [[manifestAt]] — any version inside the
+    * window SURVIVES a concurrent vacuum: the reference's
+    * reader-snapshot retention (`docs/MANUAL.md:126` — a read sees
+    * consistent data even while the database is written to). Readers
+    * pinned OUTSIDE the window are the operator's retention decision,
+    * exactly like lakehouse `VACUUM ... RETAIN`. History manifests
+    * that fall out of the window are pruned with their data, so a
+    * stale [[manifestAt]] fails cleanly (None) instead of returning a
+    * manifest with dangling paths. Data claimed by an in-flight commit
+    * (version above current with a claim file) is left alone; vacuum
+    * itself is a writer-side maintenance op — run it from the (single)
+    * writer, not concurrently with your own commit. Returns deleted
+    * paths. */
+  def vacuum(root: String, retainVersions: Int = 1): Seq[String] =
+    current(root) match {
     case None => Seq.empty
     case Some(m) =>
+      val oldestRetained = m.version - math.max(1, retainVersions) + 1
+      val retained = m +: (oldestRetained until m.version)
+        .flatMap(v => manifestAt(root, v))
       val referenced = scala.collection.mutable.Set[String]()
-      m.tables.foreach { t =>
-        m.buckets.get(t) match {
-          case Some(spec) => spec.versions.zipWithIndex.foreach {
-            case (v, b) => referenced += s"v=$v/$t/__bucket=$b"
+      retained.foreach { mm =>
+        mm.tables.foreach { t =>
+          mm.buckets.get(t) match {
+            case Some(spec) => spec.versions.zipWithIndex.foreach {
+              case (v, b) => referenced += s"v=$v/$t/__bucket=$b"
+            }
+            case None => referenced += s"v=${mm.versionOf(t)}/$t"
           }
-          case None => referenced += s"v=${m.versionOf(t)}/$t"
         }
       }
       val deleted = scala.collection.mutable.ArrayBuffer[String]()
@@ -314,21 +418,39 @@ object VersionedTable {
           .filter(p => p.getFileName.toString.startsWith("v="))
         vdirs.foreach { vdir =>
           val vn = vdir.getFileName.toString
-          Files.list(vdir).iterator().asScala.toSeq.foreach { tdir =>
-            val tn = tdir.getFileName.toString
-            if (m.buckets.contains(tn)) {
-              Files.list(tdir).iterator().asScala.toSeq
-                .filter(_.getFileName.toString.startsWith("__bucket="))
-                .foreach { bdir =>
-                  if (!referenced.contains(
-                    s"$vn/$tn/${bdir.getFileName}")) rmTree(bdir)
-                }
-              if (!Files.list(tdir).iterator().asScala
-                .exists(_.getFileName.toString.startsWith("__bucket=")))
-                rmTree(tdir)
-            } else if (!referenced.contains(s"$vn/$tn")) rmTree(tdir)
+          val vnum = vn.drop(2).toLong
+          // a claim above the current version is an in-flight commit's
+          // data mid-write — not garbage (an UNclaimed one is a dry-run
+          // leftover and is collected as before)
+          val inFlight = vnum > m.version &&
+            Files.exists(versionManifestPath(root, vnum))
+          if (!inFlight) {
+            Files.list(vdir).iterator().asScala.toSeq.foreach { tdir =>
+              val tn = tdir.getFileName.toString
+              if (!referenced.contains(s"$vn/$tn")) { // not plain-live
+                val bucketDirs = Files.list(tdir).iterator().asScala.toSeq
+                  .filter(_.getFileName.toString.startsWith("__bucket="))
+                if (bucketDirs.nonEmpty) { // bucketed layout: per-bucket
+                  bucketDirs.foreach { bdir =>
+                    if (!referenced.contains(
+                      s"$vn/$tn/${bdir.getFileName}")) rmTree(bdir)
+                  }
+                  if (!Files.list(tdir).iterator().asScala
+                    .exists(_.getFileName.toString.startsWith("__bucket=")))
+                    rmTree(tdir)
+                } else rmTree(tdir) // plain and unreferenced
+              }
+            }
+            if (!Files.list(vdir).iterator().hasNext) rmTree(vdir)
           }
-          if (!Files.list(vdir).iterator().hasNext) rmTree(vdir)
+        }
+        // prune history manifests that fell out of the retention window
+        Files.list(rootP).iterator().asScala.toSeq.foreach { p =>
+          val fn = p.getFileName.toString
+          if (fn.startsWith("manifest.v=") && fn.endsWith(".json")) {
+            val v = fn.stripPrefix("manifest.v=").stripSuffix(".json").toLong
+            if (v < oldestRetained) { Files.delete(p); deleted += p.toString }
+          }
         }
       }
       deleted.toSeq
@@ -366,7 +488,8 @@ object VersionedTable {
     val prev = current(root).getOrElse(throw new IllegalStateException(
       s"commitDelta needs an existing bucketed commit at $root"))
     val next = prev.version + 1L
-    val newBuckets = deltas.map { case (name, d) =>
+    if (!dryRun) claimVersion(root, next)
+    val newBuckets = try deltas.map { case (name, d) =>
       val spec = prev.buckets.getOrElse(name,
         throw new IllegalStateException(s"$name is not bucketed"))
       val changed = d.changedBuckets.distinct.sorted
@@ -387,6 +510,8 @@ object VersionedTable {
         if (changed.contains(b)) next else v
       }
       name -> spec.copy(versions = versions)
+    } catch { case e: Throwable =>
+      if (!dryRun) releaseClaim(root, next); throw e
     }
     if (!dryRun)
       writeManifest(root, prev.copy(version = next,

@@ -112,10 +112,19 @@ object Replication {
     // change per element — without this, the anti-join/union delta
     // keeps BOTH versions as duplicate rows (CdcPropertySpec pins
     // this). Per-element window: partitioned by id, never global.
+    // The ordering is a TOTAL order: after (seqnum, version) — the real
+    // replication ordering — ties can only come from a malformed diff
+    // repeating an element at the same version. Those resolve by
+    // meta timestamp, then visible=false first (at a dead tie the
+    // delete is the terminal state), then a content hash so the winner
+    // is arbitrary-but-deterministic, never partition-order-dependent.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("etype"), col("id"))
       .orderBy(col("seqnum").desc,
-        coalesce(col("version"), col("meta.version"), lit(0)).desc)
+        coalesce(col("version"), col("meta.version"), lit(0)).desc,
+        coalesce(col("meta.timestamp"), lit(0L)).desc,
+        col("visible").asc_nulls_last,
+        xxhash64(to_json(struct(col("*")))).desc)
     val changes = batch
       .withColumn("_rk", row_number().over(w))
       .where(col("_rk") === 1).drop("_rk")

@@ -677,6 +677,34 @@ class LlmSpec extends AnyFunSuite {
     assert(rows.forall(_._3), s"accuracy gate tripped: $rows")
   }
 
+  test("q196 sketch profile: estimate delta is labeled, inside 5%") {
+    // The q196 oracle hardcodes est_ok=true (the estimate is engine-
+    // internal), so a sketch-accuracy regression would surface there
+    // as an opaque row-hash mismatch. This pins the same gate with a
+    // LABELED failure and prints the per-column deltas.
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("q196_sketch_profile")(spark, sf)
+      .collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("est_ok"),
+        s"q196 accuracy gate FAILED for column " +
+          s"${r.getAs[String]("col_name")} " +
+          s"(n_distinct=${r.getAs[Long]("n_distinct")})")
+    }
+    val ev = graft.Queries.T(spark, sf, "events")
+    for ((nm, c) <- Seq("event_id" -> col("event_id"),
+      "event_type" -> col("event_type"), "user_id" -> col("user_id"))) {
+      val (est, exact) = ev.agg(
+        hll_sketch_estimate(hll_sketch_agg(c, lit(12))).as("e"),
+        countDistinct(c).as("x")).as[(Long, Long)].head()
+      val delta = math.abs(est.toDouble - exact) / math.max(1L, exact)
+      info(f"q196 $nm: est=$est exact=$exact delta=${delta * 100}%.3f%%")
+      assert(delta <= 0.05,
+        f"$nm sketch drift ${delta * 100}%.2f%% exceeds the 5%% gate")
+    }
+  }
+
   test("q113 quantile sketch: approx decile inside the exact envelope") {
     val dir = docsDir((1 to 500).map(i =>
       (i.toLong, "x" * i, "s")): _*) // n_chars = 1..500

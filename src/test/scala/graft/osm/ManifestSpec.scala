@@ -257,6 +257,115 @@ class ManifestSpec extends AnyFunSuite {
     assert(VersionedTable.vacuum(root).isEmpty)
   }
 
+  test("racing committers: exactly one wins, the loser fails loudly") {
+    // deterministic lost-update race (no sleeps): a barrier in the
+    // claim path holds BOTH committers after they observed version 1
+    // and before either claims version 2 — the exact window where the
+    // pre-CAS code silently discarded the first commit
+    val root = Files.createTempDirectory("graft-race").toString
+    VersionedTable.commit(root,
+      Map("t" -> Seq((1L, "base")).toDF("id", "v")))
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    VersionedTable.commitRaceHook =
+      () => { barrier.await(30, java.util.concurrent.TimeUnit.SECONDS); () }
+    try {
+      import scala.concurrent._
+      import scala.concurrent.duration._
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: ExecutionContextExecutorService =
+        ExecutionContext.fromExecutorService(pool)
+      def attempt(tag: String) = Future {
+        try Right(VersionedTable.commit(root,
+          Map("t" -> Seq((2L, tag)).toDF("id", "v")),
+          Map("winner" -> tag)))
+        catch {
+          case e: VersionedTable.ConcurrentCommitException => Left(e)
+        }
+      }
+      val results = Await.result(
+        Future.sequence(Seq(attempt("A"), attempt("B"))), 120.seconds)
+      pool.shutdown()
+      assert(results.collect { case Right(v) => v } == Seq(2L))
+      assert(results.collect { case Left(e) => e }.size == 1)
+      // final state is EXACTLY the winner's commit: data and meta agree
+      val m = VersionedTable.current(root).get
+      assert(m.version == 2L)
+      val rows = VersionedTable.read(spark, root, "t")
+        .as[(Long, String)].collect().toSet
+      assert(rows == Set((2L, m.meta("winner"))))
+    } finally VersionedTable.commitRaceHook = () => ()
+  }
+
+  test("a failed commit releases its claim; the version is reusable") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft-claimrel").toString
+    VersionedTable.commit(root, Map("t" -> Seq((1L, "a")).toDF("id", "v")))
+    val bad = spark.range(1)
+      .select(col("id"), assert_true(lit(false)).as("v"))
+    intercept[Exception] {
+      VersionedTable.commit(root, Map("t" -> bad))
+    }
+    // the claim was rolled back, so the next writer takes version 2
+    assert(VersionedTable.commit(root,
+      Map("t" -> Seq((2L, "b")).toDF("id", "v"))) == 2L)
+    assert(VersionedTable.current(root).get.version == 2L)
+  }
+
+  test("orphan claim: in-flight data protected, recovery is explicit") {
+    val root = Files.createTempDirectory("graft-orphan").toString
+    VersionedTable.commit(root, Map("t" -> Seq((1L, "a")).toDF("id", "v")))
+    // simulate a writer that claimed v2 and crashed before publishing
+    val claim = java.nio.file.Paths.get(root, "manifest.v=2.json")
+    Files.write(claim, "{}".getBytes)
+    Files.createDirectories(java.nio.file.Paths.get(root, "v=2", "t"))
+    // an unpublished claim is not a readable snapshot
+    assert(VersionedTable.manifestAt(root, 2L).isEmpty)
+    // vacuum must NOT reap a claimed in-flight version's data...
+    VersionedTable.vacuum(root)
+    assert(Files.exists(java.nio.file.Paths.get(root, "v=2", "t")))
+    // ...and a new committer fails loudly with the recovery hint
+    val e = intercept[VersionedTable.ConcurrentCommitException] {
+      VersionedTable.commit(root, Map("t" -> Seq((2L, "b")).toDF("id", "v")))
+    }
+    assert(e.getMessage.contains("manifest.v=2.json"))
+    Files.delete(claim) // the documented recovery
+    assert(VersionedTable.commit(root,
+      Map("t" -> Seq((2L, "b")).toDF("id", "v"))) == 2L)
+  }
+
+  test("vacuum retention keeps pinned time-travel snapshots readable") {
+    val root = Files.createTempDirectory("graft-retain").toString
+    val n = 4
+    val df = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+    VersionedTable.commitBucketed(root, Map("t" -> (df, "id")), n)
+    for (id <- Seq(7L, 13L)) { // two deltas -> versions 2 and 3
+      val ids = Seq(id).toDF("id")
+      VersionedTable.commitDelta(spark, root, Map(
+        "t" -> VersionedTable.Delta(
+          VersionedTable.bucketsOf(ids, "id", n),
+          old => old.join(ids, Seq("id"), "left_anti"))))
+    }
+    // disk-backed time travel (q83's shape, without an in-memory pin)
+    val mAt1 = VersionedTable.manifestAt(root, 1L).get
+    assert(mAt1.version == 1L)
+    // a 3-version retention window: the v1 snapshot SURVIVES the GC
+    VersionedTable.vacuum(root, retainVersions = 3)
+    val pinned = VersionedTable.read(spark, root, "t", Some(mAt1))
+      .as[(Long, String)].collect().toMap
+    assert(pinned.size == 100 && pinned(7L) == "v7" && pinned(13L) == "v13")
+    // retention 1 prunes the v1 snapshot: its superseded dirs AND its
+    // history manifest go together, so a stale time-travel attempt
+    // fails cleanly (None) instead of reading dangling paths
+    val deleted = VersionedTable.vacuum(root)
+    assert(deleted.nonEmpty)
+    assert(VersionedTable.manifestAt(root, 1L).isEmpty)
+    // CoW links survive: buckets still owned by v1 in the CURRENT
+    // manifest are untouched, and the live read is intact
+    val now = VersionedTable.read(spark, root, "t")
+      .as[(Long, String)].collect().toMap
+    assert(now.size == 98 && !now.contains(7L) && !now.contains(13L))
+  }
+
   test("plain commit carries untouched tables forward by link") {
     val root = Files.createTempDirectory("graft-link").toString
     VersionedTable.commit(root, Map(

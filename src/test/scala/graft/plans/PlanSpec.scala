@@ -25,26 +25,118 @@ class PlanSpec extends AnyFunSuite {
 
   private def q(name: String) = SparkEntry.queries(name)(spark, SF)
 
+  /** ALL 196 query plans, constructed ONCE and shared by the
+    * suite-wide sweeps below (construction executes the staging jobs
+    * of the side-effecting builders — sub-second each at sf0.001, but
+    * paid once, not once per sweep). */
+  private lazy val suitePlans
+  : Seq[(String, org.apache.spark.sql.execution.QueryExecution)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val qe = try {
+        val e = fn(spark, SF).queryExecution
+        e.executedPlan // force physical planning eagerly
+        e
+      } catch { case e: Throwable =>
+        fail(s"$name failed to plan at $SF: $e")
+      }
+      (name, qe)
+    }
+
   test("SUITE-WIDE: no query ever plans a CartesianProduct") {
     // every named pin above guards one shape; this sweep guards ALL
     // 196 — a future non-equi join that silently degrades to a
     // cartesian fails here, at plan time, before it becomes an
     // all-pairs explosion at 100 TB. Scalar one-row crossJoins plan
     // as BroadcastNestedLoopJoin, never CartesianProduct, so no
-    // whitelist is needed. Streaming replays and side-effecting
-    // round-trip builders execute real jobs at construction time at
-    // sf0.001 (sub-second each) — acceptable for one sweep.
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val plan =
-          try fn(spark, SF).queryExecution.executedPlan.toString
-          catch { case e: Throwable =>
-            fail(s"$name failed to plan at $SF: $e")
-          }
-        if (plan.contains("CartesianProduct")) Some(name) else None
+    // whitelist is needed.
+    val offenders = suitePlans.collect {
+      case (name, qe)
+        if qe.executedPlan.toString.contains("CartesianProduct") => name
     }
     assert(offenders.isEmpty,
       s"queries planning CartesianProduct: $offenders")
+  }
+
+  test("SUITE-WIDE: no global window over an unbounded (non-aggregated) " +
+    "input") {
+    // the q121 bug class: a Window with an EMPTY partitionBy sorts its
+    // whole input through ONE task — fine over a bounded aggregated
+    // domain (a distinct-value histogram), a scale-killer over corpus
+    // rows (q121's global argmax window sorted 40M rows at sf10). The
+    // sweep walks every optimized plan: any unpartitioned Window must
+    // have an Aggregate or a GlobalLimit somewhere below it bounding
+    // the row domain.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
+      GlobalLimit, Window => LWin}
+    val offenders = suitePlans.flatMap { case (name, qe) =>
+      qe.optimizedPlan.collect {
+        case w: LWin if w.partitionSpec.isEmpty &&
+          w.child.collectFirst {
+            case a: Aggregate => a
+            case l: GlobalLimit => l
+          }.isEmpty => s"$name: $w"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"global windows over unbounded inputs:\n${offenders.mkString("\n")}")
+  }
+
+  test("SUITE-WIDE: no broadcast HINT on a raw corpus-table side") {
+    // a broadcast() hint overrides the planner's stats at ANY scale,
+    // so a hint on a side that scans a corpus-proportional table
+    // (documents/lineitem) without an intervening cardinality bound
+    // (Aggregate / GlobalLimit) is an executor OOM at 100 TB even
+    // though it runs fine at test SFs. Every such hint must come from
+    // a stats-gated call site (the Dedup broadcast gates, which emit
+    // the hint ONLY under the width-corrected size cap) and be listed
+    // here with its gate. Auto-broadcasts (no hint) are exempt: the
+    // planner's own size estimate is the gate.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
+      GlobalLimit, Join, LogicalPlan, BROADCAST}
+    import org.apache.spark.sql.execution.datasources.{
+      HadoopFsRelation, LogicalRelation}
+    def corpusScan(p: LogicalPlan): Boolean = p.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation => h.location.rootPaths.exists { rp =>
+          val s = rp.toString
+          s.contains("documents.parquet") || s.contains("lineitem.parquet")
+        }
+        case _ => false
+      }
+    }.contains(true)
+    def bounded(p: LogicalPlan): Boolean = p.collectFirst {
+      case a: Aggregate => a
+      case l: GlobalLimit => l
+    }.isDefined
+    // gated call sites (each hint is emitted under a measured size
+    // cap, so at scale the SAME query degrades to a shuffled join):
+    //   - Dedup.shingleBroadcastable (width-amplification-corrected,
+    //     llm/Dedup.scala) guards the shingle-frame hints feeding
+    //     q25/q27/q44/q45/q57/q70/q100/q105/q154/q176/q193 and the
+    //     staged-artifact builders;
+    //   - Similarity's bounded probe/sample batches are k-bounded by
+    //     construction but read the corpus table for vectors.
+    // At sf0.001 every gate passes, so those hints ARE present here;
+    // the sweep pins that NO OTHER query grows an ungated corpus hint.
+    val gated = Set(
+      "q100_training_build", "q105_streaming_lsh", "q154_containment_dedup",
+      "q176_sketch_calibration", "q193_prefix_filter_join",
+      "q25_minhash_pairs", "q27_ngram_jaccard", "q44_dedup_survivors",
+      "q45_curate_funnel", "q57_dedup_components", "q70_dedup_keep_best")
+    val offenders = suitePlans.flatMap { case (name, qe) =>
+      qe.optimizedPlan.collect {
+        case j: Join =>
+          val sides = Seq(j.hint.leftHint -> j.left,
+            j.hint.rightHint -> j.right)
+          sides.collect {
+            case (Some(h), side)
+              if h.strategy.contains(BROADCAST) && corpusScan(side) &&
+                !bounded(side) => name
+          }
+      }.flatten
+    }.distinct.filterNot(gated)
+    assert(offenders.isEmpty,
+      s"ungated broadcast hints on corpus-table sides: $offenders")
   }
 
   test("q87 range-band join broadcasts the band dimension (no shuffle)") {
