@@ -1099,6 +1099,93 @@ object OsmQueries {
               |FROM locations2
               |ORDER BY snapshot""".stripMargin)),
 
+    // ---- q197: DISK-BACKED version history (round 10). Three
+    // committed versions (bucketed base + two CDC deltas through the
+    // streaming batch path), a retention vacuum (retainVersions=3)
+    // BETWEEN the commits and the reads, then every snapshot read back
+    // via manifestAt — the per-version history manifests on disk, not
+    // in-memory pins (q83's variant). Gates the round-10 contract in
+    // the data plane: the CAS'd per-version manifests are complete and
+    // readable, and a retention-window vacuum deletes NOTHING a
+    // retained snapshot needs. The oracle reconstructs all three
+    // states in pure SQL. Exact integer sums ----
+    Q("q197_version_history",
+      (s, d) => {
+        import s.implicits._
+        graft.functions.GraftFunctions.register(s)
+        val t = SyntheticOsm.materialized(s, d)
+        val root = graft.TempDirs.create("graft-q197-db")
+        VersionedTable.commitBucketed(root, Map(
+          "locations" -> ((t.locations.withColumn("s2cell",
+            graft.spatial.SpatialScan.s2CellOfFixed($"lat", $"lon")),
+            "id"))), nBuckets = 16)
+        val metaT = "struct<version:int,timestamp:bigint," +
+          "changeset:bigint,uid:bigint,user:string>"
+        def changeSet(m: Int, dLon: Int, dVer: Int, seq: Long) =
+          t.locations.where($"id" % m <= 1).select(
+            $"id", lit("node").as("etype"),
+            ($"id" % m === 1).as("visible"),
+            ($"lon" + dLon).cast("int").as("lon"),
+            ($"lat" + dLon).cast("int").as("lat"),
+            ($"version" + dVer).cast("int").as("version"),
+            lit(null).cast("array<bigint>").as("nodes"),
+            lit(null).cast(
+              "array<struct<ref:bigint,mtype:string,role:string>>")
+              .as("members"),
+            map().cast("map<string,string>").as("tags"),
+            lit(null).cast(metaT).as("meta"), lit(seq).as("seqnum"))
+        graft.streaming.Replication.applyBatch(s, root,
+          changeSet(17, 1000, 100, 1L), batchId = 0L) // -> v2
+        graft.streaming.Replication.applyBatch(s, root,
+          changeSet(23, 2000, 200, 2L), batchId = 1L) // -> v3
+        // retention vacuum: all three snapshots stay fully readable
+        VersionedTable.vacuum(root, retainVersions = 3)
+        def snap(v: Long) = {
+          val m = VersionedTable.manifestAt(root, v).getOrElse(
+            throw new IllegalStateException(s"history manifest v=$v gone"))
+          VersionedTable.read(s, root, "locations", Some(m))
+            .agg(count(lit(1)).as("n"),
+              sum($"lon").cast("long").as("sum_lon"),
+              sum($"lat").cast("long").as("sum_lat"),
+              sum($"version").cast("long").as("sum_version"))
+            .select(lit(v).as("snapshot"), $"n", $"sum_lon",
+              $"sum_lat", $"sum_version")
+        }
+        snap(1L).unionAll(snap(2L)).unionAll(snap(3L))
+          .orderBy($"snapshot")
+      },
+      Some(s"""WITH $dOsmCtes,
+              |locations2 AS (
+              |  SELECT id, lon, lat, version FROM locations
+              |  WHERE id % 17 > 1
+              |  UNION ALL
+              |  SELECT id, CAST(lon + 1000 AS INTEGER),
+              |         CAST(lat + 1000 AS INTEGER),
+              |         CAST(version + 100 AS INTEGER)
+              |  FROM locations WHERE id % 17 = 1),
+              |locations3 AS (
+              |  SELECT * FROM locations2 WHERE id % 23 > 1
+              |  UNION ALL
+              |  SELECT id, CAST(lon + 2000 AS INTEGER),
+              |         CAST(lat + 2000 AS INTEGER),
+              |         CAST(version + 200 AS INTEGER)
+              |  FROM locations WHERE id % 23 = 1),
+              |s AS (
+              |  SELECT 1 AS snapshot, count(*) AS n, sum(lon) AS sum_lon,
+              |         sum(lat) AS sum_lat, sum(version) AS sum_version
+              |  FROM locations
+              |  UNION ALL
+              |  SELECT 2, count(*), sum(lon), sum(lat), sum(version)
+              |  FROM locations2
+              |  UNION ALL
+              |  SELECT 3, count(*), sum(lon), sum(lat), sum(version)
+              |  FROM locations3)
+              |SELECT CAST(snapshot AS BIGINT) AS snapshot, n,
+              |  CAST(sum_lon AS BIGINT) AS sum_lon,
+              |  CAST(sum_lat AS BIGINT) AS sum_lat,
+              |  CAST(sum_version AS BIGINT) AS sum_version
+              |FROM s ORDER BY snapshot""".stripMargin)),
+
     // ---- q84: incremental view maintenance. A per-tag-key node count
     // is kept up to date from a CDC batch WITHOUT recomputing over the
     // table: old contributions of the changed ids are fetched via the
