@@ -3649,15 +3649,23 @@ object LlmQueries {
             ($"n_chars" % 65536).cast("long").as("x"),
             (size(TextFunctions.tokens($"text")) % 65536).cast("long")
               .as("y"))
+        // eager checkpoint: keyed feeds BOTH the rank scan and the
+        // join-back — without it the tokenize (the dominant linear
+        // cost) runs twice (tokenStarts checkpoints only its own
+        // narrow (id, tok) projection)
         val keyed = docs.withColumn("zkey", expr(
             "aggregate(sequence(0, 15), 0L, (acc, j) -> acc" +
               " + shiftleft(shiftright(x, j) & 1, 2 * j)" +
               " + shiftleft(shiftright(y, j) & 1, 2 * j + 1))"))
           .withColumn("zu",
             shiftleft($"zkey", 20) + $"doc_id")
+          .localCheckpoint(true)
         val ranked = Curate.tokenStarts(keyed, "zu", lit(1L))
           .join(keyed, "zu")
-        val tot = ranked.agg(count(lit(1)).as("n"))
+        // corpus row count from a pruned base scan: counting `ranked`
+        // would re-run the tokenize + prefix-scan + join pipeline a
+        // second time just to learn N (measured 2x the query at sf1)
+        val tot = T(s, d, "documents").agg(count(lit(1)).as("n"))
         ranked.crossJoin(broadcast(tot))
           .withColumn("bucket", expr("(start * 32) div n"))
           .groupBy($"bucket")
