@@ -5115,6 +5115,162 @@ object LlmQueries {
               |SELECT source, rk, w AS token, CAST(a AS BIGINT) AS a,
               |  chi2
               |FROM r WHERE rk <= 5 ORDER BY source, rk"""
-        .stripMargin))
+        .stripMargin)),
+
+    // ---- q198: DSIR-style importance selection (round 10). Hashed
+    // n-gram importance resampling (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling"): featurize each
+    // doc as hashed unigram+bigram counts (B=512 buckets, the q140
+    // hashing trick — no vocabulary to build, broadcast, or version),
+    // estimate the TARGET feature distribution from an in-corpus
+    // exemplar slice (source = 'src0') and the RAW distribution from
+    // the whole corpus, weight each doc by its add-half-smoothed
+    // feature-frequency ratio evidence, keep the top 50. Linear ratio
+    // instead of the paper's log-ratio for the q82 reason: + - * / are
+    // correctly-rounded IEEE and engine-identical while libm log is
+    // not; the selector only needs monotone per-feature evidence.
+    // Scale: the gram stream is one explode (map-side); per-doc and
+    // per-feature counts are hash-aggs; the ratio table is <= B rows
+    // — Aggregate-bounded, so its broadcast is cardinality-safe at
+    // any corpus size; top-50 is TakeOrderedAndProject, never a
+    // global sort. Contribs are 6dp-rounded and summed through
+    // DECIMAL so fold order cannot change the float ----
+    Q("q198_dsir_select",
+      (s, d) => {
+        import s.implicits._
+        val B = 512
+        val docs = T(s, d, "documents")
+        val toks = docs.select($"doc_id", $"source",
+          TextFunctions.tokens($"text").as("t"))
+        val uni = toks.select($"doc_id", $"source", explode($"t").as("g"))
+        val bi = toks.where(size($"t") >= 2)
+          .select($"doc_id", $"source", explode(zip_with(
+            slice($"t", lit(1), size($"t") - 1),
+            slice($"t", lit(2), size($"t") - 1),
+            (a, b) => concat(a, lit(" "), b))).as("g"))
+        val grams = uni.unionByName(bi).select($"doc_id", $"source",
+          (TextFunctions.tokenHash32($"g") % B).cast("long").as("f"))
+        // ONE hash-agg over the exploded stream; every downstream
+        // aggregate (per-feature raw/target counts, corpus-wide
+        // normalizers) derives from this much smaller relation, so
+        // Spark's exchange reuse shares the single gram shuffle
+        val c0 = grams.groupBy($"doc_id", $"source", $"f")
+          .agg(count(lit(1)).as("c"))
+        val c = c0.select($"doc_id", $"f", $"c")
+        val raw = c0.groupBy($"f").agg(sum($"c").as("cr"))
+        val tgt = c0.where($"source" === "src0")
+          .groupBy($"f").agg(sum($"c").as("ct"))
+        // corpus-wide normalizers as a 1-row scalar aggregate —
+        // crossJoin(broadcast) keeps the whole thing one DAG (no
+        // driver action), the q139 pattern
+        val totals = c0.agg(sum($"c").as("rn"),
+          sum(when($"source" === "src0", $"c").otherwise(0L)).as("tn"))
+        val half = lit(B.toDouble / 2.0)
+        val ratio = raw.join(tgt, Seq("f"), "left")
+          .crossJoin(broadcast(totals))
+          .select($"f", round(
+            ((coalesce($"ct", lit(0L)).cast("double") + lit(0.5)) *
+              ($"rn".cast("double") + half)) /
+              (($"cr".cast("double") + lit(0.5)) *
+                ($"tn".cast("double") + half)), 6).as("r6"))
+        c.join(broadcast(ratio), "f")
+          .select($"doc_id",
+            round($"c".cast("double") * $"r6", 6)
+              .cast("decimal(18,6)").as("contrib"))
+          .groupBy($"doc_id")
+          .agg(sum($"contrib").cast("double").as("score"))
+          .join(docs.select($"doc_id", $"source"), "doc_id")
+          .select($"doc_id", $"source", $"score")
+          .orderBy($"score".desc, $"doc_id".asc)
+          .limit(50)
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, source, $dTokens AS t
+              |             FROM documents),
+              |uni AS (SELECT doc_id, source, unnest(t) AS g FROM toks),
+              |bi AS (SELECT doc_id, source, unnest(list_transform(
+              |    generate_series(1, len(t) - 1),
+              |    i -> t[CAST(i AS INT)] || ' ' ||
+              |         t[CAST(i AS INT) + 1])) AS g
+              |  FROM toks WHERE len(t) >= 2),
+              |grams AS (SELECT doc_id, source,
+              |    CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT)
+              |      % 512 AS f
+              |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+              |c AS (SELECT doc_id, f, count(*) AS c FROM grams
+              |      GROUP BY 1, 2),
+              |raw AS (SELECT f, count(*) AS cr FROM grams GROUP BY f),
+              |tgt AS (SELECT f, count(*) AS ct FROM grams
+              |        WHERE source = 'src0' GROUP BY f),
+              |tots AS (SELECT CAST(count(*) AS DOUBLE) AS rn,
+              |    CAST(count(*) FILTER (WHERE source = 'src0')
+              |      AS DOUBLE) AS tn
+              |  FROM grams),
+              |ratio AS (SELECT raw.f, round(
+              |    ((coalesce(ct, 0) + 0.5) * (rn + 256.0)) /
+              |    ((cr + 0.5) * (tn + 256.0)), 6) AS r6
+              |  FROM raw LEFT JOIN tgt ON raw.f = tgt.f, tots),
+              |sc AS (SELECT c.doc_id, CAST(sum(CAST(
+              |      round(CAST(c.c AS DOUBLE) * r6, 6)
+              |      AS DECIMAL(18,6))) AS DOUBLE) AS score
+              |  FROM c JOIN ratio ON c.f = ratio.f GROUP BY 1)
+              |SELECT sc.doc_id, d.source, sc.score
+              |FROM sc JOIN documents d ON sc.doc_id = d.doc_id
+              |ORDER BY score DESC, sc.doc_id LIMIT 50""".stripMargin)),
+
+    // ---- q199: deterministic epoch shuffle + byte-balanced shard
+    // assignment (round 10). The training-loader ordering problem:
+    // every epoch must visit the corpus in a DIFFERENT pseudo-random
+    // order, reproducible across reruns and engines, without ever
+    // materializing a global sort of the corpus. Order key = md5 of
+    // (epoch ':' doc_id) — a seeded permutation per epoch; shard = the
+    // doc's byte-offset quantile in that order, via the q72 two-phase
+    // prefix scan (per-range-partition sums collected once — <=
+    // shuffle-partition rows — offsets broadcast back; never a global
+    // window). Shards balance BYTES, not doc counts, so no trainer
+    // node drags the epoch. Output is the per-(epoch, shard) loader
+    // manifest. Scale: two range exchanges over (hash, n_chars) —
+    // the TEXT column is pruned at the scan ----
+    Q("q199_epoch_shuffle",
+      (s, d) => {
+        import s.implicits._
+        val S = 8
+        val docs = T(s, d, "documents")
+        val tot = math.max(1L,
+          docs.agg(sum($"n_chars".cast("long"))).first().getLong(0))
+        def epochStarts(e: Int) =
+          Curate.tokenStarts(
+            docs.select(
+              md5(concat(lit(s"$e:"), $"doc_id".cast("string"))).as("h"),
+              $"n_chars"),
+            "h", $"n_chars")
+            .select(lit(e.toLong).as("epoch"), $"tok", $"start")
+        epochStarts(0).unionByName(epochStarts(1))
+          .withColumn("shard",
+            expr(s"least(${S - 1}L, (start * $S) div ${tot}L)"))
+          .groupBy($"epoch", $"shard")
+          .agg(count(lit(1)).as("n_docs"), sum($"tok").as("chars"))
+          .orderBy($"epoch", $"shard")
+      },
+      Some("""WITH ep AS (SELECT 0 AS epoch UNION ALL SELECT 1),
+             |k AS (SELECT epoch, doc_id, n_chars,
+             |    md5(CAST(epoch AS VARCHAR) || ':' ||
+             |        CAST(doc_id AS VARCHAR)) AS h
+             |  FROM documents, ep),
+             |p AS (SELECT epoch, n_chars,
+             |    coalesce(sum(CAST(n_chars AS BIGINT)) OVER (
+             |      PARTITION BY epoch ORDER BY h
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |      0) AS start
+             |  FROM k),
+             |t AS (SELECT greatest(CAST(sum(n_chars) AS BIGINT), 1)
+             |        AS tot FROM documents),
+             |sh AS (SELECT epoch,
+             |    least(7, (start * 8) // tot) AS shard, n_chars
+             |  FROM p, t)
+             |SELECT CAST(epoch AS BIGINT) AS epoch,
+             |  CAST(shard AS BIGINT) AS shard,
+             |  count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS chars
+             |FROM sh GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

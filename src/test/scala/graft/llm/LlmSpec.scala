@@ -716,4 +716,52 @@ class LlmSpec extends AnyFunSuite {
     assert(out(4)._2 == 250.5)
     assert(out.forall(_._3), s"approx outside envelope: $out")
   }
+
+  test("q198 DSIR selection ranks target-like docs above off-target") {
+    // src0 (the target slice) is 'wiki'-flavoured, src1 is 'spam'-
+    // flavoured. Two src1 probes: one written like the target, one
+    // like the rest of src1. Importance weighting must rank the
+    // target-like probe strictly above the spam-like probe.
+    val base = (0 until 5).map(i =>
+        (i.toLong, "wiki facts curated prose", "src0")) ++
+      (10 until 15).map(i => (i.toLong, "spam junk casino junk", "src1"))
+    val dir = docsDir(base ++ Seq(
+      (100L, "wiki facts curated prose", "src1"), // target-like probe
+      (101L, "spam junk casino junk", "src1")): _*) // off-target probe
+    val out = graft.SparkEntry.queries("q198_dsir_select")(spark, dir)
+      .as[(Long, String, Double)].collect().toSeq
+    // ordered: scores descending, doc_id tiebreak ascending
+    assert(out == out.sortBy(r => (-r._3, r._1)))
+    val score = out.map(r => r._1 -> r._3).toMap
+    assert(score(100L) > score(101L),
+      s"target-like probe must outrank off-target: $out")
+    // identical text => identical score regardless of source label
+    assert(score(100L) == score(0L), s"score is content-only: $out")
+  }
+
+  test("q199 epoch shuffle: complete, byte-balanced, epoch-seeded") {
+    val rnd = new scala.util.Random(7)
+    val docs = (1 to 40).map(i =>
+      (i.toLong, "x" * (20 + rnd.nextInt(180)), "s"))
+    val dir = docsDir(docs: _*)
+    val total = docs.map(_._2.length.toLong).sum
+    val maxDoc = docs.map(_._2.length.toLong).max
+    val out = graft.SparkEntry.queries("q199_epoch_shuffle")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    for (e <- Seq(0L, 1L)) {
+      val sh = out.filter(_._1 == e)
+      assert(sh.map(_._2).forall(s => s >= 0 && s < 8))
+      assert(sh.map(_._3).sum == 40L, s"epoch $e loses docs: $sh")
+      assert(sh.map(_._4).sum == total, s"epoch $e loses bytes: $sh")
+      // offset-quantile assignment: a shard holds the docs whose start
+      // falls in its T/8 window, so its bytes <= T/8 + one max doc
+      assert(sh.map(_._4).max <= total / 8 + maxDoc + 1,
+        s"epoch $e shard imbalance: $sh (total=$total, maxDoc=$maxDoc)")
+    }
+    // different epochs = different permutations: the shard histograms
+    // (8 byte-sums over a random order) almost surely differ
+    assert(out.filter(_._1 == 0L).map(_._4) !=
+      out.filter(_._1 == 1L).map(_._4),
+      "epoch 0 and 1 produced identical shard byte histograms")
+  }
 }
