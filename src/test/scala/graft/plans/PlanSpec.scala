@@ -139,6 +139,64 @@ class PlanSpec extends AnyFunSuite {
       s"ungated broadcast hints on corpus-table sides: $offenders")
   }
 
+  test("SUITE-WIDE: documents.text is scanned only by text-computing " +
+    "queries") {
+    // read-amplification invariant: `text` is ~99% of documents bytes
+    // at corpus scale, so a metadata-only query whose scan still reads
+    // the text column costs ~100x its necessary I/O at 100 TB even
+    // though it returns identical rows at test SFs. Catalyst's column
+    // pruning normally guarantees this, but a persist() of the raw
+    // table, a custom node that blocks pruning, or an artifact builder
+    // materializing unpruned rows all silently defeat it — this sweep
+    // pins the physical ReadSchema of EVERY documents.parquet scan in
+    // every query. The allowlist names the queries whose computation
+    // genuinely consumes text (tokenize/shingle/hash/regex over the
+    // column); everything else must scan documents WITHOUT text.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // every name verified against its definition: each one feeds text
+    // into a tokenize/shingle/fingerprint/quality/regex kernel (q30
+    // derives the synthetic media bytes from text; q174's card and
+    // q66's report include text-derived stats). Conspicuously ABSENT
+    // and staying that way: the metadata-only pipelines — packing
+    // (q72), mixing (q73), splits (q58/q118), coreset/resample
+    // (q137/q139), shard manifests (q148/q199), length quantiles
+    // (q64) — all pack/sample/shard by n_chars and NEVER pay the
+    // text column's bytes.
+    val textConsumers = Set(
+      "q108_bloom_decontaminate", "q111_bigram_familiarity",
+      "q112_sketch_distinct", "q117_gram_novelty", "q122_phrase_search",
+      "q124_canonical_dedup", "q127_delta_dedup", "q129_boilerplate_grams",
+      "q130_streaming_sketch", "q131_bpe_merges", "q133_source_drift",
+      "q140_feature_hashing", "q141_lsh_tuning", "q142_chunk_roundtrip",
+      "q150_pmi_collocations", "q152_auc_quality", "q153_token_entropy",
+      "q154_containment_dedup", "q157_ks_drift", "q159_rrf_fusion",
+      "q161_quantile_normalize", "q165_pareto_curve", "q174_dataset_card",
+      "q175_heaps_curve", "q176_sketch_calibration",
+      "q177_quality_calibration", "q180_grouped_topk", "q185_gini_tokens",
+      "q193_prefix_filter_join", "q194_source_signatures",
+      "q198_dsir_select", "q20_dedup_exact", "q21_token_counts",
+      "q22_quality_scores", "q23_langid", "q24_minhash_signature",
+      "q26_simhash", "q30_multimodal_bytes", "q41_simhash_bands",
+      "q45_curate_funnel", "q51_winnow_fingerprint",
+      "q59_repetition_signals", "q61_token_histogram",
+      "q62_term_relevance", "q63_decontaminate", "q65_unigram_familiarity",
+      "q66_source_report", "q70_dedup_keep_best", "q74_pii_scrub",
+      "q75_chunk_overlap", "q76_vocab_oov", "q77_source_similarity",
+      "q79_quality_quota", "q80_dup_spans", "q82_bm25", "q85_frame_dedup",
+      "q99_edit_distance")
+    val offenders = suitePlans.flatMap { case (name, qe) =>
+      qe.sparkPlan.collect {
+        case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(
+            _.toString.contains("documents.parquet")) &&
+            f.requiredSchema.fieldNames.contains("text") => name
+      }
+    }.distinct.filterNot(textConsumers)
+    assert(offenders.isEmpty,
+      s"queries reading documents.text without computing on it: " +
+        s"${offenders.sorted}")
+  }
+
   test("q87 range-band join broadcasts the band dimension (no shuffle)") {
     val plan = q("q87_range_band_join")
       .queryExecution.executedPlan.toString
