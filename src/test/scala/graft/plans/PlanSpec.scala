@@ -394,6 +394,42 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q198 DSIR selection: bounded ratio broadcast, top-k never a " +
+    "global sort") {
+    val plan = q("q198_dsir_select").queryExecution.executedPlan.toString
+    // the <=512-row feature-ratio table joins back to per-doc counts
+    // as a broadcast (it is Aggregate-bounded, not corpus-linear)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"feature-ratio join must broadcast:\n$plan")
+    // top-50 is TakeOrderedAndProject — a per-partition heap + driver
+    // merge of 50 rows — never Sort+GlobalLimit over all doc scores
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must plan TakeOrderedAndProject:\n$plan")
+  }
+
+  test("q199 epoch shuffle plans no global window and no documents.text " +
+    "read") {
+    val qe = q("q199_epoch_shuffle").queryExecution
+    // shard offsets come from the two-phase prefix scan: the running
+    // sum is a window PARTITIONED by the shuffle-partition id (its
+    // row domain is one partition) plus broadcast per-partition
+    // offsets — never a global running-sum window over corpus rows
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWin}
+    qe.optimizedPlan.collect { case w: LWin => w }.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"byte offsets must never use a GLOBAL window:\n$w")
+    }
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    qe.sparkPlan.collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(
+          _.toString.contains("documents.parquet")) => f
+    }.foreach { f =>
+      assert(!f.requiredSchema.fieldNames.contains("text"),
+        s"q199 is metadata-only and must prune text: ${f.requiredSchema}")
+    }
+  }
+
   test("q161 percentile window is partitioned by source, never global") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWin}
     val lp = q("q161_quantile_normalize").queryExecution.optimizedPlan
