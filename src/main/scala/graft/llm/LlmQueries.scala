@@ -5236,7 +5236,8 @@ object LlmQueries {
         val S = 8
         val docs = T(s, d, "documents")
         val tot = math.max(1L,
-          docs.agg(sum($"n_chars".cast("long"))).first().getLong(0))
+          docs.agg(coalesce(sum($"n_chars".cast("long")), lit(0L)))
+            .first().getLong(0)) // sum of zero rows is NULL, not 0
         def epochStarts(e: Int) =
           Curate.tokenStarts(
             docs.select(
@@ -5262,7 +5263,7 @@ object LlmQueries {
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
              |      0) AS start
              |  FROM k),
-             |t AS (SELECT greatest(CAST(sum(n_chars) AS BIGINT), 1)
+             |t AS (SELECT greatest(CAST(coalesce(sum(n_chars), 0) AS BIGINT), 1)
              |        AS tot FROM documents),
              |sh AS (SELECT epoch,
              |    least(7, (start * 8) // tot) AS shard, n_chars

@@ -50,8 +50,13 @@ object Closure {
     val e = edges.select(col(childCol).cast("long").as("child"),
       col(parentCol).cast("long").as("parent"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // persisted: the budget gate counts it and the chosen branch then
+    // reuses it (collect or eager checkpoint) — without the persist
+    // the distinct shuffle would run twice, and exactly in the
+    // huge-seed case the gate exists for
     val seedsDf = seeds
       .select(col(seeds.columns.head).cast("long").as("id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // BOTH collected sets must fit the budget: planet-shape inputs can
     // pair a small edge table (relation_relation ≈ 497K) with a seed
@@ -66,6 +71,7 @@ object Closure {
         .map { case (c, rows) => c -> rows.map(_.getLong(1)) }
       e.unpersist(blocking = false)
       val seedIds = seedsDf.collect().map(_.getLong(0))
+      seedsDf.unpersist(blocking = false)
       val visited = scala.collection.mutable.LinkedHashSet[Long](
         seedIds: _*)
       var frontier: Seq[Long] = seedIds.toSeq
@@ -80,6 +86,7 @@ object Closure {
       return visited.toSeq.toDF("id")
     }
     var visited = seedsDf.localCheckpoint(eager = true)
+    seedsDf.unpersist(blocking = false) // checkpoint is materialized
     var frontier = visited
     var iter = 0
     var novelty = frontier.count()

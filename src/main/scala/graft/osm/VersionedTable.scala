@@ -158,7 +158,13 @@ object VersionedTable {
   }
 
   private def parseManifest(json: String): Option[Manifest] = {
-    val n = mapper.readTree(json)
+    // unparseable bytes read as None, the same as "never published":
+    // both manifest files are written via tmp + ATOMIC_MOVE so torn
+    // writes cannot happen through this code, but an externally
+    // damaged file should fail a reader cleanly, not crash vacuum
+    val n = try mapper.readTree(json)
+      catch { case _: com.fasterxml.jackson.core.JacksonException =>
+        return None }
     if (!n.has("version")) None // placeholder claim of an in-flight commit
     else {
       val tv =
@@ -291,8 +297,15 @@ object VersionedTable {
       .writeValueAsString(node).getBytes(StandardCharsets.UTF_8)
     Files.createDirectories(Paths.get(root))
     // finalize our own claim file into the durable history entry (we
-    // hold the claim — no other writer can touch this path)...
-    Files.write(versionManifestPath(root, m.version), bytes)
+    // hold the claim — no other writer can touch this path). Atomic
+    // move, not write-in-place: a torn in-place write would leave
+    // corrupt JSON where manifestAt/vacuum expect either the "{}"
+    // placeholder or a full manifest...
+    val htmp = Paths.get(root, s".manifest.v=${m.version}.tmp")
+    Files.write(htmp, bytes)
+    Files.move(htmp, versionManifestPath(root, m.version),
+      StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
     // ...then atomically advance the current pointer for readers
     val tmp = Paths.get(root, s".manifest.${m.version}.tmp")
     Files.write(tmp, bytes)
@@ -315,23 +328,29 @@ object VersionedTable {
     val prev = current(root)
     val next = prev.map(_.version).getOrElse(0L) + 1L
     if (!dryRun) claimVersion(root, next)
-    try tables.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$root/v=$next/$name")
+    // the claim is released on ANY pre-publish failure, including a
+    // failed manifest write (the current pointer only advances in
+    // writeManifest's final atomic move, so releasing is always safe
+    // here; an orphan claim would block every future commit)
+    try {
+      tables.foreach { case (name, df) =>
+        df.write.mode("overwrite").parquet(s"$root/v=$next/$name")
+      }
+      if (!dryRun) {
+        val prevM = prev.getOrElse(Manifest(0L, Nil, Map.empty))
+        // carry-forward links: untouched plain tables keep their owning
+        // version; tables rewritten here point at `next`; a rewritten
+        // formerly-bucketed table becomes plain again
+        val prevTv = prevM.tables.filterNot(prevM.buckets.contains)
+          .map(t => t -> prevM.versionOf(t)).toMap
+        writeManifest(root, Manifest(next,
+          (prevM.tables ++ tables.keys).distinct,
+          prevM.meta ++ meta,
+          prevTv ++ tables.keys.map(_ -> next),
+          prevM.buckets -- tables.keys))
+      }
     } catch { case e: Throwable =>
       if (!dryRun) releaseClaim(root, next); throw e
-    }
-    if (!dryRun) {
-      val prevM = prev.getOrElse(Manifest(0L, Nil, Map.empty))
-      // carry-forward links: untouched plain tables keep their owning
-      // version; tables rewritten here point at `next`; a rewritten
-      // formerly-bucketed table becomes plain again
-      val prevTv = prevM.tables.filterNot(prevM.buckets.contains)
-        .map(t => t -> prevM.versionOf(t)).toMap
-      writeManifest(root, Manifest(next,
-        (prevM.tables ++ tables.keys).distinct,
-        prevM.meta ++ meta,
-        prevTv ++ tables.keys.map(_ -> next),
-        prevM.buckets -- tables.keys))
     }
     next
   }
@@ -346,26 +365,30 @@ object VersionedTable {
     val prev = current(root)
     val next = prev.map(_.version).getOrElse(0L) + 1L
     if (!dryRun) claimVersion(root, next)
-    try tables.foreach { case (name, (df, key)) =>
-      df.withColumn("__bucket", bucketExpr(key, nBuckets))
-        .repartition(col("__bucket"))
-        .sortWithinPartitions(col(key))
-        .write.mode("overwrite").partitionBy("__bucket")
-        .parquet(s"$root/v=$next/$name")
+    // claim released on any pre-publish failure incl. the manifest
+    // write itself — see commit()
+    try {
+      tables.foreach { case (name, (df, key)) =>
+        df.withColumn("__bucket", bucketExpr(key, nBuckets))
+          .repartition(col("__bucket"))
+          .sortWithinPartitions(col(key))
+          .write.mode("overwrite").partitionBy("__bucket")
+          .parquet(s"$root/v=$next/$name")
+      }
+      if (!dryRun) {
+        val bk = tables.map { case (name, (_, key)) =>
+          name -> BucketSpec(nBuckets, key, Vector.fill(nBuckets)(next),
+            Some(tables(name)._1.schema.toDDL))
+        }
+        val prevM = prev.getOrElse(Manifest(0L, Nil, Map.empty))
+        writeManifest(root, Manifest(next,
+          (prevM.tables ++ tables.keys).distinct,
+          prevM.meta ++ meta,
+          prevM.tableVersions -- tables.keys,
+          prevM.buckets ++ bk))
+      }
     } catch { case e: Throwable =>
       if (!dryRun) releaseClaim(root, next); throw e
-    }
-    if (!dryRun) {
-      val bk = tables.map { case (name, (_, key)) =>
-        name -> BucketSpec(nBuckets, key, Vector.fill(nBuckets)(next),
-          Some(tables(name)._1.schema.toDDL))
-      }
-      val prevM = prev.getOrElse(Manifest(0L, Nil, Map.empty))
-      writeManifest(root, Manifest(next,
-        (prevM.tables ++ tables.keys).distinct,
-        prevM.meta ++ meta,
-        prevM.tableVersions -- tables.keys,
-        prevM.buckets ++ bk))
     }
     next
   }
@@ -418,7 +441,9 @@ object VersionedTable {
           .filter(p => p.getFileName.toString.startsWith("v="))
         vdirs.foreach { vdir =>
           val vn = vdir.getFileName.toString
-          val vnum = vn.drop(2).toLong
+          // a non-numeric v=* directory (operator copy, tooling
+          // artifact) is not ours: skip it rather than crash mid-GC
+          vn.drop(2).toLongOption.foreach { vnum =>
           // a claim above the current version is an in-flight commit's
           // data mid-write — not garbage (an UNclaimed one is a dry-run
           // leftover and is collected as before)
@@ -443,13 +468,18 @@ object VersionedTable {
             }
             if (!Files.list(vdir).iterator().hasNext) rmTree(vdir)
           }
+          }
         }
         // prune history manifests that fell out of the retention window
         Files.list(rootP).iterator().asScala.toSeq.foreach { p =>
           val fn = p.getFileName.toString
           if (fn.startsWith("manifest.v=") && fn.endsWith(".json")) {
-            val v = fn.stripPrefix("manifest.v=").stripSuffix(".json").toLong
-            if (v < oldestRetained) { Files.delete(p); deleted += p.toString }
+            fn.stripPrefix("manifest.v=").stripSuffix(".json").toLongOption
+              .foreach { v =>
+                if (v < oldestRetained) {
+                  Files.delete(p); deleted += p.toString
+                }
+              }
           }
         }
       }
@@ -489,34 +519,38 @@ object VersionedTable {
       s"commitDelta needs an existing bucketed commit at $root"))
     val next = prev.version + 1L
     if (!dryRun) claimVersion(root, next)
-    val newBuckets = try deltas.map { case (name, d) =>
-      val spec = prev.buckets.getOrElse(name,
-        throw new IllegalStateException(s"$name is not bucketed"))
-      val changed = d.changedBuckets.distinct.sorted
-      if (changed.nonEmpty) {
-        val old = readBuckets(spark, root, name, changed, Some(prev))
-        // guard: keep only rows that truly hash into the changed set,
-        // so a buggy transform cannot leak rows into linked buckets
-        val bucketCol = bucketExpr(spec.key, spec.nBuckets)
-        d.transform(old)
-          .withColumn("__bucket", bucketCol)
-          .where(col("__bucket").isin(changed.map(Integer.valueOf): _*))
-          .repartition(col("__bucket"))
-          .sortWithinPartitions(col(spec.key))
-          .write.mode("overwrite").partitionBy("__bucket")
-          .parquet(s"$root/v=$next/$name")
+    // claim released on any pre-publish failure incl. the manifest
+    // write itself — see commit()
+    try {
+      val newBuckets = deltas.map { case (name, d) =>
+        val spec = prev.buckets.getOrElse(name,
+          throw new IllegalStateException(s"$name is not bucketed"))
+        val changed = d.changedBuckets.distinct.sorted
+        if (changed.nonEmpty) {
+          val old = readBuckets(spark, root, name, changed, Some(prev))
+          // guard: keep only rows that truly hash into the changed set,
+          // so a buggy transform cannot leak rows into linked buckets
+          val bucketCol = bucketExpr(spec.key, spec.nBuckets)
+          d.transform(old)
+            .withColumn("__bucket", bucketCol)
+            .where(col("__bucket").isin(changed.map(Integer.valueOf): _*))
+            .repartition(col("__bucket"))
+            .sortWithinPartitions(col(spec.key))
+            .write.mode("overwrite").partitionBy("__bucket")
+            .parquet(s"$root/v=$next/$name")
+        }
+        val versions = spec.versions.zipWithIndex.map { case (v, b) =>
+          if (changed.contains(b)) next else v
+        }
+        name -> spec.copy(versions = versions)
       }
-      val versions = spec.versions.zipWithIndex.map { case (v, b) =>
-        if (changed.contains(b)) next else v
-      }
-      name -> spec.copy(versions = versions)
+      if (!dryRun)
+        writeManifest(root, prev.copy(version = next,
+          meta = prev.meta ++ meta,
+          buckets = prev.buckets ++ newBuckets))
     } catch { case e: Throwable =>
       if (!dryRun) releaseClaim(root, next); throw e
     }
-    if (!dryRun)
-      writeManifest(root, prev.copy(version = next,
-        meta = prev.meta ++ meta,
-        buckets = prev.buckets ++ newBuckets))
     next
   }
 }

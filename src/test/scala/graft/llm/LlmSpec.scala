@@ -739,6 +739,14 @@ class LlmSpec extends AnyFunSuite {
     assert(score(100L) == score(0L), s"score is content-only: $out")
   }
 
+  test("q199 epoch shuffle survives an empty corpus (sum-of-zero-rows " +
+    "is NULL)") {
+    val dir = docsDir() // zero documents
+    val out = graft.SparkEntry.queries("q199_epoch_shuffle")(spark, dir)
+      .collect()
+    assert(out.isEmpty)
+  }
+
   test("q199 epoch shuffle: complete, byte-balanced, epoch-seeded") {
     val rnd = new scala.util.Random(7)
     val docs = (1 to 40).map(i =>

@@ -257,6 +257,29 @@ class ManifestSpec extends AnyFunSuite {
     assert(VersionedTable.vacuum(root).isEmpty)
   }
 
+  test("vacuum skips foreign v=* dirs; corrupt history reads as None") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft-vac2").toString
+    val df = (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v")
+    VersionedTable.commit(root, Map("t" -> df))
+    VersionedTable.commit(root, Map("t" -> df.withColumn("v", lit("x"))))
+    // an operator artifact next to our version dirs: not ours to GC —
+    // vacuum must neither crash on the non-numeric name nor delete it
+    val foreign = java.nio.file.Paths.get(root, "v=backup")
+    Files.createDirectories(foreign)
+    Files.write(foreign.resolve("keep.txt"), "ops copy".getBytes)
+    val deleted = VersionedTable.vacuum(root)
+    assert(Files.exists(foreign.resolve("keep.txt")),
+      s"vacuum deleted a foreign dir: $deleted")
+    assert(deleted.exists(_.contains("v=1")), s"deleted: $deleted")
+    // externally damaged history file: manifestAt fails cleanly (None,
+    // the documented contract) instead of throwing into vacuum/readers
+    val hist = java.nio.file.Paths.get(root, "manifest.v=2.json")
+    Files.write(hist, "{ torn".getBytes)
+    assert(VersionedTable.manifestAt(root, 2L).isEmpty)
+    VersionedTable.vacuum(root) // must not throw on the corrupt entry
+  }
+
   test("racing committers: exactly one wins, the loser fails loudly") {
     // deterministic lost-update race (no sleeps): a barrier in the
     // claim path holds BOTH committers after they observed version 1

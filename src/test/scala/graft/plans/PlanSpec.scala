@@ -25,7 +25,8 @@ class PlanSpec extends AnyFunSuite {
 
   private def q(name: String) = SparkEntry.queries(name)(spark, SF)
 
-  /** ALL 196 query plans, constructed ONCE and shared by the
+  /** EVERY registered query's plan (SparkEntry.queries.size of them),
+    * constructed ONCE and shared by the
     * suite-wide sweeps below (construction executes the staging jobs
     * of the side-effecting builders — sub-second each at sf0.001, but
     * paid once, not once per sweep). */
@@ -43,8 +44,8 @@ class PlanSpec extends AnyFunSuite {
     }
 
   test("SUITE-WIDE: no query ever plans a CartesianProduct") {
-    // every named pin above guards one shape; this sweep guards ALL
-    // 196 — a future non-equi join that silently degrades to a
+    // every named pin above guards one shape; this sweep guards the
+    // whole suite — a future non-equi join that silently degrades to a
     // cartesian fails here, at plan time, before it becomes an
     // all-pairs explosion at 100 TB. Scalar one-row crossJoins plan
     // as BroadcastNestedLoopJoin, never CartesianProduct, so no
