@@ -334,6 +334,33 @@ class ManifestSpec extends AnyFunSuite {
     assert(VersionedTable.current(root).get.version == 2L)
   }
 
+  test("a failed PUBLISH releases the claim too (no orphan after a " +
+    "manifest-write error)") {
+    // data writes succeed and the history entry finalizes, then the
+    // current-pointer stage fails (a directory squats on the
+    // .manifest.2.tmp staging path, after current() was already read
+    // cleanly). The claim must be rolled back — before the fix, only
+    // the data-write stage released it and the store was permanently
+    // unable to commit version 2.
+    val root = Files.createTempDirectory("graft-pubfail").toString
+    VersionedTable.commit(root, Map("t" -> Seq((1L, "a")).toDF("id", "v")))
+    val tmp = java.nio.file.Paths.get(root, ".manifest.2.tmp")
+    Files.createDirectories(tmp.resolve("squat")) // Files.write fails
+    intercept[Exception] {
+      VersionedTable.commit(root, Map("t" -> Seq((2L, "b")).toDF("id", "v")))
+    }
+    assert(VersionedTable.current(root).get.version == 1L,
+      "a failed publish must not advance the pointer")
+    assert(VersionedTable.manifestAt(root, 2L).isEmpty,
+      "the finalized-then-failed history entry must be rolled back")
+    // version 2 must be claimable again once the obstruction is gone
+    Files.delete(tmp.resolve("squat")); Files.delete(tmp)
+    assert(VersionedTable.commit(root,
+      Map("t" -> Seq((2L, "b")).toDF("id", "v"))) == 2L)
+    assert(VersionedTable.read(spark, root, "t")
+      .as[(Long, String)].collect().toSet == Set((2L, "b")))
+  }
+
   test("orphan claim: in-flight data protected, recovery is explicit") {
     val root = Files.createTempDirectory("graft-orphan").toString
     VersionedTable.commit(root, Map("t" -> Seq((1L, "a")).toDF("id", "v")))
