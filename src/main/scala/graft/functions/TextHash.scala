@@ -169,30 +169,13 @@ object TextHashImpl {
     * not window starts), matching both Spark substr and SQL substring
     * character semantics. */
   def ngramHash48(text: UTF8String, n: Int): ArrayData = {
-    val bytes = text.getBytes
-    // char start offsets
-    val starts = new Array[Int](bytes.length + 1)
-    var nc = 0
-    var off = 0
-    while (off < bytes.length) {
-      if ((bytes(off) & 0xc0) != 0x80) { starts(nc) = off; nc += 1 }
-      off += 1
-    }
-    starts(nc) = bytes.length
-    if (nc < n) return new GenericArrayData(Array.emptyLongArray)
-    val m = nc - n + 1
-    val hs = new Array[Long](m)
-    val digest = md5Local.get()
-    var i = 0
-    while (i < m) {
-      digest.reset()
-      digest.update(bytes, starts(i), starts(i + n) - starts(i))
-      val d = digest.digest()
-      hs(i) = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
-        ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
-        ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
-      i += 1
-    }
+    // the positional hash sequence IS windowHashes48's kernel (same
+    // UTF-8 start walk, same md5-48 layout — keep ONE copy so a kernel
+    // fix can never desynchronize the n-gram set from the winnowing
+    // family); this wrapper only adds the sort + dedup
+    val hs = windowHashes48(text, n)
+    val m = hs.length
+    if (m == 0) return new GenericArrayData(Array.emptyLongArray)
     java.util.Arrays.sort(hs)
     var w = 0
     var r = 0

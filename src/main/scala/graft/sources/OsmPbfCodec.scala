@@ -226,6 +226,11 @@ object OsmPbfCodec {
       off += n
     }
     inf.end()
+    // a stream that FINISHED early is as corrupt as one that stalled:
+    // zero-padding the tail would parse as silently-skipped fields
+    if (off < rawSize)
+      throw new java.io.IOException(
+        s"corrupt zlib blob: expected $rawSize bytes, got $off")
     out
   }
 

@@ -62,6 +62,12 @@ object OsmXmlCodec {
       case '<' => "&lt;"
       case '>' => "&gt;"
       case '"' => "&quot;"
+      // XML 1.0 attribute-value normalization turns literal tab/CR/LF
+      // into spaces on parse — character references survive it, so a
+      // tag value with a newline round-trips identically
+      case '\n' => "&#10;"
+      case '\r' => "&#13;"
+      case '\t' => "&#9;"
       case c => c.toString
     }
 

@@ -96,11 +96,14 @@ object OsmXmlSource {
       throw new IllegalArgumentException(
         "osmxml requires .option(\"entity\", \"node\"|\"way\"|\"relation\")"))
 
-  /** Paths arrive as `path` or a JSON-array `paths`. */
+  /** Paths arrive as `path` or a JSON-array `paths` (a REAL JSON
+    * parse: a comma or escape inside a path must not split it). */
   def pathsOf(options: Map[String, String]): Seq[String] = {
     val fromPaths = options.get("paths").toSeq.flatMap { js =>
-      js.stripPrefix("[").stripSuffix("]").split(",")
-        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+      val arr = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(js)
+      import scala.jdk.CollectionConverters._
+      arr.elements().asScala.map(_.asText()).filter(_.nonEmpty).toSeq
     }
     val all = fromPaths ++ options.get("path").toSeq
     if (all.isEmpty) throw new IllegalArgumentException(
@@ -297,8 +300,12 @@ final class OsmXmlReaderFactory(entity: String, changes: Boolean,
   }
 }
 
-/** Raw element -> pruned InternalRow (column pruning happens here:
-  * only the requested fields are built). */
+/** Raw element -> pruned InternalRow. Column pruning happens here and
+  * it prunes the WORK, not just the row width: one extractor per
+  * REQUESTED column is resolved once at construction, so a pruned scan
+  * (`select("id")` over a planet) never allocates the tags map, member
+  * structs, or user strings of the dropped columns — those per-row
+  * allocations dominate the conversion cost. */
 private[sources] final class RawToRow(columns: Array[String])
   extends Serializable {
   import OsmXmlCodec._
@@ -310,41 +317,70 @@ private[sources] final class RawToRow(columns: Array[String])
       new GenericArrayData(
         tags.map(t => UTF8String.fromString(t._2)).toArray[Any]))
 
-  private def act(a: String): Map[String, Any] =
-    if (a == null) Map("action" -> null)
-    else Map("action" -> UTF8String.fromString(a))
+  private def actOf(a: String): Any =
+    if (a == null) null else UTF8String.fromString(a)
 
-  def node(n: RawNode, action: String = null): InternalRow =
-    toRow(Map(
-      "id" -> n.id, "lon" -> n.lon, "lat" -> n.lat,
-      "version" -> n.version, "timestamp" -> n.timestamp,
-      "changeset" -> n.changeset, "uid" -> n.uid,
-      "user" -> UTF8String.fromString(n.user),
-      "tags" -> tagsMap(n.tags)) ++ act(action))
+  private lazy val nodeFs: Array[(RawNode, String) => Any] = columns.map {
+    case "id" => (n, _) => n.id
+    case "lon" => (n, _) => n.lon
+    case "lat" => (n, _) => n.lat
+    case "version" => (n, _) => n.version
+    case "timestamp" => (n, _) => n.timestamp
+    case "changeset" => (n, _) => n.changeset
+    case "uid" => (n, _) => n.uid
+    case "user" => (n, _) => UTF8String.fromString(n.user)
+    case "tags" => (n, _) => tagsMap(n.tags)
+    case "action" => (_, a) => actOf(a)
+  }
 
-  def way(w: RawWay, action: String = null): InternalRow =
-    toRow(Map(
-      "id" -> w.id, "version" -> w.version, "timestamp" -> w.timestamp,
-      "changeset" -> w.changeset, "uid" -> w.uid,
-      "user" -> UTF8String.fromString(w.user),
-      "tags" -> tagsMap(w.tags),
-      "nodes" -> new GenericArrayData(w.nodes.toArray[Any])) ++
-      act(action))
+  private lazy val wayFs: Array[(RawWay, String) => Any] = columns.map {
+    case "id" => (w, _) => w.id
+    case "version" => (w, _) => w.version
+    case "timestamp" => (w, _) => w.timestamp
+    case "changeset" => (w, _) => w.changeset
+    case "uid" => (w, _) => w.uid
+    case "user" => (w, _) => UTF8String.fromString(w.user)
+    case "tags" => (w, _) => tagsMap(w.tags)
+    case "nodes" => (w, _) => new GenericArrayData(w.nodes.toArray[Any])
+    case "action" => (_, a) => actOf(a)
+  }
 
-  def relation(r: RawRelation, action: String = null): InternalRow =
-    toRow(Map(
-      "id" -> r.id, "version" -> r.version, "timestamp" -> r.timestamp,
-      "changeset" -> r.changeset, "uid" -> r.uid,
-      "user" -> UTF8String.fromString(r.user),
-      "tags" -> tagsMap(r.tags),
-      "members" -> new GenericArrayData(r.members.map {
-        case (ref, t, role) =>
-          new GenericInternalRow(Array[Any](ref,
-            UTF8String.fromString(t), UTF8String.fromString(role)))
-      }.toArray[Any])) ++ act(action))
+  private lazy val relFs: Array[(RawRelation, String) => Any] = columns.map {
+    case "id" => (r, _) => r.id
+    case "version" => (r, _) => r.version
+    case "timestamp" => (r, _) => r.timestamp
+    case "changeset" => (r, _) => r.changeset
+    case "uid" => (r, _) => r.uid
+    case "user" => (r, _) => UTF8String.fromString(r.user)
+    case "tags" => (r, _) => tagsMap(r.tags)
+    case "members" => (r, _) => new GenericArrayData(r.members.map {
+      case (ref, t, role) =>
+        new GenericInternalRow(Array[Any](ref,
+          UTF8String.fromString(t), UTF8String.fromString(role)))
+    }.toArray[Any])
+    case "action" => (_, a) => actOf(a)
+  }
 
-  private def toRow(values: Map[String, Any]): InternalRow =
-    new GenericInternalRow(columns.map(values(_)))
+  def node(n: RawNode, action: String = null): InternalRow = {
+    val vs = new Array[Any](nodeFs.length)
+    var i = 0
+    while (i < vs.length) { vs(i) = nodeFs(i)(n, action); i += 1 }
+    new GenericInternalRow(vs)
+  }
+
+  def way(w: RawWay, action: String = null): InternalRow = {
+    val vs = new Array[Any](wayFs.length)
+    var i = 0
+    while (i < vs.length) { vs(i) = wayFs(i)(w, action); i += 1 }
+    new GenericInternalRow(vs)
+  }
+
+  def relation(r: RawRelation, action: String = null): InternalRow = {
+    val vs = new Array[Any](relFs.length)
+    var i = 0
+    while (i < vs.length) { vs(i) = relFs(i)(r, action); i += 1 }
+    new GenericInternalRow(vs)
+  }
 }
 
 /** Streaming XML reader: rows come straight off [[OsmElementIterator]]
@@ -431,33 +467,69 @@ final class OsmXmlWriteBuilder(entity: String,
         options.get("format").exists(_.equalsIgnoreCase("pbf")),
         options.filter(_._1.startsWith("header.")))
 
-      /** Genuine overwrite semantics for THIS entity: a prior write with
-        * more shards than this one would otherwise leave stale
-        * part-<entity>-NNNNN files that read back as live rows. Other
+      /** Publish + genuine overwrite semantics for THIS entity. Tasks
+        * stage into attempt-private `.part-....<taskId>.tmp` files
+        * (speculation/retry-safe: two attempts of one partition never
+        * touch the same path, and a task abort can only remove its own
+        * staging file); exactly one commit message per partition
+        * reaches here, and its staging file is renamed to the final
+        * part name. Then stale finals from a PRIOR wider write and
+        * orphan staging files from losing attempts are removed. Other
         * entities' files in the same directory are preserved (the
         * extract sink writes all three entities into one dir). */
       override def commit(messages: Array[WriterCommitMessage]): Unit = {
-        val written = messages.collect {
-          case OsmXmlCommit(p) => new Path(p).getName
-        }.toSet
         val dirPath = new Path(dir)
         val fs = dirPath.getFileSystem(new Configuration())
-        if (fs.getFileStatus(dirPath).isDirectory) {
-          fs.listStatus(dirPath).toSeq.filter(_.isFile)
+        val winners = messages.collect { case c: OsmXmlCommit => c }
+        winners.foreach { c =>
+          val fin = new Path(c.path)
+          if (fs.exists(fin)) fs.delete(fin, false)
+          if (!fs.rename(new Path(c.tmp), fin))
+            throw new java.io.IOException(
+              s"osmxml commit: rename ${c.tmp} -> $fin failed")
+        }
+        val written = winners.map(c => new Path(c.path).getName).toSet
+        // a zero-partition write runs no DataWriters and never creates
+        // the directory: an empty write is valid, not a commit failure
+        if (fs.exists(dirPath) && fs.getFileStatus(dirPath).isDirectory) {
+          val ls = fs.listStatus(dirPath).toSeq.filter(_.isFile)
             .map(_.getPath)
-            .filter(_.getName.matches(
+          ls.filter(_.getName.matches(
               s"part-$entity-\\d+\\.(osm(\\.pbf)?|osc\\.xml)" +
                 "(\\.gz|\\.bz2)?"))
             .filterNot(p => written.contains(p.getName))
             .foreach(p => fs.delete(p, false))
+          // losing speculative attempts that committed task-side but
+          // whose message was not chosen leave their staging file
+          ls.filter(_.getName.matches(
+              s"\\.part-$entity-\\d+\\..*\\.tmp"))
+            .foreach(p => fs.delete(p, false))
         }
       }
-      override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+      override def abort(messages: Array[WriterCommitMessage]): Unit = {
+        // roll back any staged-but-unpublished attempt outputs; final
+        // files are untouched (they belong to a previous committed job)
+        val fs = new Path(dir).getFileSystem(new Configuration())
+        messages.collect { case c: OsmXmlCommit => c }
+          .foreach(c => fs.delete(new Path(c.tmp), false))
+      }
     }
   }
 }
 
-final case class OsmXmlCommit(path: String) extends WriterCommitMessage
+/** `tmp` is the task-attempt-private staging file; `path` is the final
+  * name the driver renames it to in BatchWrite.commit. */
+final case class OsmXmlCommit(tmp: String, path: String)
+  extends WriterCommitMessage
+
+object OsmXmlCommit {
+  /** Attempt-private staging name: the taskId (unique per attempt)
+    * keeps speculative or retried attempts of one partition from ever
+    * opening the same file; the dot prefix + .tmp suffix keep readers'
+    * extension filters and the committer's final-name regex away. */
+  def tmpPath(dir: String, finalName: String, taskId: Long): Path =
+    new Path(dir, s".$finalName.$taskId.tmp")
+}
 
 final class OsmXmlWriterFactory(entity: String, dir: String,
                                 idx: Map[String, Int], pbf: Boolean,
@@ -465,7 +537,7 @@ final class OsmXmlWriterFactory(entity: String, dir: String,
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
   : DataWriter[InternalRow] =
-    if (pbf) new OsmPbfDataWriter(entity, dir, idx, partitionId,
+    if (pbf) new OsmPbfDataWriter(entity, dir, idx, partitionId, taskId,
       headerOpts)
     else new DataWriter[InternalRow] {
     import OsmXmlCodec._
@@ -473,47 +545,23 @@ final class OsmXmlWriterFactory(entity: String, dir: String,
     // document: each element wrapped in its create/modify/delete block
     // (S3's sink side, `src/update.cpp:272-276`)
     private val isChange = idx.contains("action")
-    private val path = new Path(dir,
+    private val finalName =
       f"part-$entity%s-$partitionId%05d." +
-        (if (isChange) "osc.xml" else "osm"))
+        (if (isChange) "osc.xml" else "osm")
+    private val path = OsmXmlCommit.tmpPath(dir, finalName, taskId)
     private val fs = path.getFileSystem(new Configuration())
     private val out = fs.create(path, true)
     private val w = new java.io.BufferedWriter(
       new java.io.OutputStreamWriter(out, "UTF-8"))
     w.write(if (isChange) changeHeader else header); w.write("\n")
 
-    private def tagsOf(row: InternalRow): Seq[(String, String)] = {
-      val m = row.getMap(idx("tags"))
-      (0 until m.numElements()).map(i =>
-        (m.keyArray().getUTF8String(i).toString,
-          m.valueArray().getUTF8String(i).toString))
-    }
-    private def str(row: InternalRow, name: String): String = {
-      val i = idx(name)
-      if (row.isNullAt(i)) "" else row.getUTF8String(i).toString
-    }
+    private val conv = new RowToRaw(idx)
 
     override def write(row: InternalRow): Unit = {
-      def L(n: String) = row.getLong(idx(n))
-      def I(n: String) = row.getInt(idx(n))
       val body = entity match {
-        case "node" => renderNode(RawNode(L("id"), I("lon"), I("lat"),
-          I("version"), L("timestamp"), L("changeset"), L("uid"),
-          str(row, "user"), tagsOf(row)))
-        case "way" =>
-          val nodes = row.getArray(idx("nodes"))
-          renderWay(RawWay(L("id"), I("version"), L("timestamp"),
-            L("changeset"), L("uid"), str(row, "user"), tagsOf(row),
-            (0 until nodes.numElements()).map(nodes.getLong)))
-        case "relation" =>
-          val ms = row.getArray(idx("members"))
-          renderRelation(RawRelation(L("id"), I("version"), L("timestamp"),
-            L("changeset"), L("uid"), str(row, "user"), tagsOf(row),
-            (0 until ms.numElements()).map { i =>
-              val m = ms.getStruct(i, 3)
-              (m.getLong(0), m.getUTF8String(1).toString,
-                if (m.isNullAt(2)) "" else m.getUTF8String(2).toString)
-            }))
+        case "node" => renderNode(conv.node(row))
+        case "way" => renderWay(conv.way(row))
+        case "relation" => renderRelation(conv.relation(row))
       }
       val s =
         if (!isChange) body
@@ -528,8 +576,10 @@ final class OsmXmlWriterFactory(entity: String, dir: String,
     override def commit(): WriterCommitMessage = {
       w.write(if (isChange) changeFooter else footer)
       w.write("\n"); w.close()
-      OsmXmlCommit(path.toString)
+      OsmXmlCommit(path.toString, new Path(dir, finalName).toString)
     }
+    // abort removes only this attempt's staging file — the final path
+    // may already hold a WINNING attempt's committed output
     override def abort(): Unit = { w.close(); fs.delete(path, false); () }
     override def close(): Unit = ()
   }
@@ -580,6 +630,7 @@ private[sources] final class RowToRaw(idx: Map[String, Int]) {
   * (/root/reference/src/extract.cpp:295-299). */
 final class OsmPbfDataWriter(entity: String, dir: String,
                              idx: Map[String, Int], partitionId: Int,
+                             taskId: Long,
                              headerOpts: Map[String, String] = Map.empty,
                              chunk: Int = 8000)
   extends DataWriter[InternalRow] {
@@ -588,7 +639,8 @@ final class OsmPbfDataWriter(entity: String, dir: String,
   private val nodes = ArrayBuffer[RawNode]()
   private val ways = ArrayBuffer[RawWay]()
   private val relations = ArrayBuffer[RawRelation]()
-  private val path = new Path(dir, f"part-$entity%s-$partitionId%05d.osm.pbf")
+  private val finalName = f"part-$entity%s-$partitionId%05d.osm.pbf"
+  private val path = OsmXmlCommit.tmpPath(dir, finalName, taskId)
   private var out: java.io.OutputStream = null
   private var w: OsmPbfCodec.StreamingPbfWriter = null
 
@@ -630,8 +682,10 @@ final class OsmPbfDataWriter(entity: String, dir: String,
     wr.writeRelations(relations.toSeq); relations.clear()
     wr.finish()
     out.close(); out = null; w = null
-    OsmXmlCommit(path.toString)
+    OsmXmlCommit(path.toString, new Path(dir, finalName).toString)
   }
+  // abort removes only this attempt's staging file — never the final
+  // path, which may hold a winning attempt's committed output
   override def abort(): Unit = {
     if (out != null) { out.close(); out = null; w = null }
     val fs = path.getFileSystem(new Configuration())

@@ -21,10 +21,18 @@ object Replication {
     s"$base/${s.substring(0, 3)}/${s.substring(3, 6)}/${s.substring(6, 9)}"
   }
 
-  /** Largest seqnum in [lo, hi] whose timestamp is <= `targetTs`
-    * (`utils/server.py:27-106`'s interpolating search, simplified to
-    * plain binary search — the fetcher is network-bound either way).
-    * `fetchTs(seq)` returns the state-file timestamp for a seqnum. */
+  /** Largest seqnum in [lo, hi] whose timestamp is <= `targetTs`,
+    * CLAMPED to `lo` for pre-horizon targets (every state file newer
+    * than `targetTs`): the requested point-in-time predates the
+    * server's retention, and starting from the earliest available
+    * diff is the only action that loses no AVAILABLE data — callers
+    * that must distinguish "exact" from "clamped" compare
+    * `fetchTs(lo)` to `targetTs`. The clamp is part of the q106 data
+    * plane (`coalesce(m, lo)` in its oracle) and pinned by
+    * ManifestSpec. (`utils/server.py:27-106`'s interpolating search,
+    * simplified to plain binary search — the fetcher is network-bound
+    * either way.) `fetchTs(seq)` returns the state-file timestamp for
+    * a seqnum. */
   def timestampToSeqnum(fetchTs: Long => Long, lo: Long, hi: Long,
                         targetTs: Long): Long = {
     var a = lo
@@ -159,16 +167,19 @@ object Replication {
       // own element rows (read partition-pruned from the pinned
       // version — O(changes), the reference's per-way reverse lookup
       // at `update.cpp:78-126`).
-      def adjDelta(adjTable: String, elemTable: String, elemIds: DataFrame,
+      def parentsOf(elemTable: String, elemIds: DataFrame)
+      : Option[DataFrame] =
+        bk.get(elemTable).map { elemSpec =>
+          val parentBuckets = VersionedTable.bucketsOf(
+            elemIds, elemSpec.key, elemSpec.nBuckets)
+          VersionedTable.readBuckets(spark, root, elemTable,
+            parentBuckets, Some(prev)).join(elemIds, Seq("id"))
+        }
+      def adjDelta(adjTable: String, oldParentRows: Option[DataFrame],
                    oldMembers: DataFrame => DataFrame,
                    newMembers: DataFrame,
                    transform: DataFrame => DataFrame): Unit =
-        for (spec <- bk.get(adjTable); elemSpec <- bk.get(elemTable)) {
-          val parentBuckets = VersionedTable.bucketsOf(
-            elemIds, elemSpec.key, elemSpec.nBuckets)
-          val oldParents = VersionedTable.readBuckets(spark, root,
-            elemTable, parentBuckets, Some(prev))
-            .join(elemIds, Seq("id"))
+        for (spec <- bk.get(adjTable); oldParents <- oldParentRows) {
           val memberIds = oldMembers(oldParents)
             .unionByName(newMembers).distinct()
           deltas += adjTable -> Delta(
@@ -176,7 +187,7 @@ object Replication {
             transform)
         }
 
-      adjDelta("node_way", "ways", wayIds,
+      adjDelta("node_way", parentsOf("ways", wayIds),
         old => old.select(explode(col("nodes")).as("member_id")),
         wayCh.where(col("visible"))
           .select(explode(col("nodes")).as("member_id")),
@@ -185,11 +196,18 @@ object Replication {
         .select(explode(col("members")).as("m"))
         .where(col("m.mtype") === mtype)
         .select(col("m.ref").as("member_id"))
+      // the changed relations' old rows are identical for all three
+      // member types: read the pruned buckets ONCE and cache across
+      // the three adjacency deltas (the bucketsOf actions inside
+      // adjDelta materialize eagerly, so the unpersist below is safe)
+      val relParents = parentsOf("relations", relIds).map(
+        _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       for (mtype <- Seq("node", "way", "relation"))
-        adjDelta(s"${mtype}_relation", "relations", relIds,
+        adjDelta(s"${mtype}_relation", relParents,
           old => relMembers(old, mtype),
           relMembers(relCh.where(col("visible")), mtype),
           Changeset.delta.relAdj(relCh, mtype))
+      relParents.foreach(_.unpersist(blocking = false))
 
       val maxSeq = changes.agg(max("seqnum")).head().getLong(0)
       VersionedTable.commitDelta(spark, root, deltas.toMap, Map(

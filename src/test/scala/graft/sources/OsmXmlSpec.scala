@@ -104,6 +104,51 @@ class OsmXmlSpec extends AnyFunSuite {
       == Set(1L, 2L, 3L, 4L, 5L, 6L))
   }
 
+  test("tag values with newlines/tabs survive the XML round trip " +
+    "(attribute-value normalization)") {
+    // XML 1.0 parsers normalize literal tab/CR/LF in attribute values
+    // to spaces — the writer must emit character references or the
+    // value silently changes shape on read-back
+    val dir = Files.createTempDirectory("graft-xml-ws").toString
+    val v = "line1\nline2\tend"
+    Seq((1L, 5, 5, 1, 1600000000L, 7L, 42L, "u", Map("note" -> v)))
+      .toDF("id", "lon", "lat", "version", "timestamp", "changeset",
+        "uid", "user", "tags")
+      .coalesce(1).write.format("osmxml").option("entity", "node")
+      .mode("overwrite").save(dir)
+    val back = spark.read.format("osmxml").option("entity", "node")
+      .load(dir).select($"tags").head().getMap[String, String](0)
+    assert(back("note") == v, s"whitespace corrupted: ${back("note")}")
+  }
+
+  test("speculative attempts never clobber: per-attempt staging, " +
+    "abort only removes its own file") {
+    // two attempts of partition 0 (taskIds 1 and 2) write concurrently;
+    // the winner publishes, the loser aborts AFTER the publish — the
+    // committed file must survive and read back complete
+    val (nodes, _, _) = world()
+    val dir = Files.createTempDirectory("graft-xml-spec").toString
+    val schema = nodes.schema
+    val idx = schema.fieldNames.zipWithIndex.toMap
+    val rows = nodes.queryExecution.toRdd.collect() // InternalRows
+    val f = new OsmXmlWriterFactory("node", dir, idx, pbf = false)
+    val attempt1 = f.createWriter(0, 1L)
+    val attempt2 = f.createWriter(0, 2L)
+    rows.foreach(attempt1.write)
+    rows.foreach(attempt2.write)
+    val win = attempt1.commit().asInstanceOf[OsmXmlCommit]
+    // driver-side publish of the winner
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(win.tmp),
+      new org.apache.hadoop.fs.Path(win.path)))
+    attempt2.abort() // the KILLED speculative attempt
+    val back = spark.read.format("osmxml").option("entity", "node")
+      .load(dir)
+    assert(back.count() == nodes.count(),
+      "losing attempt's abort damaged the committed output")
+  }
+
   test("osmpbf binary round-trips and agrees with the XML path") {
     val (nodes, ways, rels) = world()
     val pbfDir = Files.createTempDirectory("graft-pbf").toString

@@ -68,7 +68,7 @@ class PlanetStressSpec extends AnyFunSuite {
     val chunk = 2000
     val n = 25000
     val w = new OsmPbfDataWriter("node", dir, idx, partitionId = 0,
-      chunk = chunk)
+      taskId = 0L, chunk = chunk)
     var maxBuffered = 0
     (1 to n).foreach { i =>
       w.write(toCat(Row(i.toLong, lonE7(i), latE7(i), 1,
@@ -78,7 +78,11 @@ class PlanetStressSpec extends AnyFunSuite {
     }
     assert(maxBuffered <= chunk,
       s"writer buffered $maxBuffered elements (> chunk $chunk)")
-    w.commit(); w.close()
+    // publish the attempt-staged file the way BatchWrite.commit does
+    val msg = w.commit().asInstanceOf[OsmXmlCommit]; w.close()
+    val tmpP = new org.apache.hadoop.fs.Path(msg.tmp)
+    tmpP.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      .rename(tmpP, new org.apache.hadoop.fs.Path(msg.path))
     // the streamed file round-trips: all rows, correct values, many blobs
     val back = Ingest.readOsm(spark, s"$dir/part-node-00000.osm.pbf",
       "node", Map("pbf.split.bytes" -> "1"))
