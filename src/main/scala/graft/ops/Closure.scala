@@ -61,16 +61,23 @@ object Closure {
     // BOTH collected sets must fit the budget: planet-shape inputs can
     // pair a small edge table (relation_relation ≈ 497K) with a seed
     // set of millions (every relation in a large extract) — gating
-    // edges alone would collect the seeds ungated. One count() on the
-    // seed side is cheap insurance; over budget, the distributed loop
-    // below handles any cardinality.
-    if (e.count() <= driverEdgeLimit && seedsDf.count() <= driverEdgeLimit) {
+    // edges alone would collect the seeds ungated. Bounded take()
+    // probes decide the branch AND carry the driver branch's data
+    // (Components' pattern): at most limit+1 rows per side, no
+    // separate count jobs, no over-budget materialization.
+    val lim = math.min(driverEdgeLimit, Int.MaxValue - 2L).toInt
+    val takenE = e.take(lim + 1)
+    val takenS =
+      if (takenE.length <= driverEdgeLimit) seedsDf.take(lim + 1)
+      else Array.empty[org.apache.spark.sql.Row]
+    if (takenE.length <= driverEdgeLimit &&
+        takenS.length <= driverEdgeLimit) {
       // reference-style driver closure (`src/extract.cpp:211-237`)
-      val adj = e.collect()
+      val adj = takenE
         .groupBy(_.getLong(0))
         .map { case (c, rows) => c -> rows.map(_.getLong(1)) }
       e.unpersist(blocking = false)
-      val seedIds = seedsDf.collect().map(_.getLong(0))
+      val seedIds = takenS.map(_.getLong(0))
       seedsDf.unpersist(blocking = false)
       val visited = scala.collection.mutable.LinkedHashSet[Long](
         seedIds: _*)

@@ -37,10 +37,11 @@ import org.apache.spark.storage.StorageLevel
 object Components {
 
   /** Component label per node: `id` -> `component` where component is
-    * the MINIMUM node id reachable from `id` (nodes present in `edges`
-    * only; callers union in singletons). Input columns `aCol`/`bCol`
-    * are LONG node ids; edges are treated as undirected and may contain
-    * duplicates or self-loops (both tolerated).
+    * the MINIMUM node id reachable from `id` (EVERY node present in
+    * `edges` gets a label, including one whose only edge is a
+    * self-loop; callers union in singletons absent from the edge
+    * list). Input columns `aCol`/`bCol` are LONG node ids; edges are
+    * treated as undirected and may contain duplicates or self-loops.
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIters: Int = 25,
@@ -48,19 +49,22 @@ object Components {
                             DriverBudget.edgeCollectLimit()): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val e0 = edges
+    // self-loops are KEPT through the dedup (a node whose only edge is
+    // (x,x) is still "present in edges" and must come back labeled
+    // x -> x); the star loop below excludes them, so they are split
+    // off after the path decision
+    val eAll = edges
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
-      .where($"u" =!= $"v")
       .select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // ONE action decides the path AND feeds the driver branch: take()
     // returns at most limit+1 rows (no 4M-row driver materialization on
-    // the fallback path) while the persist caches e0 for the
+    // the fallback path) while the persist caches the edges for the
     // distributed loop. The old count-then-collect shape ran the whole
     // upstream LSH pipeline's result through two driver round trips.
-    val taken = e0.take(
+    val taken = eAll.take(
       math.min(driverEdgeLimit, Int.MaxValue - 1L).toInt + 1)
     if (taken.length <= driverEdgeLimit) {
       // driver union-find (path-halving); same adaptive pattern as
@@ -77,7 +81,7 @@ object Components {
         val r = taken(i); eu(i) = r.getLong(0); ev(i) = r.getLong(1)
         i += 1
       }
-      e0.unpersist(blocking = false)
+      eAll.unpersist(blocking = false)
       // sorted distinct node ids (primitive sort + in-place unique)
       val all = new Array[Long](2 * n)
       System.arraycopy(eu, 0, all, 0, n)
@@ -151,8 +155,15 @@ object Components {
       repointed
     }
 
-    var cur = canon(e0).localCheckpoint(eager = true)
-    e0.unpersist(blocking = false)
+    // split AFTER the path decision: the star loop runs on proper
+    // edges; self-loop-only nodes come back as singleton labels.
+    // Checkpointed eagerly so it survives eAll's unpersist without
+    // re-running the upstream pair pipeline.
+    val selfOnly = eAll.where($"u" === $"v")
+      .select($"u".as("id"), $"u".as("component"))
+      .localCheckpoint(eager = true)
+    var cur = canon(eAll.where($"u" =!= $"v")).localCheckpoint(eager = true)
+    eAll.unpersist(blocking = false)
     var sig = signature(cur)
     var iter = 0
     var converged = false
@@ -170,7 +181,7 @@ object Components {
     // themselves
     val nonRoots = cur.select($"u".as("id"), $"v".as("component"))
     val roots = cur.select($"v".as("id"), $"v".as("component")).distinct()
-    nonRoots.union(roots).groupBy($"id")
+    nonRoots.union(roots).union(selfOnly).groupBy($"id")
       .agg(min($"component").as("component"))
   }
 }

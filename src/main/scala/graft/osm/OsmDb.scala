@@ -42,12 +42,15 @@ final class OsmDb(spark: SparkSession, root: String) {
       .collect().headOption.map(r => (r.getInt(0), r.getInt(1),
         r.getInt(2)))
 
-  /** P2/P3: tagged-node lookup (tags + metadata). */
+  /** P2/P3: tagged-node lookup (tags + metadata). CDC-upserted blobs
+    * carry null meta (OsmModel's documented shape) — version 0 then,
+    * like the reference's metadata-stripped stores. */
   def node(id: Long): Option[(Map[String, String], Int)] =
     keyed("nodes", "id", id)
       .select(col("tags"), col("meta.version"))
       .collect().headOption
-      .map(r => (r.getMap[String, String](0).toMap, r.getInt(1)))
+      .map(r => (r.getMap[String, String](0).toMap,
+        if (r.isNullAt(1)) 0 else r.getInt(1)))
 
   /** P3: way lookup — ordered node refs + tags. */
   def way(id: Long): Option[(Seq[Long], Map[String, String])] =

@@ -59,9 +59,13 @@ import scala.jdk.CollectionConverters._
   *     `retainVersions` window so a pinned time-travel reader within
   *     the window survives GC — the reference's reader-snapshot
   *     retention (`docs/MANUAL.md:126`).
-  *   - Dry-runs never claim (their output is inspect-only garbage), so
-  *     a dry-run followed by a real commit reuses the version number —
-  *     the reference's no-`--commit` → `--commit` flow.
+  *   - Dry-runs claim the version for the DURATION of their write
+  *     (they put real bytes under `v=next`, and an unclaimed write
+  *     could stomp a concurrent real commit's claimed directory) and
+  *     release the claim when done — so a dry-run followed by a real
+  *     commit still reuses the version number (the reference's
+  *     no-`--commit` → `--commit` flow), while a dry-run racing a real
+  *     commit fails loudly instead of corrupting it.
   */
 object VersionedTable {
 
@@ -327,7 +331,13 @@ object VersionedTable {
              dryRun: Boolean = false): Long = {
     val prev = current(root)
     val next = prev.map(_.version).getOrElse(0L) + 1L
-    if (!dryRun) claimVersion(root, next)
+    // a DRY-RUN claims too: it writes real data under v=next, and an
+    // unclaimed write could stomp a concurrent real commit's claimed
+    // directory (silent corruption published under the real commit's
+    // manifest). The dry-run claim is released in the finally below,
+    // leaving its data as the usual unclaimed vacuum-collectable
+    // leftover.
+    claimVersion(root, next)
     // the claim is released on ANY pre-publish failure, including a
     // failed manifest write (the current pointer only advances in
     // writeManifest's final atomic move, so releasing is always safe
@@ -350,8 +360,8 @@ object VersionedTable {
           prevM.buckets -- tables.keys))
       }
     } catch { case e: Throwable =>
-      if (!dryRun) releaseClaim(root, next); throw e
-    }
+      releaseClaim(root, next); throw e
+    } finally { if (dryRun) releaseClaim(root, next) }
     next
   }
 
@@ -364,7 +374,7 @@ object VersionedTable {
                      dryRun: Boolean = false): Long = {
     val prev = current(root)
     val next = prev.map(_.version).getOrElse(0L) + 1L
-    if (!dryRun) claimVersion(root, next)
+    claimVersion(root, next) // dry-runs claim too — see commit()
     // claim released on any pre-publish failure incl. the manifest
     // write itself — see commit()
     try {
@@ -388,8 +398,8 @@ object VersionedTable {
           prevM.buckets ++ bk))
       }
     } catch { case e: Throwable =>
-      if (!dryRun) releaseClaim(root, next); throw e
-    }
+      releaseClaim(root, next); throw e
+    } finally { if (dryRun) releaseClaim(root, next) }
     next
   }
 
@@ -430,14 +440,24 @@ object VersionedTable {
         }
       }
       val deleted = scala.collection.mutable.ArrayBuffer[String]()
+      // Files.list/walk streams hold an open directory fd until
+      // close()d — a GC-only release leaks O(dirs visited) descriptors
+      // per vacuum in the long-running single-writer process this is
+      // designed for. Materialize-and-close everywhere.
+      def ls(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+        val s = Files.list(p)
+        try s.iterator().asScala.toSeq finally s.close()
+      }
       def rmTree(p: java.nio.file.Path): Unit = {
-        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        val w = Files.walk(p)
+        try w.sorted(java.util.Comparator.reverseOrder())
           .forEach(q => { Files.delete(q); () })
+        finally w.close()
         deleted += p.toString
       }
       val rootP = Paths.get(root)
       if (Files.isDirectory(rootP)) {
-        val vdirs = Files.list(rootP).iterator().asScala.toSeq
+        val vdirs = ls(rootP)
           .filter(p => p.getFileName.toString.startsWith("v="))
         vdirs.foreach { vdir =>
           val vn = vdir.getFileName.toString
@@ -450,28 +470,28 @@ object VersionedTable {
           val inFlight = vnum > m.version &&
             Files.exists(versionManifestPath(root, vnum))
           if (!inFlight) {
-            Files.list(vdir).iterator().asScala.toSeq.foreach { tdir =>
+            ls(vdir).foreach { tdir =>
               val tn = tdir.getFileName.toString
               if (!referenced.contains(s"$vn/$tn")) { // not plain-live
-                val bucketDirs = Files.list(tdir).iterator().asScala.toSeq
+                val bucketDirs = ls(tdir)
                   .filter(_.getFileName.toString.startsWith("__bucket="))
                 if (bucketDirs.nonEmpty) { // bucketed layout: per-bucket
                   bucketDirs.foreach { bdir =>
                     if (!referenced.contains(
                       s"$vn/$tn/${bdir.getFileName}")) rmTree(bdir)
                   }
-                  if (!Files.list(tdir).iterator().asScala
+                  if (!ls(tdir)
                     .exists(_.getFileName.toString.startsWith("__bucket=")))
                     rmTree(tdir)
                 } else rmTree(tdir) // plain and unreferenced
               }
             }
-            if (!Files.list(vdir).iterator().hasNext) rmTree(vdir)
+            if (ls(vdir).isEmpty) rmTree(vdir)
           }
           }
         }
         // prune history manifests that fell out of the retention window
-        Files.list(rootP).iterator().asScala.toSeq.foreach { p =>
+        ls(rootP).foreach { p =>
           val fn = p.getFileName.toString
           if (fn.startsWith("manifest.v=") && fn.endsWith(".json")) {
             fn.stripPrefix("manifest.v=").stripSuffix(".json").toLongOption
@@ -518,7 +538,7 @@ object VersionedTable {
     val prev = current(root).getOrElse(throw new IllegalStateException(
       s"commitDelta needs an existing bucketed commit at $root"))
     val next = prev.version + 1L
-    if (!dryRun) claimVersion(root, next)
+    claimVersion(root, next) // dry-runs claim too — see commit()
     // claim released on any pre-publish failure incl. the manifest
     // write itself — see commit()
     try {
@@ -549,8 +569,8 @@ object VersionedTable {
           meta = prev.meta ++ meta,
           buckets = prev.buckets ++ newBuckets))
     } catch { case e: Throwable =>
-      if (!dryRun) releaseClaim(root, next); throw e
-    }
+      releaseClaim(root, next); throw e
+    } finally { if (dryRun) releaseClaim(root, next) }
     next
   }
 }

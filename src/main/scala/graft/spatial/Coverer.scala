@@ -20,6 +20,10 @@ import scala.collection.mutable
   */
 object Coverer {
 
+  // the two pole leaf cells are constants — probed once, not per rect
+  private val northLeaf = S2.latLngToLeaf(90.0, 0.0)
+  private val southLeaf = S2.latLngToLeaf(-90.0, 0.0)
+
   /** Conservative lat/lng rect of a cell: corners + edge midpoints,
     * padded by a fraction of the cell size (great-circle edges bulge
     * relative to lat/lng interpolation), pole-aware, antimeridian-aware.
@@ -50,8 +54,6 @@ object Coverer {
     }.toArray
     val lats = pts.map(_._1)
     // pole membership is exact via leaf-range containment
-    val northLeaf = S2.latLngToLeaf(90.0, 0.0)
-    val southLeaf = S2.latLngToLeaf(-90.0, 0.0)
     val hasNorth = S2.rangeMin(id) <= northLeaf && northLeaf <= S2.rangeMax(id)
     val hasSouth = S2.rangeMin(id) <= southLeaf && southLeaf <= S2.rangeMax(id)
     // cell angular size in degrees (~90deg at level 0, halving per level);
@@ -87,19 +89,24 @@ object Coverer {
                maxLevel: Int = 16): Seq[Long] = {
     require(maxCells >= 6, "need at least the 6 face cells")
     val result = mutable.ArrayBuffer[Long]()
-    val queue = mutable.Queue[Long]()
+    // the rect travels WITH the cell: cellRect (8-32 trig-heavy edge
+    // samples per call) is the BFS's dominant cost, and every enqueued
+    // cell was already rect-tested as a child candidate — recomputing
+    // on dequeue would double the planner's driver-side work
+    val queue = mutable.Queue[(Long, (Double, Double, Double, Double))]()
     S2.faceCells.foreach { f =>
-      if (region.mayIntersect(cellRect(f))) queue.enqueue(f)
+      val rect = cellRect(f)
+      if (region.mayIntersect(rect)) queue.enqueue((f, rect))
     }
     while (queue.nonEmpty) {
-      val c = queue.dequeue()
+      val (c, rect) = queue.dequeue()
       val lvl = S2.level(c)
-      val rect = cellRect(c)
       val accept = lvl == maxLevel || region.containsRect(rect)
       if (accept) result += c
       else {
         val kids = (0 until 4).map(k => S2.child(c, k))
-          .filter(k => region.mayIntersect(cellRect(k)))
+          .map(k => (k, cellRect(k)))
+          .filter(kr => region.mayIntersect(kr._2))
         // splitting replaces 1 frontier cell with up to 4: net +3 worst
         if (result.size + queue.size + kids.size > maxCells) result += c
         else kids.foreach(queue.enqueue)
@@ -151,7 +158,12 @@ object Coverer {
   def coveringRanges(region: Region, maxCells: Int = 1024,
                      maxLevel: Int = 16, level: Int = 16)
   : Seq[(Long, Long)] =
-    covering(region, maxCells, maxLevel)
+    // the covering must never go DEEPER than the range level: a
+    // covering cell below `level` has no level-`level` children, so
+    // childRangeAt would produce an inverted (lo > hi) disjunct that
+    // silently matches nothing — clamping keeps the covering a
+    // superset of the region at the scan's own granularity
+    covering(region, maxCells, math.min(maxLevel, level))
       .map(c => S2.childRangeAt(c, level))
       .sortBy(_._1)
 }

@@ -36,6 +36,16 @@ class ComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("a node whose ONLY edge is a self-loop still gets a label " +
+    "(both paths)") {
+    val e = Seq((7L, 7L), (1L, 2L))
+    for (lim <- Seq(0L, 1000000L)) {
+      val m = labelsOf(e, lim)
+      assert(m == Map(1L -> 1L, 2L -> 1L, 7L -> 7L),
+        s"self-loop-only node dropped (lim=$lim): $m")
+    }
+  }
+
   test("distributed path agrees with driver union-find on a random graph") {
     val rnd = new scala.util.Random(42)
     // 120 nodes, sparse random edges -> a mix of small components

@@ -361,6 +361,32 @@ class ManifestSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toSet == Set((2L, "b")))
   }
 
+  test("a dry-run cannot stomp a claimed in-flight version; its own " +
+    "claim is released when done") {
+    val root = Files.createTempDirectory("graft-dryclaim").toString
+    VersionedTable.commit(root, Map("t" -> Seq((1L, "a")).toDF("id", "v")))
+    // an in-flight real commit holds the v2 claim: a dry-run writing
+    // real bytes under v=2 would corrupt it — it must fail loudly
+    val claim = java.nio.file.Paths.get(root, "manifest.v=2.json")
+    Files.write(claim, "{}".getBytes)
+    intercept[VersionedTable.ConcurrentCommitException] {
+      VersionedTable.commit(root,
+        Map("t" -> Seq((9L, "x")).toDF("id", "v")), dryRun = true)
+    }
+    Files.delete(claim)
+    // a clean dry-run claims for its write, then releases: the data
+    // stays inspectable, and v2 is immediately claimable by a real
+    // commit (the reference's no---commit -> --commit flow)
+    assert(VersionedTable.commit(root,
+      Map("t" -> Seq((9L, "x")).toDF("id", "v")), dryRun = true) == 2L)
+    assert(!Files.exists(claim), "dry-run must release its claim")
+    assert(Files.exists(java.nio.file.Paths.get(root, "v=2", "t")))
+    assert(VersionedTable.commit(root,
+      Map("t" -> Seq((2L, "b")).toDF("id", "v"))) == 2L)
+    assert(VersionedTable.read(spark, root, "t")
+      .as[(Long, String)].collect().toSet == Set((2L, "b")))
+  }
+
   test("orphan claim: in-flight data protected, recovery is explicit") {
     val root = Files.createTempDirectory("graft-orphan").toString
     VersionedTable.commit(root, Map("t" -> Seq((1L, "a")).toDF("id", "v")))

@@ -153,6 +153,25 @@ class CovererSpec extends AnyFunSuite {
     }
   }
 
+  test("coveringRanges at a coarse range level never inverts (lo <= hi) " +
+    "and still covers the region") {
+    // a covering cell DEEPER than the range level used to produce
+    // lo > hi disjuncts that silently matched nothing — the covering
+    // must be clamped to the scan's own granularity
+    val region = Region("40.70,-74.02,40.78,-73.90", "bbox")
+    for (level <- Seq(8, 10, 12)) {
+      val ranges = Coverer.coveringRanges(region, level = level)
+      assert(ranges.nonEmpty)
+      ranges.foreach { case (lo, hi) =>
+        assert(lo <= hi, s"inverted range at level $level: ($lo, $hi)")
+      }
+      // an interior point's level-`level` cell falls in some disjunct
+      val leaf = S2.latLngToCellId(40.74, -73.98, level)
+      assert(ranges.exists { case (lo, hi) => lo <= leaf && leaf <= hi },
+        s"interior cell not covered at level $level")
+    }
+  }
+
   test("covering respects maxCells and maxLevel") {
     val r = Region("40.70,-74.02,40.78,-73.90", "bbox")
     for (budget <- Seq(6, 16, 64, 1024)) {
