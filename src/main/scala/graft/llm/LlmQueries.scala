@@ -5142,14 +5142,16 @@ object LlmQueries {
         val docs = T(s, d, "documents")
         val toks = docs.select($"doc_id", $"source",
           TextFunctions.tokens($"text").as("t"))
-        val uni = toks.select($"doc_id", $"source", explode($"t").as("g"))
-        val bi = toks.where(size($"t") >= 2)
-          .select($"doc_id", $"source", explode(zip_with(
-            slice($"t", lit(1), size($"t") - 1),
-            slice($"t", lit(2), size($"t") - 1),
-            (a, b) => concat(a, lit(" "), b))).as("g"))
-        val grams = uni.unionByName(bi).select($"doc_id", $"source",
-          (TextFunctions.tokenHash32($"g") % B).cast("long").as("f"))
+        // ONE scan, ONE explode: unigrams and bigrams concatenated per
+        // row (the native ngram_join kernel — an interpreted
+        // zip_with/slice formulation measured 4x the tokenize cost on
+        // the q110 gram stream, and a union of two selects re-scanned
+        // and re-tokenized the text column twice)
+        val grams = toks.select($"doc_id", $"source",
+          explode(concat($"t",
+            TextFunctions.bigramsFromTokens($"t"))).as("g"))
+          .select($"doc_id", $"source",
+            (TextFunctions.tokenHash32($"g") % B).cast("long").as("f"))
         // ONE hash-agg over the exploded stream; every downstream
         // aggregate (per-feature raw/target counts, corpus-wide
         // normalizers) derives from this much smaller relation, so
@@ -5179,6 +5181,9 @@ object LlmQueries {
               .cast("decimal(18,6)").as("contrib"))
           .groupBy($"doc_id")
           .agg(sum($"contrib").cast("double").as("score"))
+          // inner join = the selection POOL is docs with at least one
+          // gram: a zero-token doc has no evidence either way and can
+          // never be importance-selected (intended; oracle mirrors it)
           .join(docs.select($"doc_id", $"source"), "doc_id")
           .select($"doc_id", $"source", $"score")
           .orderBy($"score".desc, $"doc_id".asc)
@@ -5235,9 +5240,13 @@ object LlmQueries {
         import s.implicits._
         val S = 8
         val docs = T(s, d, "documents")
-        val tot = math.max(1L,
-          docs.agg(coalesce(sum($"n_chars".cast("long")), lit(0L)))
-            .first().getLong(0)) // sum of zero rows is NULL, not 0
+        // 1-row scalar aggregate joined in as a broadcast — the q139
+        // pattern: keeps the whole query one DAG (no blocking driver
+        // action before the main job). coalesce: sum of zero rows is
+        // NULL, not 0; the greatest(1) floor keeps the div total-safe
+        val tot = docs.agg(greatest(
+          coalesce(sum($"n_chars".cast("long")), lit(0L)), lit(1L))
+          .as("tot"))
         def epochStarts(e: Int) =
           Curate.tokenStarts(
             docs.select(
@@ -5246,8 +5255,10 @@ object LlmQueries {
             "h", $"n_chars")
             .select(lit(e.toLong).as("epoch"), $"tok", $"start")
         epochStarts(0).unionByName(epochStarts(1))
+          .crossJoin(broadcast(tot))
           .withColumn("shard",
-            expr(s"least(${S - 1}L, (start * $S) div ${tot}L)"))
+            expr(s"least(${S - 1}L, (start * $S) div tot)"))
+          .drop("tot")
           .groupBy($"epoch", $"shard")
           .agg(count(lit(1)).as("n_docs"), sum($"tok").as("chars"))
           .orderBy($"epoch", $"shard")
