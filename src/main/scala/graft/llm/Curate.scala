@@ -52,7 +52,12 @@ object Curate {
       case Some(k) =>
         val pairs = Dedup.stagedNearDupPairs(docs, textCol, idCol, k,
           threshold)
-        val ids = exact.select(col(idCol))
+        // the survivor-id frame is referenced twice under different
+        // renames, and renamed subtrees defeat ReusedExchange (the
+        // duplicatedSpans hazard): checkpoint the one-column id set so
+        // the corpus-scale exact-dedup hash-agg runs once, not once
+        // per probe
+        val ids = exact.select(col(idCol)).localCheckpoint(eager = true)
         val dropped = pairs
           .join(ids.withColumnRenamed(idCol, "a"), Seq("a"), "left_semi")
           .join(ids.withColumnRenamed(idCol, "b"), Seq("b"), "left_semi")
@@ -102,14 +107,6 @@ object Curate {
     (out, Report(input, nExact, nNear, nQual, out.count()))
   }
 
-  /** Deterministic permyriad bucket (0..9999) for split assignment and
-    * sampling: first 8 hex digits of md5(salt || id) mod 10000. Pure
-    * map-side, no RNG state — the same row lands in the same bucket on
-    * ANY engine, partitioning, or rerun. That reproducibility is the
-    * property `randomSplit`/`sample` (seeded per-partition RNG — moves
-    * with repartitioning) cannot give, and it is what makes train/val
-    * assignment stable as a 100 TB corpus is re-curated incrementally:
-    * adding documents never reshuffles existing ones across splits. */
   /** Per-doc benchmark-contamination scores: every `train` column plus
     * `n_sh` (doc shingle count), `n_shared` (shingles also in the
     * benchmark union), `contam_frac` (round 6). The benchmark shingle
@@ -125,8 +122,12 @@ object Curate {
     val bs = bench.select(explode(
         TextFunctions.ngramShingleHashes(col(textCol), ngram)).as("h"))
       .distinct()
+    // coalesce: a NULL-text row must score n_sh = 0 (size(null) is -1
+    // under Spark's default sizeOfNull — an impossible shingle count
+    // that would read as "clean" downstream)
     val tr = train.withColumn("sh",
-      TextFunctions.ngramShingleHashes(col(textCol), ngram))
+      coalesce(TextFunctions.ngramShingleHashes(col(textCol), ngram),
+        array().cast("array<bigint>")))
     val shared = tr.select(col(idCol), explode(col("sh")).as("h"))
       .join(broadcast(bs), "h")
       .groupBy(idCol).agg(count(lit(1)).as("ns"))
@@ -167,8 +168,12 @@ object Curate {
     val bloom = bs
       .agg(call_function("bloom_agg", col("h"), lit(bits), lit(7)))
       .head().getAs[Array[Byte]](0)
+    // coalesce: a NULL-text row must score n_sh = 0 (size(null) is -1
+    // under Spark's default sizeOfNull — an impossible shingle count
+    // that would read as "clean" downstream)
     val tr = train.withColumn("sh",
-      TextFunctions.ngramShingleHashes(col(textCol), ngram))
+      coalesce(TextFunctions.ngramShingleHashes(col(textCol), ngram),
+        array().cast("array<bigint>")))
     val shared = tr.select(col(idCol), explode(col("sh")).as("h"))
       .where(call_function("bloom_contains", lit(bloom), col("h")))
       .join(bs, "h") // exact verify: false positives die here
@@ -238,6 +243,14 @@ object Curate {
       .where(col("contam_frac") < threshold)
       .drop("n_sh", "n_shared", "contam_frac")
 
+  /** Deterministic permyriad bucket (0..9999) for split assignment and
+    * sampling: first 8 hex digits of md5(salt || id) mod 10000. Pure
+    * map-side, no RNG state — the same row lands in the same bucket on
+    * ANY engine, partitioning, or rerun. That reproducibility is the
+    * property `randomSplit`/`sample` (seeded per-partition RNG — moves
+    * with repartitioning) cannot give, and it is what makes train/val
+    * assignment stable as a 100 TB corpus is re-curated incrementally:
+    * adding documents never reshuffles existing ones across splits. */
   def hashBucket(id: Column, salt: String = "graft"): Column =
     conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 8),
       16, 10).cast("long") % 10000

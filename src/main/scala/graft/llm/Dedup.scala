@@ -88,7 +88,10 @@ object Dedup {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val n = bands * rowsPerBand
     val withBands = docs
-      .select(col(idCol).as("doc_id"),
+      // cast: the lsh_first_band_pairs kernel type-checks
+      // STRUCT<BIGINT,...> and the staged artifact schema is BIGINT —
+      // accept any numeric id like the rest of the dedup family
+      .select(col(idCol).cast("long").as("doc_id"),
         TextFunctions.minhashSignature(col(textCol), n).as("sig"))
       .where(col("sig").isNotNull) // null iff zero tokens
       .select(col("doc_id"),
@@ -163,6 +166,14 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Serializes the three staged-artifact builders: TrieMap's
+    * getOrElseUpdate thunk is not mutually exclusive, so two
+    * concurrent cold-cache callers would BOTH run the corpus-scale
+    * banding/verify build (one result discarded). Reentrant on
+    * purpose — the builders nest (components -> pairs -> candidates)
+    * on one thread. */
+  private val stageLock = new Object
+
   private val stagedCandidateDirs =
     scala.collection.concurrent.TrieMap[(String, Int, Int, Int), String]()
 
@@ -187,13 +198,13 @@ object Dedup {
                            rowsPerBand: Int = 4,
                            maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val s = docs.sparkSession
-    val dir = stagedCandidateDirs.getOrElseUpdate(
+    val dir = stageLock.synchronized { stagedCandidateDirs.getOrElseUpdate(
       (cacheKey, bands, rowsPerBand, maxBucket), {
         val tmp = graft.TempDirs.create("graft-dedup-cand")
         minhashCandidatePairs(docs, textCol, idCol, bands, rowsPerBand,
           maxBucket).write.mode("overwrite").parquet(tmp)
         tmp
-      })
+      }) }
     // explicit schema: a corpus with zero colliding buckets writes no
     // parquet files and inference would fail on read-back
     s.read.schema("a BIGINT, b BIGINT").parquet(dir)
@@ -214,7 +225,7 @@ object Dedup {
                          cacheKey: String, threshold: Double = 0.6,
                          ngram: Int = 3): DataFrame = {
     val s = docs.sparkSession
-    val dir = stagedPairDirs.getOrElseUpdate(
+    val dir = stageLock.synchronized { stagedPairDirs.getOrElseUpdate(
       (cacheKey, threshold, ngram), {
         val tmp = graft.TempDirs.create("graft-dedup-pairs")
         // verify FROM the staged candidate artifact: the corpus-scale
@@ -223,7 +234,7 @@ object Dedup {
         verifyCandidates(cand, docs, textCol, idCol, threshold, ngram)
           .write.mode("overwrite").parquet(tmp)
         tmp
-      })
+      }) }
     // explicit schema: a corpus with zero near-dup pairs writes no
     // parquet files and inference would fail on read-back
     s.read.schema("a BIGINT, b BIGINT, jaccard DOUBLE").parquet(dir)
@@ -244,7 +255,7 @@ object Dedup {
                        cacheKey: String, threshold: Double = 0.6,
                        ngram: Int = 3): DataFrame = {
     val s = docs.sparkSession
-    val dir = stagedComponentDirs.getOrElseUpdate(
+    val dir = stageLock.synchronized { stagedComponentDirs.getOrElseUpdate(
       (cacheKey, threshold, ngram), {
         val tmp = graft.TempDirs.create("graft-dedup-comp")
         // build from the staged pair artifact: one verify pass per
@@ -254,7 +265,7 @@ object Dedup {
         graft.ops.Components.connectedComponents(pairs, "a", "b")
           .write.mode("overwrite").parquet(tmp)
         tmp
-      })
+      }) }
     // explicit schema: a corpus with zero near-dup pairs writes no
     // parquet files and inference would fail on read-back (q100 rule)
     s.read.schema("id BIGINT, component BIGINT").parquet(dir)
@@ -366,7 +377,10 @@ object Dedup {
         (max(col("pos")) + (k - 1)).as("span_end"),
         count(lit(1)).as("n_shingles"))
       .select("doc_id", "span_start", "span_end", "n_shingles")
-      .orderBy("doc_id", "span_start")
+    // no trailing global sort: the span set is corpus-proportional on
+    // boilerplate-heavy corpora and every window above is partitioned
+    // by doc — presentation ordering is the consumer's (bounded or
+    // oracle-mirrored) concern, not a free extra range exchange here
   }
 
   /** Hamming distance between two equal-length bit strings. */

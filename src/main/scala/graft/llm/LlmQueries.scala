@@ -1563,7 +1563,8 @@ object LlmQueries {
     // turns flagged positions into maximal cut spans ----
     Q("q80_dup_spans",
       (s, d) => Dedup.duplicatedSpans(T(s, d, "documents"), "text",
-        "doc_id", k = 40),
+        "doc_id", k = 40)
+        .orderBy(col("doc_id"), col("span_start")), // A7 presentation
       Some("""WITH p0 AS (
              |  SELECT doc_id, text,
              |    unnest(generate_series(1, len(text) - 39)) AS pos

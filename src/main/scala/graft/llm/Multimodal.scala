@@ -64,12 +64,14 @@ object Multimodal {
   def assetsFromDocuments(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id").as("asset_id"),
-      // deterministic fake modality assignment
+      // deterministic fake modality assignment (pmod: a negative id
+      // must map to a valid 1-based index and positive dimensions —
+      // the same hardening the byte encoders apply)
       element_at(typedlit(Seq("image", "audio", "video")),
-        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        (pmod(col("doc_id"), lit(3L)) + 1).cast("int")).as("kind"),
       encode(col("text"), "UTF-8").as("bytes"),
-      (col("doc_id") % 640 + 64).cast("int").as("width"),
-      (col("doc_id") % 480 + 48).cast("int").as("height"),
+      (pmod(col("doc_id"), lit(640L)) + 64).cast("int").as("width"),
+      (pmod(col("doc_id"), lit(480L)) + 48).cast("int").as("height"),
       (col("doc_id") * 40 + 1000).as("duration_ms"))
 
   /** Batched feature extraction: typed mapPartitions so a real codec
@@ -115,8 +117,10 @@ object Multimodal {
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
-          val w = (4 + id % 5).toInt
-          val h = (3 + id % 4).toInt
+          // floorMod: a negative id must not yield zero/negative
+          // dimensions (same hardening as videosFromText/wavFromText)
+          val w = 4 + java.lang.Math.floorMod(id, 5L).toInt
+          val h = 3 + java.lang.Math.floorMod(id, 4L).toInt
           val im = new java.awt.image.BufferedImage(
             w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
           var i = 0

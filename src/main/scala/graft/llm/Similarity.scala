@@ -31,12 +31,15 @@ object Similarity {
     * [[graft.functions.VectorImpl.cosine]]); the interpreted
     * zip_with/aggregate formulation costs ~3 lambda dispatches per
     * dimension per row, which dominates pairwise workloads.
-    * Self-registering: `cosine_sim` is installed into the active
-    * session on first use (register is idempotent), so the helper
-    * stays self-contained for external call sites that never touch
-    * [[graft.functions.GraftFunctions]]. */
+    * Self-registering: `cosine_sim` is installed into the session on
+    * first use (register is idempotent), so the helper stays
+    * self-contained for external call sites that never touch
+    * [[graft.functions.GraftFunctions]]. The DataFrame-taking entry
+    * points below register on THEIR frame's session — the
+    * thread-local active session may be unset on pool threads. */
   def cosine(a: Column, b: Column): Column = {
     org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .foreach(graft.functions.GraftFunctions.register)
     call_function("cosine_sim", a, b)
   }
@@ -47,6 +50,7 @@ object Similarity {
     * no full sort, no shuffle of the scored set. */
   def cosineTopK(embeddings: DataFrame, vecCol: String, idCol: String,
                  query: Seq[Double], k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val q = typedlit(query)
     val e = col(vecCol).cast("array<double>")
     embeddings
@@ -198,6 +202,7 @@ object Similarity {
     * filter when the index is stored partitioned by signature. */
   def annTopK(index: DataFrame, query: Seq[Double], k: Int,
               planes: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(index.sparkSession)
     val qSig = querySignature(query, planes)
     val half = planes / 2
     val q = typedlit(query)
@@ -212,11 +217,6 @@ object Similarity {
       .limit(k)
   }
 
-  /** IVF coarse centroids: every `every`-th vector by id, in id order —
-    * a deterministic coarse quantizer (no k-means iterations, so the
-    * index is reproducible across engines and re-builds; the classic
-    * IVF recall/speed trade is governed by `every` and `nprobe`).
-    * Driver-side: O(#centroids * dim) doubles, like the query vector. */
   /** Deterministic coarse-quantizer centroids: 1-in-`every` of the
     * first `maxId` ids. The id bound keeps the centroid COUNT constant
     * at any SF — an unbounded 1-in-`every` rate makes the literal
@@ -268,6 +268,7 @@ object Similarity {
   def ivfTopK(assigned: DataFrame, query: Seq[Double],
               centroids: Seq[Seq[Double]], k: Int, nprobe: Int)
   : DataFrame = {
+    graft.functions.GraftFunctions.register(assigned.sparkSession)
     val probed = ivfProbe(query, centroids, nprobe)
     val q = typedlit(query)
     assigned.where(col("centroid").isin(probed.map(Integer.valueOf): _*))
@@ -290,6 +291,7 @@ object Similarity {
                               idCol: String, dim: Int,
                               threshold: Double, planes: Int = 8,
                               maxBucket: Int = 10000): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val idx = annIndex(embeddings, vecCol, idCol, dim, planes)
     val buckets = idx
       .groupBy(col("sig"))

@@ -573,6 +573,7 @@ class LlmSpec extends AnyFunSuite {
       3L -> "completely unrelated text 999")
     val spans = Dedup.duplicatedSpans(d, "text", "doc_id", k = 10)
       .as[(Long, Long, Long, Long)].collect().toSeq
+      .sorted // the operator no longer imposes a global sort
     // the 20 shared chars give 11 duplicated windows per doc, merging
     // into ONE span covering exactly the shared run
     assert(spans == Seq(
