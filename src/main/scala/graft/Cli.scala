@@ -22,12 +22,12 @@ import org.apache.spark.sql.functions._
   *     layout (fastest for extract-heavy serving).
   *   - `extract` (`src/extract.cpp:67-143`) takes one region in any of
   *     the four formats (inline text for bbox/disc, a file for
-  *     geojson/poly, or `--region FILE` dispatching on extension),
+  *     geojson/poly, or `--region=FILE` dispatching on extension),
   *     covering-prunes the seed scan (CELL-APPROXIMATE, the reference's
   *     extract contract — no exact residual), completes the element
   *     closure (J2-J8) and writes a PBF (default) or XML extract with
   *     the header bbox/timestamp/seqnum (`src/extract.cpp:280-299`).
-  *     `--expand LEVEL` buffers the covering one cell ring at LEVEL
+  *     `--expand=LEVEL` buffers the covering one cell ring at LEVEL
   *     (`src/extract.cpp:138-143`); `--noUserData` strips
   *     changeset/uid/user (`src/extract.cpp:324-328`).
   *   - `update` (`src/update.cpp:228-291`) applies an OsmChange file:
@@ -44,10 +44,31 @@ import org.apache.spark.sql.functions._
   */
 object Cli {
 
-  private def fail(msg: String): Nothing = {
-    System.err.println(msg)
-    sys.exit(2)
+  /** A usage/validation failure: [[main]] prints it and exits 2;
+    * [[run]] throws it so tests (and embedders) can intercept. */
+  final class CliError(msg: String) extends RuntimeException(msg)
+
+  private def fail(msg: String): Nothing = throw new CliError(msg)
+
+  /** Reject unknown/misspelled flags: a silently ignored `--dryrun` or
+    * `--nouserdata` flips semantics (real commit, GDPR data retained)
+    * with no error. `allowed` holds bare flag names; `--name=value`
+    * forms match on the name. */
+  private def checkFlags(cmd: String, flags: Seq[String],
+                         allowed: Set[String]): Unit = {
+    val bad = flags.map(_.takeWhile(_ != '=')).filterNot(allowed)
+    if (bad.nonEmpty)
+      fail(s"$cmd: unknown option(s): ${bad.mkString(" ")} " +
+        s"(accepted: ${allowed.toSeq.sorted.mkString(" ")})")
   }
+
+  private def intValue(cmd: String, name: String, v: String): Int =
+    try v.toInt catch { case _: NumberFormatException =>
+      fail(s"$cmd: $name needs an integer value, got '$v'") }
+
+  private def longValue(cmd: String, name: String, v: String): Long =
+    try v.toLong catch { case _: NumberFormatException =>
+      fail(s"$cmd: $name needs an integer value, got '$v'") }
 
   private val usage =
     """Usage: graft.Cli COMMAND [ARG...]
@@ -60,17 +81,28 @@ object Cli {
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {
-    if (args.isEmpty) fail(usage)
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    if (args.isEmpty) { System.err.println(usage); sys.exit(2) }
+    val base = SparkSession.builder()
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .appName(s"graft-${args.head}")
+    // an explicit builder master would OVERRIDE spark-submit --master
+    // and silently run a cluster deployment on the driver: only fall
+    // back to local[] (and only then pin shuffle partitions to it)
+    // when no master was submitted
+    val spark = (if (sys.props.contains("spark.master")) base
+      else base
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try run(spark, args.toIndexedSeq)
+    catch { case e: CliError =>
+      System.err.println(e.getMessage)
+      spark.stop()
+      sys.exit(2)
+    }
     finally spark.stop()
   }
 
@@ -90,17 +122,21 @@ object Cli {
     val (flags, pos) = a.partition(_.startsWith("--"))
     if (pos.length != 2) fail(
       "Usage: graft.Cli expand INPUT[.osm|.osm.pbf|dir] DB_DIR " +
-        "[--buckets N] [--analytic] [--partitions N] [--dry-run]\n" +
+        "[--buckets=N] [--analytic] [--partitions=N] [--dry-run]\n" +
         "  --analytic sorted-table file count defaults to the session's " +
         "parallelism (layout varies by machine; row content does not) — " +
-        "pass --partitions N to pin a reproducible file layout")
+        "pass --partitions=N to pin a reproducible file layout")
+    checkFlags("expand", flags,
+      Set("--buckets", "--analytic", "--partitions", "--dry-run"))
     val Seq(in, root) = pos.toSeq
     val dryRun = flags.contains("--dry-run")
     val buckets = flags.collectFirst {
-      case f if f.startsWith("--buckets=") => f.drop(10).toInt
+      case f if f.startsWith("--buckets=") =>
+        intValue("expand", "--buckets", f.drop(10))
     }.getOrElse(64)
     val partitions = flags.collectFirst {
-      case f if f.startsWith("--partitions=") => f.drop(13).toInt
+      case f if f.startsWith("--partitions=") =>
+        intValue("expand", "--partitions", f.drop(13))
     }.getOrElse(-1)
     val version =
       if (flags.contains("--analytic"))
@@ -140,10 +176,13 @@ object Cli {
   private def cmdExtract(spark: SparkSession, a: IndexedSeq[String]): Unit = {
     val (flagsRaw, pos) = a.partition(_.startsWith("--"))
     if (pos.length != 2) fail(
-      "Usage: graft.Cli extract DB_DIR OUT_DIR (--bbox MIN_LAT,MIN_LON," +
-        "MAX_LAT,MAX_LON | --disc LAT,LON,R_DEG | --geojson FILE | " +
-        "--poly FILE | --region FILE) [--expand LEVEL] [--noUserData] " +
+      "Usage: graft.Cli extract DB_DIR OUT_DIR (--bbox=MIN_LAT,MIN_LON," +
+        "MAX_LAT,MAX_LON | --disc=LAT,LON,R_DEG | --geojson=FILE | " +
+        "--poly=FILE | --region=FILE) [--expand=LEVEL] [--noUserData] " +
         "[--xml]")
+    checkFlags("extract", flagsRaw,
+      Set("--bbox", "--disc", "--geojson", "--poly", "--region",
+        "--expand", "--noUserData", "--xml"))
     val Seq(root, out) = pos.toSeq
     val opts = flagsRaw.map(_.drop(2).split("=", 2))
       .map(kv => kv(0) -> (if (kv.length > 1) kv(1) else "")).toMap
@@ -154,13 +193,19 @@ object Cli {
     functions.GraftFunctions.register(spark)
     val cells0 = spatial.Coverer.covering(region)
     val cells = opts.get("expand") match {
-      case Some(lvl) => spatial.Coverer.expandCovering(cells0, lvl.toInt)
+      case Some(lvl) => spatial.Coverer.expandCovering(cells0,
+        intValue("extract", "--expand", lvl))
       case None      => cells0
     }
-    val ranges = cells.map(c => spatial.S2.childRangeAt(c, 16)).sortBy(_._1)
-    val cell = spatial.SpatialScan.s2CellOfFixed(col("lat"), col("lon"))
-    val seeds = t.locations
-      .where(spatial.SpatialScan.cellInRanges(cell, ranges))
+    val ranges = spatial.Coverer.cellRanges(cells)
+    // seed scan filters the STORED s2cell column (both layouts carry
+    // it; CDC upserts maintain it with the same function) — the
+    // analytic layout is range-sorted by it, so the covering ranges
+    // become parquet row-group min/max pruning; a derived
+    // s2CellOfFixed(lat,lon) expression cannot prune anything
+    val seeds = osm.VersionedTable
+      .read(spark, root, "locations", Some(db.snapshot))
+      .where(spatial.SpatialScan.cellInRanges(col("s2cell"), ranges))
       .select(col("id"))
     val sel = osm.Extract.complete(t, seeds)
 
@@ -212,10 +257,11 @@ object Cli {
     if (pos.length < 2 || pos.length > 4) fail(
       "Usage: graft.Cli update DB_DIR CHANGES.osc[.gz] [SEQNUM " +
         "[TIMESTAMP]] [--commit]")
+    checkFlags("update", flags, Set("--commit"))
     val root = pos(0)
     val osc = pos(1)
     val db = new osm.OsmDb(spark, root)
-    val seqnum = if (pos.length > 2) pos(2).toLong
+    val seqnum = if (pos.length > 2) longValue("update", "SEQNUM", pos(2))
       else db.metadata("osmosis_replication_sequence_number")
         .map(_.toLong + 1).getOrElse(1L)
     val commit = flags.contains("--commit")
@@ -228,10 +274,18 @@ object Cli {
 
     val extra = (if (pos.length > 3)
       Map("osmosis_replication_timestamp" ->
-        java.time.Instant.parse(pos(3)).getEpochSecond.toString)
+        (try java.time.Instant.parse(pos(3)).getEpochSecond.toString
+         catch { case _: java.time.format.DateTimeParseException =>
+           fail(s"update: TIMESTAMP must be ISO-8601, got '${pos(3)}'") }))
     else Map.empty[String, String])
-    streaming.Replication.applyBatch(spark, root, change,
+    val applied = streaming.Replication.applyBatch(spark, root, change,
       batchId = seqnum, dryRun = !commit, extraMeta = extra)
+    // an un-applied batch (empty diff, or the replay guard matched
+    // this seqnum against the store's last batch id) must never read
+    // as "committed" — the reference's update loop is loud about both
+    if (!applied) fail(
+      s"update: nothing applied at $root (empty diff, or batch id " +
+        s"$seqnum already recorded as applied)")
     println(if (commit) s"committed seqnum $seqnum at $root"
             else s"dry-run ok (pass --commit to publish seqnum $seqnum)")
   }

@@ -111,18 +111,26 @@ object Ingest {
     }
   }
 
-  private def importMeta(path: String, nodesRaw: DataFrame)
+  private def importMeta(path: String, nodesRaw: DataFrame,
+                         waysRaw: DataFrame, relsRaw: DataFrame)
   : Map[String, String] = {
-    // empty input (zero nodes) => null max; default the replication ts
-    val maxTsRow = nodesRaw.agg(max("timestamp")).head()
+    // the replication timestamp is the max over ALL entity kinds: a
+    // regional extract whose freshest edit retags a way (no node
+    // touched) must not underreport its recency — this value flows
+    // into every extract's PBF header and any timestamp->seqnum
+    // catch-up. Empty input (zero elements) => null max, default 0.
+    val maxTsRow = nodesRaw.select(col("timestamp"))
+      .unionByName(waysRaw.select(col("timestamp")))
+      .unionByName(relsRaw.select(col("timestamp")))
+      .agg(max("timestamp")).head()
     val maxTs = if (maxTsRow.isNullAt(0)) 0L else maxTsRow.getLong(0)
     Map("import_filename" -> path,
       "osmosis_replication_timestamp" -> maxTs.toString)
   }
 
   /** Full expand: XML/PBF path -> committed version in `root`
-    * (analytic layout: range-sorted tables, full rewrite per commit). */
-  /** `numPartitions <= 0` (the default) scales the sorted write to the
+    * (analytic layout: range-sorted tables, full rewrite per commit).
+    * `numPartitions <= 0` (the default) scales the sorted write to the
     * cluster (`defaultParallelism`): the external-sort commit is eight
     * sequential per-table jobs, and a fixed partition count leaves a
     * 1000-executor cluster (or local[32]) mostly idle — the r9 sf10
@@ -142,7 +150,7 @@ object Ingest {
                else spark.sparkContext.defaultParallelism
       VersionedTable.commit(root,
         derive(n, w, r, np, sorted = true),
-        importMeta(xmlPath, n), dryRun = dryRun)
+        importMeta(xmlPath, n, w, r), dryRun = dryRun)
     }
 
   /** Expand into the BUCKETED copy-on-write layout — the store
@@ -166,7 +174,7 @@ object Ingest {
           val key = if (name.endsWith("relation") || name == "node_way")
             "member_id" else "id"
           name -> ((df, key))
-        }, nBuckets, importMeta(xmlPath, n), dryRun = dryRun)
+        }, nBuckets, importMeta(xmlPath, n, w, r), dryRun = dryRun)
     }
 
   /** Load the table bundle back from a committed version. */

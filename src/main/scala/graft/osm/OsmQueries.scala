@@ -741,8 +741,7 @@ object OsmQueries {
         val cells = graft.spatial.Coverer.covering(region)
         val buffered = graft.spatial.Coverer
           .expandCovering(cells, expandLevel = 12)
-        val ranges = buffered
-          .map(c => graft.spatial.S2.childRangeAt(c, 16)).sortBy(_._1)
+        val ranges = graft.spatial.Coverer.cellRanges(buffered)
         val cell = graft.spatial.SpatialScan
           .s2CellOfFixed($"lat", $"lon")
         val seeds = t.locations

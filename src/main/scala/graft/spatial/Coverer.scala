@@ -163,7 +163,17 @@ object Coverer {
     // childRangeAt would produce an inverted (lo > hi) disjunct that
     // silently matches nothing — clamping keeps the covering a
     // superset of the region at the scan's own granularity
-    covering(region, maxCells, math.min(maxLevel, level))
-      .map(c => S2.childRangeAt(c, level))
-      .sortBy(_._1)
+    cellRanges(covering(region, maxCells, math.min(maxLevel, level)),
+      level)
+
+  /** Level-`level` range disjuncts of an EXPLICIT cell set (the
+    * `--expand`ed covering path and any other caller that shapes its
+    * own cells) — use this instead of hand-rolling
+    * `childRangeAt + sortBy`, so the deeper-than-level inversion
+    * hazard stays guarded in one place. */
+  def cellRanges(cells: Seq[Long], level: Int = 16): Seq[(Long, Long)] = {
+    require(cells.forall(S2.level(_) <= level),
+      s"cell deeper than range level $level — inverted range")
+    cells.map(c => S2.childRangeAt(c, level)).sortBy(_._1)
+  }
 }

@@ -89,6 +89,7 @@ object Replication {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(spark, tableRoot, batch, batchId)
+        () // foreachBatch wants Unit; the applied flag is for the CLI
       }
       .start()
 
@@ -98,14 +99,19 @@ object Replication {
     * `dryRun` computes every delta but rolls back instead of
     * publishing (the reference's default update mode,
     * `src/update.cpp:280-291`); `extraMeta` adds CLI-supplied keys
-    * (e.g. the replication timestamp) to the committed manifest. */
+    * (e.g. the replication timestamp) to the committed manifest.
+    * Returns true when the batch was applied (or dry-run-computed),
+    * false when it was SKIPPED — empty batch, or the store's last
+    * applied batch id already equals `batchId` (replay guard). The
+    * CLI surfaces a false return so an operator never reads
+    * "committed" for a silently skipped diff. */
   def applyBatch(spark: SparkSession, root: String, batch: DataFrame,
                  batchId: Long, dryRun: Boolean = false,
-                 extraMeta: Map[String, String] = Map.empty): Unit = {
-    if (batch.isEmpty) return
+                 extraMeta: Map[String, String] = Map.empty): Boolean = {
+    if (batch.isEmpty) return false
     val prev = VersionedTable.current(root).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
-    if (prev.meta.get(BatchIdKey).contains(batchId.toString)) return
+    if (prev.meta.get(BatchIdKey).contains(batchId.toString)) return false
     val bk = prev.buckets
     require(bk.nonEmpty,
       s"catch-up needs a bucketed store at $root (commitBucketed)")
@@ -213,7 +219,7 @@ object Replication {
       VersionedTable.commitDelta(spark, root, deltas.toMap, Map(
         SeqKey -> maxSeq.toString,
         BatchIdKey -> batchId.toString) ++ extraMeta, dryRun = dryRun)
-      ()
+      true
     } finally { changes.unpersist(blocking = false); () }
   }
 }

@@ -99,6 +99,26 @@ class CliSpec extends AnyFunSuite {
     assert(missing == 0L)
   }
 
+  test("unknown or misspelled flags fail loudly instead of flipping " +
+    "semantics") {
+    // --dryrun (missing hyphen) must NOT silently run a real commit
+    val e1 = intercept[Cli.CliError] {
+      captured("expand", pbfDir, "/tmp/never-created-db", "--dryrun")
+    }
+    assert(e1.getMessage.contains("unknown option"))
+    // --nouserdata (wrong case) must NOT silently retain GDPR fields
+    val e2 = intercept[Cli.CliError] {
+      captured("extract", dbRoot, "/tmp/never-created-out",
+        "--bbox=-30,-90,30,90", "--nouserdata")
+    }
+    assert(e2.getMessage.contains("unknown option"))
+    // a non-numeric value fails with the flag named, not a stack trace
+    val e3 = intercept[Cli.CliError] {
+      captured("expand", pbfDir, "/tmp/never-created-db", "--buckets=abc")
+    }
+    assert(e3.getMessage.contains("--buckets"))
+  }
+
   test("update is dry-run by default and commits with --commit") {
     captured("expand", pbfDir, dbRoot)
     val before = new osm.OsmDb(spark, dbRoot)
@@ -133,6 +153,13 @@ class CliSpec extends AnyFunSuite {
     assert(after.snapshot.version == before.snapshot.version + 1)
     assert(after.metadata("osmosis_replication_sequence_number")
       .contains("901"))
+    // replaying the SAME seqnum hits the store's batch-id guard: the
+    // CLI must fail loudly instead of printing a false 'committed'
+    val replay = intercept[Cli.CliError] {
+      captured("update", dbRoot, oscDir, "901", "--commit")
+    }
+    assert(replay.getMessage.contains("nothing applied"),
+      replay.getMessage)
     assert(after.metadata("osmosis_replication_timestamp")
       .contains("1714521600"))
     val (lon, lat, _) = after.location(someId).get
