@@ -127,6 +127,12 @@ case class CmsAgg(child: Expression, width: Expression, depth: Expression,
       else if (d < 1 || d > 16)
         TypeCheckResult.TypeCheckFailure(
           s"cms_agg depth must be in [1, 16], got $d")
+      else if (d.toLong * w > (1 << 27))
+        // the buffer is one Array[Long](d * w): bound it (1 GiB) so
+        // d * w can neither overflow Int nor silently allocate more
+        // per-task memory than any sketch should hold
+        TypeCheckResult.TypeCheckFailure(
+          s"cms_agg depth * width must be <= 2^27 cells, got ${d.toLong * w}")
       else TypeCheckResult.TypeCheckSuccess
     }
 

@@ -87,7 +87,13 @@ case class LshFirstBandPairs(ms: Expression, band: Expression)
     (ms.dataType, band.dataType) match {
       case (ArrayType(StructType(fs), _), IntegerType)
         if fs.length == 2 && fs(0).dataType == LongType &&
-          fs(1).dataType.isInstanceOf[ArrayType] =>
+          // element type matters too: the kernel getUTF8Strings the
+          // band keys, so a non-string bands array must fail analysis,
+          // not ClassCastException mid-task
+          (fs(1).dataType match {
+            case ArrayType(StringType, _) => true
+            case _ => false
+          }) =>
         TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
         "lsh_first_band_pairs expects (ARRAY<STRUCT<BIGINT, ARRAY<STRING>>>, INT)")

@@ -58,64 +58,50 @@ object GraftFunctions {
     "s2_cell_id(lat, lng, level) - S2 cell id containing the point at the given level.",
     "")
 
-  private def s2CellIdBuilder(args: Seq[Expression]): Expression = {
-    require(args.length == 3, "s2_cell_id expects (lat, lng, level)")
-    S2CellId(args(0), args(1), args(2))
-  }
+  /** Arity-checked builder: a wrong-arity SQL call must fail with the
+    * function's usage at analysis, not an IndexOutOfBoundsException
+    * from args(i) surfacing as an internal error. */
+  private def checked(name: String, n: Int)
+                     (f: Seq[Expression] => Expression)
+  : (String, Seq[Expression] => Expression) =
+    name -> ((args: Seq[Expression]) => {
+      require(args.length == n,
+        s"$name expects $n argument(s), got ${args.length}")
+      f(args)
+    })
 
   /** All custom functions: name -> builder. */
   private[functions] val builders
   : Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "s2_cell_id" -> s2CellIdBuilder,
-    "minhash_signature" ->
-      ((args: Seq[Expression]) => MinHashSignature(args(0), args(1))),
-    "simhash64" -> ((args: Seq[Expression]) => SimHash64(args(0))),
-    "jaccard_sorted" ->
-      ((args: Seq[Expression]) => JaccardSorted(args(0), args(1))),
-    "jaccard_ge_sorted" ->
-      ((args: Seq[Expression]) =>
-        JaccardGeSorted(args(0), args(1), args(2))),
-    "inter_size_sorted" ->
-      ((args: Seq[Expression]) => InterSizeSorted(args(0), args(1))),
-    "hash48_sort_dedup" ->
-      ((args: Seq[Expression]) => Hash48SortDedup(args(0))),
-    "ngram_hash48" ->
-      ((args: Seq[Expression]) => NgramHash48(args(0), args(1))),
-    "ngram_join" ->
-      ((args: Seq[Expression]) => NgramJoin(args(0), args(1))),
-    "winnow_fingerprint" ->
-      ((args: Seq[Expression]) =>
-        WinnowFingerprint(args(0), args(1), args(2))),
-    "char_window_hashes" ->
-      ((args: Seq[Expression]) => CharWindowHashes(args(0), args(1))),
-    "cell_in_ranges" ->
-      ((args: Seq[Expression]) => CellInRanges(args(0), args(1), args(2))),
-    "ivf_assign" ->
-      ((args: Seq[Expression]) => IvfAssign(args(0), args(1))),
-    "pq_encode" ->
-      ((args: Seq[Expression]) => PqEncode(args(0), args(1))),
-    "cosine_sim" ->
-      ((args: Seq[Expression]) => CosineSim(args(0), args(1))),
-    "binary_resample" ->
-      ((args: Seq[Expression]) => BinaryResample(args(0), args(1))),
-    "lsh_first_band_pairs" ->
-      ((args: Seq[Expression]) => LshFirstBandPairs(args(0), args(1))),
-    "st_within_region" ->
-      ((args: Seq[Expression]) =>
-        StWithinRegion(args(0), args(1), args(2), args(3))),
-    "bloom_agg" ->
-      ((args: Seq[Expression]) => BloomAgg(args(0), args(1), args(2))),
-    "cms_agg" ->
-      ((args: Seq[Expression]) => CmsAgg(args(0), args(1), args(2))),
-    "cms_estimate" ->
-      ((args: Seq[Expression]) => CmsEstimate(args(0), args(1))),
-    "bloom_contains" ->
-      ((args: Seq[Expression]) => BloomContains(args(0), args(1))),
-    "bitmap_agg" -> ((args: Seq[Expression]) => BitmapAgg(args(0))),
-    "bitmap_contains" ->
-      ((args: Seq[Expression]) => BitmapContains(args(0), args(1))),
-    "bitmap_cardinality" ->
-      ((args: Seq[Expression]) => BitmapCardinality(args(0))))
+    checked("s2_cell_id", 3)(a => S2CellId(a(0), a(1), a(2))),
+    checked("minhash_signature", 2)(a => MinHashSignature(a(0), a(1))),
+    checked("simhash64", 1)(a => SimHash64(a(0))),
+    checked("jaccard_sorted", 2)(a => JaccardSorted(a(0), a(1))),
+    checked("jaccard_ge_sorted", 3)(a =>
+      JaccardGeSorted(a(0), a(1), a(2))),
+    checked("inter_size_sorted", 2)(a => InterSizeSorted(a(0), a(1))),
+    checked("hash48_sort_dedup", 1)(a => Hash48SortDedup(a(0))),
+    checked("ngram_hash48", 2)(a => NgramHash48(a(0), a(1))),
+    checked("ngram_join", 2)(a => NgramJoin(a(0), a(1))),
+    checked("winnow_fingerprint", 3)(a =>
+      WinnowFingerprint(a(0), a(1), a(2))),
+    checked("char_window_hashes", 2)(a => CharWindowHashes(a(0), a(1))),
+    checked("cell_in_ranges", 3)(a => CellInRanges(a(0), a(1), a(2))),
+    checked("ivf_assign", 2)(a => IvfAssign(a(0), a(1))),
+    checked("pq_encode", 2)(a => PqEncode(a(0), a(1))),
+    checked("cosine_sim", 2)(a => CosineSim(a(0), a(1))),
+    checked("binary_resample", 2)(a => BinaryResample(a(0), a(1))),
+    checked("lsh_first_band_pairs", 2)(a =>
+      LshFirstBandPairs(a(0), a(1))),
+    checked("st_within_region", 4)(a =>
+      StWithinRegion(a(0), a(1), a(2), a(3))),
+    checked("bloom_agg", 3)(a => BloomAgg(a(0), a(1), a(2))),
+    checked("cms_agg", 3)(a => CmsAgg(a(0), a(1), a(2))),
+    checked("cms_estimate", 2)(a => CmsEstimate(a(0), a(1))),
+    checked("bloom_contains", 2)(a => BloomContains(a(0), a(1))),
+    checked("bitmap_agg", 1)(a => BitmapAgg(a(0))),
+    checked("bitmap_contains", 2)(a => BitmapContains(a(0), a(1))),
+    checked("bitmap_cardinality", 1)(a => BitmapCardinality(a(0))))
 
   /** Idempotent per-session registration of every graft function, plus
     * the region-rewrite optimizer rule (plan-time spatial pruning). */

@@ -289,7 +289,10 @@ object TextHashImpl {
   }
 
   /** Jaccard over two SORTED, DISTINCT long arrays by linear merge —
-    * reads elements in place (no array copy per pair). */
+    * reads elements in place (no array copy per pair). INPUT CONTRACT:
+    * no null elements — both sides come from the hash kernels
+    * (ngram_hash48 / hash48_sort_dedup), which never emit nulls; the
+    * hot verify loop stays free of per-element null tests. */
   def jaccardSortedLong(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements(); val nb = b.numElements()
     if (na == 0 && nb == 0) return 0.0
@@ -357,16 +360,29 @@ object TextHashImpl {
   def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements(); val nb = b.numElements()
     if (na == 0 && nb == 0) return 0.0
+    // null elements are SKIPPED (treated as absent from the set):
+    // this is the registered SQL surface, so arbitrary user arrays
+    // must not NPE in the merge; sort_array puts nulls first, so the
+    // skip happens once up front in the common case
     var i = 0; var j = 0; var inter = 0
+    var nna = 0; var nnb = 0
+    var k = 0
+    while (k < na) { if (!a.isNullAt(k)) nna += 1; k += 1 }
+    k = 0
+    while (k < nb) { if (!b.isNullAt(k)) nnb += 1; k += 1 }
     while (i < na && j < nb) {
-      val x = a.getUTF8String(i); val y = b.getUTF8String(j)
-      val c = x.compareTo(y)
-      if (c == 0) { inter += 1; i += 1; j += 1 }
-      else if (c < 0) i += 1
-      else j += 1
+      if (a.isNullAt(i)) i += 1
+      else if (b.isNullAt(j)) j += 1
+      else {
+        val x = a.getUTF8String(i); val y = b.getUTF8String(j)
+        val c = x.compareTo(y)
+        if (c == 0) { inter += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
     }
-    val union = na + nb - inter
-    inter.toDouble / union.toDouble
+    val union = nna + nnb - inter
+    if (union == 0) 0.0 else inter.toDouble / union.toDouble
   }
 }
 
@@ -583,10 +599,12 @@ case class NgramHash48(text: Expression, n: Expression)
   private lazy val nVal: Int = n.eval().asInstanceOf[Int]
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (text.dataType == StringType && n.foldable &&
-      n.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
+    if (!(text.dataType == StringType && n.foldable &&
+      n.dataType == IntegerType)) TypeCheckResult.TypeCheckFailure(
       "ngram_hash48 expects (STRING, literal INT)")
+    else if (n.eval().asInstanceOf[Int] < 1)
+      TypeCheckResult.TypeCheckFailure("ngram_hash48: n must be >= 1")
+    else TypeCheckResult.TypeCheckSuccess
 
   override def eval(input: InternalRow): Any = {
     val t = text.eval(input)
@@ -696,12 +714,16 @@ case class WinnowFingerprint(text: Expression, n: Expression,
   private lazy val wVal: Int = w.eval().asInstanceOf[Int]
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (text.dataType == StringType &&
+    if (!(text.dataType == StringType &&
       n.foldable && n.dataType == IntegerType &&
-      w.foldable && w.dataType == IntegerType)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      "winnow_fingerprint expects (STRING, literal INT, literal INT)")
+      w.foldable && w.dataType == IntegerType))
+      TypeCheckResult.TypeCheckFailure(
+        "winnow_fingerprint expects (STRING, literal INT, literal INT)")
+    else if (n.eval().asInstanceOf[Int] < 1 ||
+      w.eval().asInstanceOf[Int] < 1)
+      TypeCheckResult.TypeCheckFailure(
+        "winnow_fingerprint: n and w must be >= 1")
+    else TypeCheckResult.TypeCheckSuccess
 
   override def eval(input: InternalRow): Any = {
     val t = text.eval(input)
@@ -749,11 +771,14 @@ case class CharWindowHashes(text: Expression, k: Expression)
   private lazy val kVal: Int = k.eval().asInstanceOf[Int]
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (text.dataType == StringType &&
-      k.foldable && k.dataType == IntegerType)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      "char_window_hashes expects (STRING, literal INT)")
+    if (!(text.dataType == StringType &&
+      k.foldable && k.dataType == IntegerType))
+      TypeCheckResult.TypeCheckFailure(
+        "char_window_hashes expects (STRING, literal INT)")
+    else if (k.eval().asInstanceOf[Int] < 1)
+      TypeCheckResult.TypeCheckFailure(
+        "char_window_hashes: k must be >= 1")
+    else TypeCheckResult.TypeCheckSuccess
 
   override def eval(input: InternalRow): Any = {
     val t = text.eval(input)

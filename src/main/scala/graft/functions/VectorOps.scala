@@ -28,23 +28,27 @@ object VectorImpl {
 
   /** Sequential-fold cosine over the common prefix of two double
     * arrays: dot, norms, and the zero-norm guard in the exact HOF /
-    * `list_sum` order. Null elements are impossible by construction
-    * (cast from the non-null parquet vectors). */
+    * `list_sum` order. Null elements read as 0.0 — this is the
+    * registered SQL surface, so an arbitrary user array must behave
+    * identically under UnsafeArrayData (which already yields 0.0) and
+    * GenericArrayData (which would otherwise NPE on unboxing). */
   def cosine(a: ArrayData, b: ArrayData): Double = {
+    def at(arr: ArrayData, i: Int): Double =
+      if (arr.isNullAt(i)) 0.0 else arr.getDouble(i)
     val n = math.min(a.numElements(), b.numElements())
     var dt = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = a.getDouble(i); val y = b.getDouble(i)
+      val x = at(a, i); val y = at(b, i)
       dt += x * y; na += x * x; nb += y * y
       i += 1
     }
     // norms over each FULL array (matches norm(a) in the HOF form even
     // when lengths differ)
     var j = n
-    while (j < a.numElements()) { val x = a.getDouble(j); na += x * x; j += 1 }
+    while (j < a.numElements()) { val x = at(a, j); na += x * x; j += 1 }
     j = n
-    while (j < b.numElements()) { val y = b.getDouble(j); nb += y * y; j += 1 }
+    while (j < b.numElements()) { val y = at(b, j); nb += y * y; j += 1 }
     val sa = math.sqrt(na); val sb = math.sqrt(nb)
     if (sa == 0.0 || sb == 0.0) 0.0 else dt / (sa * sb)
   }
@@ -55,6 +59,10 @@ object VectorImpl {
     * earlier one). `norms` are the centroids' precomputed fold norms. */
   def ivfAssign(vec: ArrayData, cents: Array[Array[Double]],
                 norms: Array[Double]): Int = {
+    // an empty centroid set would otherwise fabricate assignment 1 (a
+    // phantom cluster every row lands in, joins matching nothing) —
+    // surface the misconfigured quantizer instead
+    require(cents.nonEmpty, "ivf_assign: empty centroid set")
     val n = vec.numElements()
     var s = 0.0
     var j = 0
@@ -85,6 +93,8 @@ object VectorImpl {
     * of Ints so the result is a plain ARRAY<INT>. */
   def pqEncode(vec: ArrayData,
                books: Array[Array[Array[Double]]]): ArrayData = {
+    require(books.nonEmpty && books.forall(_.nonEmpty),
+      "pq_encode: empty codebook")
     val codes = new Array[Any](books.length)
     var off = 0
     var s = 0

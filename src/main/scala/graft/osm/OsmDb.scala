@@ -28,10 +28,15 @@ final class OsmDb(spark: SparkSession, root: String) {
     * the plain id-sorted scan with row-group pruning. */
   private def keyed(name: String, keyCol: String, key: Long): DataFrame =
     (snapshot.buckets.get(name) match {
-      case Some(spec) => VersionedTable.readBuckets(spark, root, name,
-        Seq(VersionedTable.bucketOfValue(key, spec.nBuckets)),
-        Some(snapshot))
-      case None => table(name)
+      // bucket-prune ONLY when the table is bucketed by the probed
+      // column (the manifest records the layout key): a lookup on any
+      // other column must scan the whole table — routing it to one
+      // hash bucket would silently return None for rows that exist
+      case Some(spec) if spec.key == keyCol =>
+        VersionedTable.readBuckets(spark, root, name,
+          Seq(VersionedTable.bucketOfValue(key, spec.nBuckets)),
+          Some(snapshot))
+      case _ => table(name)
     }).where(col(keyCol) === key)
 
   /** P1: location lookup — (lon, lat, version) or None (a node's coords

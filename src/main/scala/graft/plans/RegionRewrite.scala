@@ -32,8 +32,9 @@ object RegionRewrite extends Rule[LogicalPlan] {
       case f @ Filter(cond, _) =>
         val newCond = cond.transformUp {
           case sw: StWithinRegion if !sw.prunedMarker =>
+            // coveringRanges output is already lo-sorted (the
+            // binary-search contract lives in Coverer.cellRanges)
             val ranges = Coverer.coveringRanges(sw.region)
-              .sortBy(_._1)
             val los = Literal.create(ranges.map(_._1),
               ArrayType(LongType, containsNull = false))
             val his = Literal.create(ranges.map(_._2),
