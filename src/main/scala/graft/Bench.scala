@@ -147,6 +147,30 @@ object Bench {
           s"[bench] WARN result-file write failed: " +
             s"${t.getClass.getName}: ${t.getMessage}")
     }
+    // The LAST stdout line must be a COMPLETE JSON object within the
+    // harness's 2000-char stdout tail: at 199 queries the full line
+    // above is ~9 KB, so the tail clips its head and the round artifact
+    // records "parsed": null (r5-r10). Emit a size-bounded summary as
+    // the final line — total/failures plus the slowest queries that fit
+    // a 1400-char budget — and point at the full per-query file. The
+    // full line stays first for logs and /tmp.
+    val okRows = results.collect { case (k, v, None) => (k, v) }
+    // locale-pinned: f"" uses the default locale, and a comma decimal
+    // separator would corrupt the JSON
+    def d2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    def compact(topN: Int): String = {
+      val top = okRows.sortBy(-_._2).take(topN)
+        .map { case (k, v) => "\"" + k + "\":" + d2(v) }
+        .mkString("{", ",", "}")
+      val tot = d2(total)
+      s"""{"metric":"total","value":$tot,"unit":"sec","queries":$top,"queries_total":${results.size},"queries_shown":${math.min(topN, okRows.size)},"failed":$failed,"full_results":"/tmp/graft_bench_out.json","sf":"$sfEsc"}"""
+    }
+    // widest top-N that fits the budget (leaves headroom for the build
+    // tool's trailing "[success]" line inside the same 2000-char tail)
+    val line = (40 to 1 by -1).iterator.map(compact)
+      .find(_.length <= 1400).getOrElse(compact(1))
+    println(line)
     spark.stop()
   }
 }

@@ -278,16 +278,32 @@ object Cli {
          catch { case _: java.time.format.DateTimeParseException =>
            fail(s"update: TIMESTAMP must be ISO-8601, got '${pos(3)}'") }))
     else Map.empty[String, String])
-    val applied = streaming.Replication.applyBatch(spark, root, change,
-      batchId = seqnum, dryRun = !commit, extraMeta = extra)
-    // an un-applied batch (empty diff, or the replay guard matched
-    // this seqnum against the store's last batch id) must never read
-    // as "committed" — the reference's update loop is loud about both
-    if (!applied) fail(
-      s"update: nothing applied at $root (empty diff, or batch id " +
-        s"$seqnum already recorded as applied)")
-    println(if (commit) s"committed seqnum $seqnum at $root"
-            else s"dry-run ok (pass --commit to publish seqnum $seqnum)")
+    import streaming.Replication.ApplyResult
+    streaming.Replication.applyBatch(spark, root, change,
+      batchId = seqnum, dryRun = !commit, extraMeta = extra) match {
+      case ApplyResult.Applied =>
+        println(if (commit) s"committed seqnum $seqnum at $root"
+                else s"dry-run ok (pass --commit to publish seqnum " +
+                  s"$seqnum)")
+      case ApplyResult.EmptyDiff =>
+        // a quiet replication interval is NOT an error: under --commit,
+        // record the seqnum/timestamp anyway (the reference commits the
+        // metadata txn unconditionally, src/update.cpp:283-287) so the
+        // next default seqnum is recorded+1 and an automated catch-up
+        // loop advances past the empty interval instead of recomputing
+        // the same empty diff forever
+        if (commit) {
+          streaming.Replication.recordReplicationMeta(spark, root,
+            seqnum, extra)
+          println(s"no changes in $osc; recorded seqnum $seqnum at $root")
+        } else println(s"no changes in $osc (dry-run; pass --commit to " +
+          s"record seqnum $seqnum)")
+      case ApplyResult.ReplayedBatch =>
+        // the loud case: a human explicitly re-requested a seqnum the
+        // store already recorded as applied — never report "committed"
+        fail(s"update: batch id $seqnum already recorded as applied " +
+          s"at $root")
+    }
   }
 
   // ---- query -----------------------------------------------------------

@@ -166,16 +166,27 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  /** Serializes the three staged-artifact builders: TrieMap's
-    * getOrElseUpdate thunk is not mutually exclusive, so two
-    * concurrent cold-cache callers would BOTH run the corpus-scale
-    * banding/verify build (one result discarded). Reentrant on
-    * purpose — the builders nest (components -> pairs -> candidates)
-    * on one thread. */
-  private val stageLock = new Object
+  /** Per-key once-only build cell for the staged artifacts. TrieMap's
+    * getOrElseUpdate thunk is not mutually exclusive, so two concurrent
+    * cold-cache callers would BOTH run the corpus-scale banding/verify
+    * build (one result discarded). A global lock fixes that but
+    * serializes UNRELATED corpora: two tenants cold-building different
+    * cacheKeys would block each other for the full build duration.
+    * Instead the map holds a cheap cell per key (TrieMap.getOrElseUpdate
+    * returns the single winning cell even when the thunk races) and the
+    * build runs inside the cell's `lazy val` — JVM lazy-val
+    * initialization gives exactly-once per cell with blocking only for
+    * callers of the SAME key. Nested builds (components -> pairs ->
+    * candidates) touch different cells, so no self-deadlock; a failed
+    * build is retried on the next access (lazy-val failure is not
+    * cached). */
+  private final class StagedDir(build: () => String) {
+    lazy val dir: String = build()
+  }
 
   private val stagedCandidateDirs =
-    scala.collection.concurrent.TrieMap[(String, Int, Int, Int), String]()
+    scala.collection.concurrent.TrieMap[(String, Int, Int, Int),
+      StagedDir]()
 
   /** LSH candidate pairs (`a`, `b`, pre-verify) materialized to parquet
     * ONCE per JVM per (cacheKey, bands, rowsPerBand, maxBucket) and read
@@ -198,20 +209,21 @@ object Dedup {
                            rowsPerBand: Int = 4,
                            maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val s = docs.sparkSession
-    val dir = stageLock.synchronized { stagedCandidateDirs.getOrElseUpdate(
-      (cacheKey, bands, rowsPerBand, maxBucket), {
+    val dir = stagedCandidateDirs.getOrElseUpdate(
+      (cacheKey, bands, rowsPerBand, maxBucket), new StagedDir(() => {
         val tmp = graft.TempDirs.create("graft-dedup-cand")
         minhashCandidatePairs(docs, textCol, idCol, bands, rowsPerBand,
           maxBucket).write.mode("overwrite").parquet(tmp)
         tmp
-      }) }
+      })).dir
     // explicit schema: a corpus with zero colliding buckets writes no
     // parquet files and inference would fail on read-back
     s.read.schema("a BIGINT, b BIGINT").parquet(dir)
   }
 
   private val stagedPairDirs =
-    scala.collection.concurrent.TrieMap[(String, Double, Int), String]()
+    scala.collection.concurrent.TrieMap[(String, Double, Int),
+      StagedDir]()
 
   /** Verified near-dup pairs (`a`, `b`, `jaccard`) materialized to
     * parquet ONCE per JVM per (cacheKey, threshold, ngram) and read
@@ -225,8 +237,8 @@ object Dedup {
                          cacheKey: String, threshold: Double = 0.6,
                          ngram: Int = 3): DataFrame = {
     val s = docs.sparkSession
-    val dir = stageLock.synchronized { stagedPairDirs.getOrElseUpdate(
-      (cacheKey, threshold, ngram), {
+    val dir = stagedPairDirs.getOrElseUpdate(
+      (cacheKey, threshold, ngram), new StagedDir(() => {
         val tmp = graft.TempDirs.create("graft-dedup-pairs")
         // verify FROM the staged candidate artifact: the corpus-scale
         // banding pass runs once per corpus, shared across thresholds
@@ -234,14 +246,15 @@ object Dedup {
         verifyCandidates(cand, docs, textCol, idCol, threshold, ngram)
           .write.mode("overwrite").parquet(tmp)
         tmp
-      }) }
+      })).dir
     // explicit schema: a corpus with zero near-dup pairs writes no
     // parquet files and inference would fail on read-back
     s.read.schema("a BIGINT, b BIGINT, jaccard DOUBLE").parquet(dir)
   }
 
   private val stagedComponentDirs =
-    scala.collection.concurrent.TrieMap[(String, Double, Int), String]()
+    scala.collection.concurrent.TrieMap[(String, Double, Int),
+      StagedDir]()
 
   /** Near-dup cluster labels (`id`, `component`) from the full LSH ->
     * Jaccard-verify -> connected-components pipeline, materialized to
@@ -255,8 +268,8 @@ object Dedup {
                        cacheKey: String, threshold: Double = 0.6,
                        ngram: Int = 3): DataFrame = {
     val s = docs.sparkSession
-    val dir = stageLock.synchronized { stagedComponentDirs.getOrElseUpdate(
-      (cacheKey, threshold, ngram), {
+    val dir = stagedComponentDirs.getOrElseUpdate(
+      (cacheKey, threshold, ngram), new StagedDir(() => {
         val tmp = graft.TempDirs.create("graft-dedup-comp")
         // build from the staged pair artifact: one verify pass per
         // corpus serves pairs-consumers AND the component labels
@@ -265,7 +278,7 @@ object Dedup {
         graft.ops.Components.connectedComponents(pairs, "a", "b")
           .write.mode("overwrite").parquet(tmp)
         tmp
-      }) }
+      })).dir
     // explicit schema: a corpus with zero near-dup pairs writes no
     // parquet files and inference would fail on read-back (q100 rule)
     s.read.schema("id BIGINT, component BIGINT").parquet(dir)
@@ -300,6 +313,87 @@ object Dedup {
           |    struct(a, b))))""".stripMargin)).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
+  }
+
+  /** Block layout for [[simhashNearDupPairs]]: the 64 sketch bits split
+    * into 6 blocks (1-based substr offset, length) of 11/11/11/11/10/10
+    * bits. */
+  private[llm] val SimhashBlocks: Seq[(Int, Int)] =
+    Seq((1, 11), (12, 11), (23, 11), (34, 11), (45, 10), (55, 10))
+
+  /** The C(6,3)=20 block triples, each a band whose key is the
+    * concatenation of three blocks (~32 bits). Deterministic order. */
+  private[llm] val SimhashCombos: Seq[Seq[Int]] =
+    (0 until SimhashBlocks.size).combinations(3).map(_.toSeq).toSeq
+
+  /** Scale-safe SimHash near-dup pairs — the non-saturating replacement
+    * for [[simhashCandidatePairs]]'s 4x16 banding. That scheme's key
+    * space is FIXED (4 bands x 2^16 keys): as the corpus grows, average
+    * bucket size grows linearly and candidate pairs quadratically until
+    * the cap truncates — a scale-killer past ~1M docs.
+    *
+    * This variant uses the block-permutation construction from the
+    * published web-dedup literature (Manku et al., WWW 2007, "Detecting
+    * near-duplicates for web crawling"): split the 64-bit sketch into 6
+    * blocks (11/11/11/11/10/10 bits); a pair at Hamming distance <= 3
+    * differs in at most 3 blocks, so at least 3 blocks are identical,
+    * so the pair collides on at least one of the C(6,3)=20 block
+    * TRIPLES. Each triple's concatenated bits (~32) are the band key:
+    * key space ~2^32 PER BAND, so buckets stay O(true duplicates) at
+    * any corpus size — recall for hd<=3 is exactly the pigeonhole
+    * guarantee the 4x16 scheme had, with no saturation.
+    *
+    * Candidates are then verified with the EXACT Hamming distance
+    * (bit_count of xor on two 32-bit halves — codegen'd builtins), so
+    * the output (a, b, hamming <= maxHamming) grows with the true
+    * near-dup mass, not with the corpus squared. The per-bucket
+    * `maxBucket` smallest-id cap is kept for adversarial key collisions
+    * (identical sketches), same semantics as the other banders. */
+  def simhashNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
+                          maxHamming: Int = 3,
+                          maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(maxHamming <= 3,
+      s"6-block/3-triple banding guarantees recall only for hd<=3, " +
+        s"got $maxHamming")
+    val sk = simhashSketch(docs, textCol, idCol)
+    val bandStructs = SimhashCombos.zipWithIndex.map { case (c, ci) =>
+      struct(lit(ci).as("band"),
+        concat(c.map { i =>
+          val (off, len) = SimhashBlocks(i)
+          col("simhash").substr(off, len)
+        }: _*).as("bkey"))
+    }
+    val banded = sk
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bkey").as("bkey"))
+    val cand = banded.groupBy("band", "bkey")
+      .agg(sort_array(collect_list("doc_id")).as("ids"))
+      .where(size(col("ids")) >= 2)
+      .select(slice(col("ids"), 1, maxBucket).as("ids"))
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), b ->
+          |    struct(a, b))))""".stripMargin)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+    // exact verify: hamming via xor+bit_count on two 32-bit halves
+    // (conv of a 32-bit '0'/'1' substring can never overflow a long)
+    def half(c: Column, off: Int): Column =
+      conv(c.substr(off, 32), 2, 10).cast("long")
+    def hamming(x: Column, y: Column): Column =
+      (call_function("bit_count",
+        half(x, 1).bitwiseXOR(half(y, 1))) +
+        call_function("bit_count",
+          half(x, 33).bitwiseXOR(half(y, 33)))).cast("int")
+    cand
+      .join(sk.select(col("doc_id").as("a"), col("simhash").as("sha")),
+        Seq("a"))
+      .join(sk.select(col("doc_id").as("b"), col("simhash").as("shb")),
+        Seq("b"))
+      .select(col("a"), col("b"),
+        hamming(col("sha"), col("shb")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
   }
 
   /** Documents surviving near-duplicate removal: a doc is dropped iff it

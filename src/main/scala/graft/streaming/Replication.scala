@@ -62,6 +62,38 @@ object Replication {
   private val SeqKey = "osmosis_replication_sequence_number"
   private val BatchIdKey = "streaming_batch_id"
 
+  /** Outcome of [[applyBatch]]. The three cases need different operator
+    * responses (the reference's update loop distinguishes them too,
+    * `src/update.cpp:280-291`): `Applied` is the normal commit (or
+    * dry-run compute); `EmptyDiff` means the change set had zero rows —
+    * a quiet replication interval, NOT an error, and under `--commit`
+    * the CLI still records the seqnum so an automated catch-up loop
+    * advances instead of wedging on the same empty diff forever;
+    * `ReplayedBatch` means the store's last applied batch id already
+    * equals this batch's id (at-least-once redelivery) — a no-op by
+    * design, loud only when a human asked for that exact seqnum. */
+  sealed trait ApplyResult
+  object ApplyResult {
+    case object Applied extends ApplyResult
+    case object EmptyDiff extends ApplyResult
+    case object ReplayedBatch extends ApplyResult
+  }
+
+  /** Metadata-only commit: advance the replication seqnum (+ extra keys,
+    * e.g. the timestamp) with NO data change — one new manifest version,
+    * every bucket linked to its prior file. This is how an empty diff
+    * under `--commit` still moves the catch-up cursor forward (the
+    * reference commits the metadata txn unconditionally,
+    * `src/update.cpp:283-287`); without it a quiet replication interval
+    * wedges an automated loop on the same seqnum forever. */
+  def recordReplicationMeta(spark: SparkSession, root: String,
+                            seqnum: Long,
+                            extraMeta: Map[String, String] = Map.empty)
+  : Long =
+    VersionedTable.commitDelta(spark, root, Map.empty,
+      Map(SeqKey -> seqnum.toString, BatchIdKey -> seqnum.toString) ++
+        extraMeta)
+
   /** U5: continuous replication catch-up over a BUCKETED copy-on-write
     * store ([[VersionedTable.commitBucketed]]). Watches `changesDir`
     * for new change files; every micro-batch applies U1/U2/U3 (node,
@@ -88,8 +120,16 @@ object Replication {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(spark, tableRoot, batch, batchId)
-        () // foreachBatch wants Unit; the applied flag is for the CLI
+        // a skipped batch (replay-guard no-op or empty micro-batch) must
+        // be VISIBLE in the streaming log too, not just the CLI path —
+        // an operator tailing the job should never wonder why a version
+        // didn't advance (same contract as cmdUpdate's loud false)
+        applyBatch(spark, tableRoot, batch, batchId) match {
+          case ApplyResult.Applied => ()
+          case skipped =>
+            System.err.println(s"[replication] batch $batchId at " +
+              s"$tableRoot skipped: $skipped")
+        }
       }
       .start()
 
@@ -100,18 +140,26 @@ object Replication {
     * publishing (the reference's default update mode,
     * `src/update.cpp:280-291`); `extraMeta` adds CLI-supplied keys
     * (e.g. the replication timestamp) to the committed manifest.
-    * Returns true when the batch was applied (or dry-run-computed),
-    * false when it was SKIPPED — empty batch, or the store's last
-    * applied batch id already equals `batchId` (replay guard). The
-    * CLI surfaces a false return so an operator never reads
-    * "committed" for a silently skipped diff. */
+    * Returns [[ApplyResult.Applied]] when the batch was applied (or
+    * dry-run-computed), [[ApplyResult.EmptyDiff]] for a zero-row
+    * change set, [[ApplyResult.ReplayedBatch]] when the store's last
+    * applied batch id already equals `batchId` (at-least-once replay
+    * guard). Callers decide the response: the CLI records metadata and
+    * exits 0 on an empty diff but fails loudly on a replay; the
+    * streaming loop logs both. */
   def applyBatch(spark: SparkSession, root: String, batch: DataFrame,
                  batchId: Long, dryRun: Boolean = false,
-                 extraMeta: Map[String, String] = Map.empty): Boolean = {
-    if (batch.isEmpty) return false
+                 extraMeta: Map[String, String] = Map.empty): ApplyResult = {
     val prev = VersionedTable.current(root).getOrElse(
       throw new IllegalStateException(s"no committed version at $root"))
-    if (prev.meta.get(BatchIdKey).contains(batchId.toString)) return false
+    // replay guard BEFORE the emptiness probe: a redelivered batch id
+    // must report ReplayedBatch even when its diff is empty (otherwise
+    // the CLI's EmptyDiff path would re-record an already-applied
+    // seqnum), and the manifest read is cheaper than the Spark job
+    // isEmpty runs anyway
+    if (prev.meta.get(BatchIdKey).contains(batchId.toString))
+      return ApplyResult.ReplayedBatch
+    if (batch.isEmpty) return ApplyResult.EmptyDiff
     val bk = prev.buckets
     require(bk.nonEmpty,
       s"catch-up needs a bucketed store at $root (commitBucketed)")
@@ -219,7 +267,7 @@ object Replication {
       VersionedTable.commitDelta(spark, root, deltas.toMap, Map(
         SeqKey -> maxSeq.toString,
         BatchIdKey -> batchId.toString) ++ extraMeta, dryRun = dryRun)
-      true
+      ApplyResult.Applied
     } finally { changes.unpersist(blocking = false); () }
   }
 }

@@ -158,7 +158,7 @@ class CliSpec extends AnyFunSuite {
     val replay = intercept[Cli.CliError] {
       captured("update", dbRoot, oscDir, "901", "--commit")
     }
-    assert(replay.getMessage.contains("nothing applied"),
+    assert(replay.getMessage.contains("already recorded as applied"),
       replay.getMessage)
     assert(after.metadata("osmosis_replication_timestamp")
       .contains("1714521600"))
@@ -166,5 +166,56 @@ class CliSpec extends AnyFunSuite {
     val (lon0, lat0, _) = before.location(someId).get
     assert(lon == lon0 + 7 && lat == lat0 + 7)
     assert(after.node(someId).exists(_._1 == Map("fixme" -> "yes")))
+  }
+
+  test("an empty diff under --commit records the seqnum (no wedged " +
+    "catch-up loop) and stays loud only for explicit replays") {
+    // runs after the update test: dbRoot has seqnum 901 committed.
+    // A quiet replication interval produces a structurally valid .osc
+    // with zero elements — the reference still commits the metadata
+    // txn (src/update.cpp:283-287), so the next default seqnum is
+    // recorded+1 and an automated loop advances past the interval.
+    import org.apache.spark.sql.functions._
+    val empty = Files.createTempDirectory("graft-cli-osc0").toString
+    new osm.OsmDb(spark, dbRoot).locationsTyped.toDF()
+      .where(lit(false))
+      .select($"id", lit("modify").as("action"), $"lon", $"lat",
+        $"version", lit(0L).as("timestamp"), lit(0L).as("changeset"),
+        lit(0L).as("uid"), lit("").as("user"),
+        map().cast("map<string,string>").as("tags"))
+      .coalesce(1).write.format("osmxml").option("entity", "node")
+      .mode("overwrite").save(empty)
+
+    val v0 = new osm.OsmDb(spark, dbRoot).snapshot.version
+    val wet = captured("update", dbRoot, empty, "950",
+      "2024-05-02T00:00:00Z", "--commit")
+    assert(wet.contains("no changes") && wet.contains("950"), wet)
+    val db1 = new osm.OsmDb(spark, dbRoot)
+    assert(db1.metadata("osmosis_replication_sequence_number")
+      .contains("950"))
+    assert(db1.metadata("osmosis_replication_timestamp")
+      .contains("1714608000"))
+    assert(db1.snapshot.version == v0 + 1) // metadata-only CoW commit
+
+    // the loop's next iteration derives SEQNUM = recorded+1 = 951 by
+    // default — the wedge case was recomputing 950's empty diff forever
+    val next = captured("update", dbRoot, empty, "--commit")
+    assert(next.contains("951"), next)
+    assert(new osm.OsmDb(spark, dbRoot)
+      .metadata("osmosis_replication_sequence_number").contains("951"))
+
+    // dry-run empty diff: informative, nothing recorded
+    val dry = captured("update", dbRoot, empty)
+    assert(dry.contains("no changes") && dry.contains("dry-run"), dry)
+    assert(new osm.OsmDb(spark, dbRoot)
+      .metadata("osmosis_replication_sequence_number").contains("951"))
+
+    // a human explicitly re-requesting an already-recorded seqnum is
+    // still the loud failure (replay guard), even for an empty diff
+    val replay = intercept[Cli.CliError] {
+      captured("update", dbRoot, empty, "951", "--commit")
+    }
+    assert(replay.getMessage.contains("already recorded as applied"),
+      replay.getMessage)
   }
 }
