@@ -1,0 +1,127 @@
+package graft
+
+import graft.osm.{Extract, Ingest, OsmDb, SyntheticOsm}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Point-lookup latency headline: the reference's core design
+  * predictor is I/O latency at queue depth 1 (`docs/MANUAL.md:86` —
+  * "the strongest performance predictor is IOPS at QD1"; its B-tree
+  * descent is `src/storage.cpp:70-77`). graft's analog is the
+  * bucket-pruned single-key probe ([[OsmDb.keyed]]): the driver hashes
+  * the key to ONE bucket directory of the copy-on-write store, and the
+  * parquet point predicate prunes row groups inside that one file.
+  *
+  * What to expect (and what the numbers must SHOW): per-lookup wall is
+  * dominated by Spark's fixed job-scheduling floor (tens of ms on
+  * local mode), NOT by data size — so p50 must stay FLAT as the store
+  * grows a decade (the pruned probe reads one bucket regardless).
+  * A rising p50 across SFs means pruning broke. The reference's LMDB
+  * point read is sub-ms single-node; Spark pays its scheduling floor
+  * per probe in exchange for the same layout serving distributed scan
+  * queries — for serving-path point reads at reference-like latency
+  * you'd front the same bucket files with a non-JVM reader. This bench
+  * makes that trade measurable, not hidden.
+  *
+  * Setup (NOT timed): synthetic bundle -> sharded PBF ->
+  * `expandBucketed` store (64 buckets). Timed: `lookups` single-id
+  * probes per table (node location / tagged node / way / relation),
+  * ids sampled deterministically across the id range. Pass 1 = cold
+  * (first touch of each bucket file: FileIndex listing + footer read);
+  * pass 2 = warm (same ids, OS page cache + FileStatus cache hot) —
+  * per-pass p50/p99 reported.
+  *
+  * Prints ONE JSON line. Env: SPARK_GRAFT_SF_DIR (default
+  * /tmp/graft_sf1), SPARK_GRAFT_CPUS, SPARK_GRAFT_LOOKUPS (default 64
+  * per table), SPARK_GRAFT_LOOKUP_DB (reuse an existing bucketed store
+  * instead of building one — for cross-SF A/B on prebuilt stores).
+  */
+object LookupBench {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val nLookups = sys.env.getOrElse("SPARK_GRAFT_LOOKUPS", "64").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // ---- setup, untimed: build (or reuse) the bucketed store ----
+    val root = sys.env.get("SPARK_GRAFT_LOOKUP_DB").getOrElse {
+      val t = SyntheticOsm.materialized(spark, sfDir)
+      val all = Extract.Selected(
+        t.locations.select(col("id")), t.ways.select(col("id")),
+        t.relations.select(col("id")))
+      val pbfDir = TempDirs.create("graft-lookupbench-pbf")
+      Ingest.writeExtract(t, all, pbfDir, shards = cpus.toInt,
+        format = "osmpbf")
+      val r = TempDirs.create("graft-lookupbench-db")
+      Ingest.expandBucketed(spark, pbfDir, r, nBuckets = 64)
+      r
+    }
+    val db = new OsmDb(spark, root)
+
+    // deterministic id sample: k-th percentile ids of each table via a
+    // single ordered probe per table (untimed; ntile keeps it one scan)
+    def sampleIds(table: String, keyCol: String): Seq[Long] = {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col(keyCol))
+      graft.osm.VersionedTable.read(spark, root, table,
+          Some(db.snapshot))
+        .select(col(keyCol)).distinct()
+        .withColumn("nt", ntile(nLookups).over(w))
+        .groupBy(col("nt")).agg(min(col(keyCol)).as("k"))
+        .orderBy(col("nt"))
+        .collect().map(_.getAs[Long]("k")).toSeq
+    }
+    val probes: Seq[(String, Seq[Long], Long => Unit)] = Seq(
+      ("location", sampleIds("locations", "id"),
+        (id: Long) => { db.location(id); () }),
+      ("node", sampleIds("nodes", "id"),
+        (id: Long) => { db.node(id); () }),
+      ("way", sampleIds("ways", "id"),
+        (id: Long) => { db.way(id); () }),
+      ("relation", sampleIds("relations", "id"),
+        (id: Long) => { db.relation(id); () }),
+      ("parents", sampleIds("node_way", "member_id"),
+        (id: Long) => { db.parents("node_way", id); () }))
+
+    def pct(sorted: Array[Double], p: Double): Double =
+      sorted(math.min(sorted.length - 1,
+        math.max(0, math.ceil(p * sorted.length).toInt - 1)))
+
+    def pass(label: String): Seq[(String, Double, Double, Double)] =
+      probes.map { case (name, ids, probe) =>
+        val times = (0 until nLookups).map { i =>
+          val id = ids(i % ids.size)
+          val t0 = System.nanoTime()
+          probe(id)
+          (System.nanoTime() - t0) / 1e6 // ms
+        }.toArray.sorted
+        (s"${name}_$label", pct(times, 0.50), pct(times, 0.99),
+          times.sum / times.length)
+      }
+
+    val cold = pass("cold")
+    val warm = pass("warm")
+
+    def d1(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    def j(rows: Seq[(String, Double, Double, Double)]): String =
+      rows.map { case (k, p50, p99, mean) =>
+        s""""$k":{"p50_ms":${d1(p50)},"p99_ms":${d1(p99)},""" +
+          s""""mean_ms":${d1(mean)}}"""
+      }.mkString(",")
+    val nElems = db.stats().values.sum
+    println(
+      s"""{"metric":"lookup_p50_ms","value":${d1(warm.map(_._2).min)},""" +
+        s""""unit":"ms","lookups_per_table":$nLookups,""" +
+        s""""store_rows":$nElems,"tables":{${j(cold)},${j(warm)}},""" +
+        s""""sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

@@ -21,8 +21,12 @@ import org.apache.spark.sql.functions._
   *     from its degenerate buckets — the cap is the difference between
   *     O(n) and O(n^2) candidate volume in a heavy-collision regime.)
   *   - SimHash gives a per-doc 64-bit sketch; near-dup candidates come
-  *     from banding the bit-string (4 x 16-bit bands => Hamming distance
-  *     <= 3 is always caught in at least one band by pigeonhole).
+  *     from banding the bit-string. Two banders ship: the classic
+  *     4 x 16-bit scheme (surface fidelity; fixed key space — saturates
+  *     on a growing corpus) and the scale-safe block-permutation scheme
+  *     ([[simhashNearDupPairs]]: 20 block-triple bands, ~2^32 keys
+  *     each, exact Hamming verify) — both give the pigeonhole guarantee
+  *     that Hamming distance <= 3 is always caught in >= 1 band.
   */
 object Dedup {
 
@@ -34,22 +38,59 @@ object Dedup {
   /** In-memory amplification of a hashed-shingle frame over its
     * optimizer size estimate: the estimate tracks PARQUET bytes of the
     * pruned source columns, but each ~1 character of (snappy ~4:1
-    * compressed) text becomes one 8-byte hash — ~32x. Gating a
-    * broadcast on the raw estimate passes frames that materialize at
-    * hundreds of MB (measured at sf10: 17 MB estimate, ~570 MB real),
-    * which survives a 24g local JVM but OOMs 4g cluster executors.
-    * All shingle-side broadcast gates divide by this; AQE can still
-    * flip a conservatively-shuffled join back to broadcast from REAL
-    * runtime sizes. */
+    * compressed) text becomes one 8-byte hash — ~32x is the MEASURED
+    * figure for the bench corpora (sf10: 17 MB estimate, ~570 MB
+    * real). Used as the fallback when the exact probe below cannot run
+    * (streaming frames, no single array column). */
   val ShingleBytesAmplification = 32L
 
-  /** Conservative broadcast gate for a hashed-shingle frame (driver-
-    * side, no job): the optimizer estimate scaled by
-    * [[ShingleBytesAmplification]] must fit the cap. */
+  /** The floor any text corpus can exhibit: fully incompressible text
+    * is ~1 parquet byte per character and ~1 shingle (8-byte hash) per
+    * character => >= 4x after snappy framing. Anything the floor
+    * already rejects needs no measurement. */
+  val ShingleAmplificationFloor = 4L
+
+  /** JVM overhead multiplier between raw hash bytes and the broadcast
+    * HashedRelation that actually lands on every executor (array
+    * headers, hash-map load factor). */
+  private val BroadcastOverheadFactor = 2L
+
+  /** Broadcast gate for a hashed-shingle frame. Two tiers:
+    *
+    *  1. FREE reject (no job): if the optimizer's parquet-bytes
+    *     estimate times [[ShingleAmplificationFloor]] exceeds the cap,
+    *     no corpus content could make the frame fit. At 100 TB this is
+    *     the only path ever taken.
+    *  2. EXACT measure: when tier 1 says "maybe" the source is at most
+    *     `maxBytes / floor` parquet bytes, so ONE bounded aggregate
+    *     (sum of shingle-array lengths) is cheap — the gate then uses
+    *     the frame's REAL materialized bytes instead of assuming the
+    *     bench corpora's 32x. This adapts to corpora whose
+    *     amplification differs wildly: dictionary-encoded boilerplate
+    *     (the same 30 KB doc repeated 10K times) parquet-encodes to
+    *     ~one copy but materializes every row's shingles — thousands
+    *     of times the estimate; a constant-factor gate would broadcast
+    *     it straight into an executor OOM (pinned by LlmSpec's
+    *     amplification-bomb test).
+    *
+    * Streaming frames (no blocking actions allowed) and frames without
+    * an identifiable single array column keep the measured-constant
+    * fallback. AQE can still flip a conservatively-shuffled join back
+    * to broadcast from real runtime sizes. */
   def shingleBroadcastable(df: DataFrame,
-                           maxBytes: Long = 64L << 20): Boolean =
-    df.queryExecution.optimizedPlan.stats.sizeInBytes *
-      ShingleBytesAmplification <= maxBytes
+                           maxBytes: Long = 64L << 20): Boolean = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est * ShingleAmplificationFloor > maxBytes) return false
+    val arrayCols = df.schema.fields.filter(
+      _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+    if (df.isStreaming || arrayCols.length != 1)
+      return est * ShingleBytesAmplification <= maxBytes
+    val row = df.agg(
+      coalesce(sum(size(col(arrayCols.head.name)).cast("long")), lit(0L)),
+      count(lit(1))).head()
+    val bytes = row.getLong(0) * 8L + row.getLong(1) * 32L
+    bytes * BroadcastOverheadFactor <= maxBytes
+  }
 
   /** Exact duplicate groups by normalized-content fingerprint.
     * Output: fingerprint, keep_id (min id), n_dups. */

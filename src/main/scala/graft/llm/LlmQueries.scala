@@ -363,7 +363,11 @@ object LlmQueries {
               |FROM hs ORDER BY doc_id""".stripMargin)),
 
     // ---- SimHash 4x16-bit banding -> candidate pairs (pigeonhole:
-    // Hamming distance <= 3 always collides in >= 1 band) ----
+    // Hamming distance <= 3 always collides in >= 1 band).
+    // SCALE NOTE: kept for surface fidelity; the 4x16 key space is
+    // fixed (262144 keys), so buckets saturate as the corpus grows —
+    // q200_simhash_scalable is the non-saturating production path
+    // (20 block-triple bands, ~2^32 keys each, exact Hamming verify) ----
     Q("q41_simhash_bands",
       (s, d) => {
         import s.implicits._

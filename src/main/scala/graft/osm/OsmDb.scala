@@ -22,20 +22,33 @@ final class OsmDb(spark: SparkSession, root: String) {
   private def table(name: String): DataFrame =
     VersionedTable.read(spark, root, name, Some(snapshot))
 
+  /** Resolved single-bucket relations, memoized per (table, bucket):
+    * every probe of a bucket pays file listing + parquet footer/schema
+    * resolution only ONCE per OsmDb — repeat probes reuse the analyzed
+    * relation and pay just the point-filter job. Safe to cache because
+    * the snapshot is pinned at construction (one OsmDb = one read txn):
+    * a later commit never mutates the files a pinned `v=N/` references. */
+  private val bucketFrames =
+    scala.collection.concurrent.TrieMap[(String, Int), DataFrame]()
+
   /** Key-pruned scan: on a bucketed (copy-on-write) store the lookup
     * reads ONE bucket directory (the driver computes the key's bucket
     * with the same hash the layout used); on the analytic layout it's
-    * the plain id-sorted scan with row-group pruning. */
-  private def keyed(name: String, keyCol: String, key: Long): DataFrame =
+    * the plain id-sorted scan with row-group pruning. Package-visible
+    * so ManifestSpec pins THIS method's physical plan (one path, not a
+    * reconstruction of it) and LookupBench reports what it measures. */
+  private[osm] def keyed(name: String, keyCol: String, key: Long)
+  : DataFrame =
     (snapshot.buckets.get(name) match {
       // bucket-prune ONLY when the table is bucketed by the probed
       // column (the manifest records the layout key): a lookup on any
       // other column must scan the whole table — routing it to one
       // hash bucket would silently return None for rows that exist
       case Some(spec) if spec.key == keyCol =>
-        VersionedTable.readBuckets(spark, root, name,
-          Seq(VersionedTable.bucketOfValue(key, spec.nBuckets)),
-          Some(snapshot))
+        val b = VersionedTable.bucketOfValue(key, spec.nBuckets)
+        bucketFrames.getOrElseUpdate((name, b),
+          VersionedTable.readBuckets(spark, root, name, Seq(b),
+            Some(snapshot)))
       case _ => table(name)
     }).where(col(keyCol) === key)
 

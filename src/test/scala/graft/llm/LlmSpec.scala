@@ -773,4 +773,41 @@ class LlmSpec extends AnyFunSuite {
       out.filter(_._1 == 1L).map(_._4),
       "epoch 0 and 1 produced identical shard byte histograms")
   }
+
+  test("broadcast gate rejects an amplification bomb the constant " +
+    "estimate would have broadcast") {
+    // dictionary-encoded boilerplate: the SAME shingle-rich 4KB text
+    // on every row parquet-encodes to ~one copy + refs, so the
+    // optimizer's size estimate stays tiny — but the materialized
+    // shingle frame is rows x distinct-shingles x 8B. A constant-32x
+    // gate passes the estimate and broadcasts hundreds of MB into
+    // executors; the measured tier must reject it.
+    val rnd = new scala.util.Random(11)
+    val boiler = (1 to 4096).map(_ => ('a' + rnd.nextInt(26)).toChar)
+      .mkString // ~4K distinct 3-gram shingles
+    val dir = graft.TempDirs.create("graft-llmspec-bomb")
+    spark.range(0, 30000)
+      .select($"id".as("doc_id"), lit(boiler).as("text"))
+      .write.mode("overwrite").parquet(dir)
+    val d = spark.read.parquet(dir)
+    graft.functions.GraftFunctions.register(spark)
+    val sh = d.select($"doc_id",
+      TextFunctions.ngramShingleHashes($"text", 3).as("sh"))
+    val est = sh.queryExecution.optimizedPlan.stats.sizeInBytes
+    val cap = 64L << 20
+    // prove this corpus IS the dangerous case: the old constant gate
+    // would have said "broadcast" (estimate*32 under the cap) while
+    // the real frame is ~30000 x 4094 x 8B ~ 980 MB
+    assert(est * Dedup.ShingleBytesAmplification <= cap,
+      s"fixture not dictionary-compressed enough (est=$est); " +
+        "the scenario no longer exercises the constant-gate hazard")
+    assert(!Dedup.shingleBroadcastable(sh, cap),
+      "measured gate broadcast a ~1GB shingle frame")
+    // and a genuinely small frame still broadcasts
+    val small = docs((1L, "tiny text one"), (2L, "tiny text two"))
+      .select($"doc_id",
+        TextFunctions.ngramShingleHashes($"text", 3).as("sh"))
+    assert(Dedup.shingleBroadcastable(small, cap),
+      "measured gate refused a trivially small frame")
+  }
 }

@@ -218,13 +218,20 @@ class ManifestSpec extends AnyFunSuite {
     assert(db.node(3L).map(_._1).contains(Map("k" -> "v")))
     assert(db.nodeExists(499L) && !db.nodeExists(0L))
     assert(db.parents("node_way", 3L) == Seq(100L))
-    // the pruned scan touches exactly one bucket directory
-    val pruned = VersionedTable.readBuckets(spark, root, "locations",
-      Seq(VersionedTable.bucketOfValue(3L, 8)))
-    val plan = pruned.where($"id" === 3L)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("1 paths"),
-      s"lookup did not prune to one bucket dir:\n$plan")
+    // the pruned scan touches exactly one bucket directory — pinned on
+    // the ACTUAL lookup path (OsmDb.keyed), not a reconstruction of it
+    for ((t, k) <- Seq(("locations", "id"), ("nodes", "id"),
+      ("node_way", "member_id"))) {
+      val plan = db.keyed(t, k, 3L)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("1 paths"),
+        s"$t lookup did not prune to one bucket dir:\n$plan")
+      // and the point predicate reaches the parquet scan (row-group
+      // pruning inside the single bucket file)
+      assert(plan.contains("PushedFilters: [IsNotNull(" + k + "), " +
+        "EqualTo(" + k + ",3)"),
+        s"$t lookup predicate not pushed to the scan:\n$plan")
+    }
   }
 
   test("vacuum removes superseded and dry-run dirs, keeps live ones") {

@@ -184,7 +184,8 @@ class PlanSpec extends AnyFunSuite {
       "q66_source_report", "q70_dedup_keep_best", "q74_pii_scrub",
       "q75_chunk_overlap", "q76_vocab_oov", "q77_source_similarity",
       "q79_quality_quota", "q80_dup_spans", "q82_bm25", "q85_frame_dedup",
-      "q99_edit_distance")
+      "q99_edit_distance",
+      "q200_simhash_scalable" /* simhash64 over text (round 11) */)
     val offenders = suitePlans.flatMap { case (name, qe) =>
       qe.sparkPlan.collect {
         case f: FileSourceScanExec
