@@ -107,6 +107,20 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     }
+    // per-query progress JSONL, appended as each row finishes: an
+    // executor OOM in local mode can take the whole JVM down before the
+    // final JSON prints (the r11 sf10 window lost 100 minutes of
+    // measurements to one q42 heap death) — with this file the
+    // completed rows survive any mid-run crash
+    val progressPath = Paths.get("/tmp/graft_bench_progress.jsonl")
+    try Files.writeString(progressPath, "")
+    catch { case _: Throwable => () }
+    def progress(name: String, sec: Double, err: Option[String]): Unit =
+      try Files.writeString(progressPath,
+        s"""{"q":"$name","sec":$sec${err.map(e =>
+          ",\"err\":\"" + jsonEsc(e) + "\"").getOrElse("")}}""" + "\n",
+        java.nio.file.StandardOpenOption.APPEND)
+      catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map {
@@ -122,8 +136,10 @@ object Bench {
             System.err.println(s"[bench] FAILED $name: $reason")
             Some(reason)
           }
-        (name, if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0,
-          err)
+        val sec =
+          if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0
+        progress(name, sec, err)
+        (name, sec, err)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -279,6 +279,29 @@ object Similarity {
       .limit(k)
   }
 
+  /** In-memory amplification of a dense-vector frame over its parquet
+    * estimate: float32 arrays parquet-encode near-raw (no dictionary
+    * wins on dense floats), and the broadcast HashedRelation holds them
+    * as double arrays plus per-row overhead — measured ~2.4x at sf10
+    * (51 MB estimate, ~122 MB materialized); 4x is the conservative
+    * gate. Unlike text shingles ([[Dedup.ShingleBytesAmplification]])
+    * the estimate is TIGHT — fixed-width rows can't hide a
+    * dictionary-compression amplification bomb — so a constant factor
+    * is safe here and no measuring job is needed. */
+  private val VecBytesAmplification = 4L
+
+  /** Broadcast gate for the vector-fetch side of a candidate-verify
+    * join. The cap is higher than the 64 MB shingle cap: a dense
+    * vector frame is the canonical broadcast dimension table (bounded
+    * width, tight estimate), and verify joins probe it twice per
+    * candidate — keeping it map-side is worth a few hundred MB on
+    * cluster executors. Past the cap the join degrades to shuffled
+    * (AQE can still flip it back from real runtime sizes). */
+  private def vectorBroadcastable(vecs: DataFrame,
+                                  maxBytes: Long = 256L << 20): Boolean =
+    vecs.queryExecution.optimizedPlan.stats.sizeInBytes *
+      VecBytesAmplification <= maxBytes
+
   /** Embedding-cosine near-duplicate pairs: candidates share an exact
     * hyperplane-signature bucket (ONE shuffle on the signature — never
     * all-pairs), verified by exact cosine >= threshold. The same
@@ -286,28 +309,46 @@ object Similarity {
     * `maxBucket` truncates a pathological bucket to its smallest
     * vec_ids (same cap semantics as `Dedup.minhashCandidatePairs`):
     * bounded C(maxBucket,2) cost, and the bucket head still surfaces
-    * the near-dup cluster instead of vanishing wholesale. */
+    * the near-dup cluster instead of vanishing wholesale.
+    *
+    * Scale shape (the r11 sf10 window's lesson): pair emission carries
+    * IDS ONLY — a rank-capped self-join on the signature streams the
+    * C(maxBucket,2) candidates through the join instead of
+    * materializing them, and the vectors join back afterwards under
+    * [[vectorBroadcastable]]. The previous collect_list(vec) + flatten
+    * form built one in-task array of every capped pair WITH both
+    * 64-dim vectors inline — ~50 GB for one saturated bucket at sf10
+    * (200K vectors, 24g heap), an executor-OOM scale bug this window
+    * caught. */
   def embeddingNearDuplicates(embeddings: DataFrame, vecCol: String,
                               idCol: String, dim: Int,
                               threshold: Double, planes: Int = 8,
                               maxBucket: Int = 10000): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    import org.apache.spark.sql.expressions.Window
     val idx = annIndex(embeddings, vecCol, idCol, dim, planes)
-    val buckets = idx
-      .groupBy(col("sig"))
-      .agg(sort_array(collect_list(struct(col("vec_id"),
-        col("embedding").cast("array<double>").as("v")))).as("ms"))
-      .where(size(col("ms")) >= 2)
-      .select(slice(col("ms"), 1, maxBucket).as("ms"))
-    buckets
-      .select(explode(expr(
-        """flatten(transform(ms, (x, i) ->
-          |  transform(slice(ms, i + 2, size(ms)),
-          |    y -> struct(x.vec_id AS a, y.vec_id AS b,
-          |                x.v AS va, y.v AS vb))))""".stripMargin))
-        .as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"),
-        round(cosine(col("p.va"), col("p.vb")), 6).as("score"))
+    val rkd = idx
+      .select(col("vec_id"), col("sig"),
+        row_number().over(
+          Window.partitionBy(col("sig")).orderBy(col("vec_id")))
+          .as("rk"))
+      .where(col("rk") <= maxBucket)
+      .select(col("vec_id"), col("sig"))
+    val cand = rkd.as("x").join(rkd.as("y"),
+        col("x.sig") === col("y.sig") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+    val vecs = embeddings.select(col(idCol).as("vid"),
+      col(vecCol).cast("array<double>").as("v"))
+    val hinted: DataFrame => DataFrame =
+      if (vectorBroadcastable(vecs)) broadcast(_) else identity
+    cand
+      .join(hinted(vecs.select(col("vid").as("a"), col("v").as("va"))),
+        Seq("a"))
+      .join(hinted(vecs.select(col("vid").as("b"), col("v").as("vb"))),
+        Seq("b"))
+      .select(col("a"), col("b"),
+        round(cosine(col("va"), col("vb")), 6).as("score"))
       .where(col("score") >= threshold)
   }
 
@@ -388,21 +429,34 @@ object Similarity {
                     k: Int, iters: Int, threshold: Double,
                     maxCluster: Int = 10000): DataFrame = {
     val (assigned, _) = kmeans(embeddings, vecCol, idCol, k, iters)
-    val heads = assigned
-      .groupBy(col("centroid"))
-      .agg(sort_array(collect_list(struct(col("vec_id"),
-        col("embedding").cast("array<double>").as("v")))).as("ms"))
-      .select(col("centroid"), slice(col("ms"), 1, maxCluster).as("ms"))
-      .where(size(col("ms")) >= 2)
-    val dropped = heads
-      .select(explode(expr(
-        """flatten(transform(ms, (x, i) ->
-          |  transform(slice(ms, i + 2, size(ms)),
-          |    y -> struct(x.vec_id AS a, y.vec_id AS b,
-          |                x.v AS va, y.v AS vb))))""".stripMargin))
-        .as("p"))
-      .select(col("p.b").as("b"),
-        round(cosine(col("p.va"), col("p.vb")), 6).as("score"))
+    // ids-only pair emission (rank-capped self-join on the cluster id)
+    // + gated vector join-back — same scale shape as
+    // [[embeddingNearDuplicates]]; the collect_list(vec)+flatten form
+    // it replaces materialized every capped pair with both vectors
+    // inline in one task (executor-OOM at sf10, r11 window)
+    import org.apache.spark.sql.expressions.Window
+    val rkd = assigned
+      .select(col("vec_id"), col("centroid"),
+        row_number().over(
+          Window.partitionBy(col("centroid")).orderBy(col("vec_id")))
+          .as("rk"))
+      .where(col("rk") <= maxCluster)
+      .select(col("vec_id"), col("centroid"))
+    val cand = rkd.as("x").join(rkd.as("y"),
+        col("x.centroid") === col("y.centroid") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+    val vecs = assigned.select(col("vec_id").as("vid"),
+      col("embedding").cast("array<double>").as("v"))
+    val hinted: DataFrame => DataFrame =
+      if (vectorBroadcastable(vecs)) broadcast(_) else identity
+    val dropped = cand
+      .join(hinted(vecs.select(col("vid").as("a"), col("v").as("va"))),
+        Seq("a"))
+      .join(hinted(vecs.select(col("vid").as("b"), col("v").as("vb"))),
+        Seq("b"))
+      .select(col("b"),
+        round(cosine(col("va"), col("vb")), 6).as("score"))
       .where(col("score") >= threshold)
       .select(col("b")).distinct()
     assigned

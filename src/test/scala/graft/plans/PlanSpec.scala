@@ -100,7 +100,9 @@ class PlanSpec extends AnyFunSuite {
       case lr: LogicalRelation => lr.relation match {
         case h: HadoopFsRelation => h.location.rootPaths.exists { rp =>
           val s = rp.toString
-          s.contains("documents.parquet") || s.contains("lineitem.parquet")
+          s.contains("documents.parquet") ||
+            s.contains("lineitem.parquet") ||
+            s.contains("embeddings.parquet")
         }
         case _ => false
       }
@@ -115,6 +117,12 @@ class PlanSpec extends AnyFunSuite {
     //     llm/Dedup.scala) guards the shingle-frame hints feeding
     //     q25/q27/q44/q45/q57/q70/q100/q105/q154/q176/q193 and the
     //     staged-artifact builders;
+    //   - Similarity.vectorBroadcastable (tight fixed-width estimate,
+    //     4x amplification, 256 MB cap) guards the vector join-back
+    //     hints in embeddingNearDuplicates / semanticDedup feeding
+    //     q42/q109 (r11: ids-only pair emission + gated vector fetch
+    //     replaced the in-task pair-with-vectors array that OOM'd at
+    //     sf10);
     //   - Similarity's bounded probe/sample batches are k-bounded by
     //     construction but read the corpus table for vectors.
     // At sf0.001 every gate passes, so those hints ARE present here;
@@ -123,7 +131,16 @@ class PlanSpec extends AnyFunSuite {
       "q100_training_build", "q105_streaming_lsh", "q154_containment_dedup",
       "q176_sketch_calibration", "q193_prefix_filter_join",
       "q25_minhash_pairs", "q27_ngram_jaccard", "q44_dedup_survivors",
-      "q45_curate_funnel", "q57_dedup_components", "q70_dedup_keep_best")
+      "q45_curate_funnel", "q57_dedup_components", "q70_dedup_keep_best",
+      "q42_embedding_neardup", "q109_semantic_dedup",
+      // k-bounded probe batches over embeddings: the hinted side is
+      // `vec_id % step = 0 AND vec_id < K` — a literal id-range
+      // predicate that caps the batch at a CONSTANT (<= K/step rows,
+      // a few hundred) at any corpus size. The structural `bounded`
+      // check only recognizes Aggregate/GlobalLimit, so these are
+      // allowlisted by name; the bound lives in each query's filter.
+      "q92_knn_graph", "q121_triplet_mining", "q151_knn_triangles",
+      "q160_bfs_hops")
     val offenders = suitePlans.flatMap { case (name, qe) =>
       qe.optimizedPlan.collect {
         case j: Join =>
