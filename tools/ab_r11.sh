@@ -9,7 +9,7 @@
 # ~2x on HEAD but r10-speed on the old code is a code regression; a row
 # inflated on BOTH is host drift.
 set -u
-QUERIES="q100_training_build,q193_prefix_filter_join,q141_lsh_tuning,q47_buffered_extract,q48_relation_geometry,q52_pbf_roundtrip"
+QUERIES="q100_training_build,q109_semantic_dedup,q141_lsh_tuning,q193_prefix_filter_join,q42_embedding_neardup,q47_buffered_extract,q48_relation_geometry,q52_pbf_roundtrip"
 SF=/tmp/graft_sf1
 
 cd /root/repo
