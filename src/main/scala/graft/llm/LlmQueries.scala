@@ -5346,6 +5346,69 @@ object LlmQueries {
            |SELECT a, b, hamming FROM ham
            |WHERE hamming <= 3 ORDER BY a, b""".stripMargin
       },
+      bench = true),
+
+    // ---- q201: plane-count-scaled embedding near-dup (round 11).
+    // q42's 8 hyperplanes are a FIXED 256-key signature space — the
+    // r11 sf10 window measured bucket fill growing linearly with the
+    // corpus and capped candidates quadratically (53x decade slope,
+    // the q41 disease in vector clothing; README §BENCH_r11). The
+    // production rule is planes ≈ log2(N / target_bucket): this
+    // variant runs the SAME pipeline at 16 planes (65536 keys), so
+    // expected bucket fill at any measured SF stays O(N/65536) and
+    // candidate volume tracks true near-neighbor mass, not key-space
+    // saturation. Recall tightens with plane count by design (a
+    // signature is an exact-match band); the threshold verify is
+    // unchanged and the oracle mirrors the 16-plane matrix literally.
+    // Scale: one shuffle on the signature + candidate-linear verify
+    // with the gated vector join-back (q42's r11 rewrite) ----
+    Q("q201_embedding_neardup_scaled",
+      (s, d) => {
+        import s.implicits._
+        Similarity.embeddingNearDuplicates(T(s, d, "embeddings"),
+          "embedding", "vec_id", dim = 64, threshold = 0.25,
+          planes = 16)
+          .orderBy($"a", $"b")
+      },
+      Some {
+        val m = Similarity.planeMatrix(16, 64)
+        val mLit = m.map(_.mkString("[", ", ", "]"))
+          .mkString("[", ",\n    ", "]")
+        s"""WITH pm AS (SELECT $mLit AS m),
+           |sig AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           |    array_to_string(
+           |    list_transform(generate_series(1, 16), p ->
+           |      CASE WHEN list_sum(list_transform(generate_series(1, 64),
+           |        j -> CAST(embedding[CAST(j AS INT)] AS DOUBLE)
+           |             * m[CAST(p AS INT)][CAST(j AS INT)])) >= 0
+           |      THEN '1' ELSE '0' END), '') AS sig
+           |  FROM embeddings, pm),
+           |rkd AS (
+           |  SELECT vec_id, v, sig,
+           |         row_number() OVER (PARTITION BY sig
+           |                            ORDER BY vec_id) AS rk
+           |  FROM sig),
+           |cand AS (
+           |  SELECT x.vec_id AS a, y.vec_id AS b, x.v AS va, y.v AS vb
+           |  FROM rkd x JOIN rkd y
+           |    ON x.sig = y.sig AND x.vec_id < y.vec_id
+           |   AND x.rk <= 10000 AND y.rk <= 10000),
+           |sc AS (
+           |  SELECT a, b,
+           |    list_sum(list_transform(generate_series(1, 64), j ->
+           |      va[CAST(j AS INT)] * vb[CAST(j AS INT)])) AS dt,
+           |    sqrt(list_sum(list_transform(va, x -> x * x))) AS na,
+           |    sqrt(list_sum(list_transform(vb, x -> x * x))) AS nb
+           |  FROM cand)
+           |SELECT a, b,
+           |  round(CASE WHEN na = 0 OR nb = 0 THEN 0
+           |        ELSE dt / (na * nb) END, 6) AS score
+           |FROM sc
+           |WHERE round(CASE WHEN na = 0 OR nb = 0 THEN 0
+           |      ELSE dt / (na * nb) END, 6) >= 0.25
+           |ORDER BY a, b""".stripMargin
+      },
       bench = true)
   )
 }

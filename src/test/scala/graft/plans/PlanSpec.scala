@@ -133,6 +133,7 @@ class PlanSpec extends AnyFunSuite {
       "q25_minhash_pairs", "q27_ngram_jaccard", "q44_dedup_survivors",
       "q45_curate_funnel", "q57_dedup_components", "q70_dedup_keep_best",
       "q42_embedding_neardup", "q109_semantic_dedup",
+      "q201_embedding_neardup_scaled",
       // k-bounded probe batches over embeddings: the hinted side is
       // `vec_id % step = 0 AND vec_id < K` — a literal id-range
       // predicate that caps the batch at a CONSTANT (<= K/step rows,
