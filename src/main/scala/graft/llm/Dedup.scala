@@ -21,12 +21,14 @@ import org.apache.spark.sql.functions._
   *     from its degenerate buckets — the cap is the difference between
   *     O(n) and O(n^2) candidate volume in a heavy-collision regime.)
   *   - SimHash gives a per-doc 64-bit sketch; near-dup candidates come
-  *     from banding the bit-string. Two banders ship: the classic
-  *     4 x 16-bit scheme (surface fidelity; fixed key space — saturates
-  *     on a growing corpus) and the scale-safe block-permutation scheme
-  *     ([[simhashNearDupPairs]]: 20 block-triple bands, ~2^32 keys
-  *     each, exact Hamming verify) — both give the pigeonhole guarantee
-  *     that Hamming distance <= 3 is always caught in >= 1 band.
+  *     from banding the bit-string. Two banders ship: the DEFAULT
+  *     scale-safe block-permutation scheme ([[simhashCandidatePairs]] /
+  *     [[simhashNearDupPairs]]: 20 block-triple bands, ~2^32 keys each)
+  *     and the classic 4 x 16-bit scheme
+  *     ([[simhashCandidatePairs4x16]] — surface fidelity; fixed key
+  *     space, saturates on a growing corpus) — both give the pigeonhole
+  *     guarantee that Hamming distance <= 3 is always caught in >= 1
+  *     band.
   */
 object Dedup {
 
@@ -331,10 +333,30 @@ object Dedup {
     docs.select(col(idCol).as("doc_id"),
       TextFunctions.simhashBits(col(textCol)).as("simhash"))
 
-  /** SimHash near-dup candidate pairs: band the 64 bits into 4 x 16-bit
-    * chunks; Hamming distance <= 3 implies >= 1 identical chunk. */
+  /** SimHash near-dup candidate pairs — block-permutation (Manku)
+    * banding, the DEFAULT since r12: 20 block-triple bands with ~2^32
+    * keys each, so bucket fill tracks true duplicate mass at any
+    * corpus size. Same pigeonhole guarantee as the legacy 4x16 scheme
+    * (Hamming distance <= 3 always collides in >= 1 band), none of its
+    * key-space saturation — the fixed 2^16-key bander measured a 14.3x
+    * sf1->sf10 slope vs 2.8x for this banding on the same window
+    * (README §BENCH_r11). Candidates only (a < b, distinct); compose
+    * with [[simhashNearDupPairs]] for the exact-Hamming-verified
+    * output. */
   def simhashCandidatePairs(docs: DataFrame, textCol: String, idCol: String,
-                            maxBucket: Int = DefaultMaxBucket): DataFrame = {
+                            maxBucket: Int = DefaultMaxBucket): DataFrame =
+    mankuCandidates(simhashSketch(docs, textCol, idCol), maxBucket)
+
+  /** LEGACY 4 x 16-bit SimHash banding (surface fidelity with the
+    * classic scheme; q41 pins it). Hamming distance <= 3 implies >= 1
+    * identical chunk — but the key space is FIXED (4 bands x 2^16
+    * keys): average bucket fill grows linearly with the corpus and
+    * candidate volume quadratically until the cap truncates. Past ~1M
+    * docs use the default [[simhashCandidatePairs]]. */
+  def simhashCandidatePairs4x16(docs: DataFrame, textCol: String,
+                                idCol: String,
+                                maxBucket: Int = DefaultMaxBucket)
+  : DataFrame = {
     val sk = simhashSketch(docs, textCol, idCol)
       .select(col("doc_id"), posexplode(
         transform(sequence(lit(0), lit(3)),
@@ -367,8 +389,36 @@ object Dedup {
   private[llm] val SimhashCombos: Seq[Seq[Int]] =
     (0 until SimhashBlocks.size).combinations(3).map(_.toSeq).toSeq
 
+  /** Block-permutation candidate stage shared by the default
+    * [[simhashCandidatePairs]] and [[simhashNearDupPairs]]: band each
+    * sketch into the C(6,3)=20 block-triple keys, bucket per (band,
+    * key), truncate each bucket to its `maxBucket` smallest ids, emit
+    * distinct (a < b) pairs. `sk` must carry (doc_id, simhash). */
+  private def mankuCandidates(sk: DataFrame, maxBucket: Int): DataFrame = {
+    val bandStructs = SimhashCombos.zipWithIndex.map { case (c, ci) =>
+      struct(lit(ci).as("band"),
+        concat(c.map { i =>
+          val (off, len) = SimhashBlocks(i)
+          col("simhash").substr(off, len)
+        }: _*).as("bkey"))
+    }
+    sk.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bkey").as("bkey"))
+      .groupBy("band", "bkey")
+      .agg(sort_array(collect_list("doc_id")).as("ids"))
+      .where(size(col("ids")) >= 2)
+      .select(slice(col("ids"), 1, maxBucket).as("ids"))
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), b ->
+          |    struct(a, b))))""".stripMargin)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+  }
+
   /** Scale-safe SimHash near-dup pairs — the non-saturating replacement
-    * for [[simhashCandidatePairs]]'s 4x16 banding. That scheme's key
+    * for [[simhashCandidatePairs4x16]]'s banding. That scheme's key
     * space is FIXED (4 bands x 2^16 keys): as the corpus grows, average
     * bucket size grows linearly and candidate pairs quadratically until
     * the cap truncates — a scale-killer past ~1M docs.
@@ -397,27 +447,7 @@ object Dedup {
       s"6-block/3-triple banding guarantees recall only for hd<=3, " +
         s"got $maxHamming")
     val sk = simhashSketch(docs, textCol, idCol)
-    val bandStructs = SimhashCombos.zipWithIndex.map { case (c, ci) =>
-      struct(lit(ci).as("band"),
-        concat(c.map { i =>
-          val (off, len) = SimhashBlocks(i)
-          col("simhash").substr(off, len)
-        }: _*).as("bkey"))
-    }
-    val banded = sk
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"),
-        col("bb.bkey").as("bkey"))
-    val cand = banded.groupBy("band", "bkey")
-      .agg(sort_array(collect_list("doc_id")).as("ids"))
-      .where(size(col("ids")) >= 2)
-      .select(slice(col("ids"), 1, maxBucket).as("ids"))
-      .select(explode(expr(
-        """flatten(transform(ids, (a, i) ->
-          |  transform(slice(ids, i + 2, size(ids)), b ->
-          |    struct(a, b))))""".stripMargin)).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
-      .distinct()
+    val cand = mankuCandidates(sk, maxBucket)
     // exact verify: hamming via xor+bit_count on two 32-bit halves
     // (conv of a 32-bit '0'/'1' substring can never overflow a long)
     def half(c: Column, off: Int): Column =

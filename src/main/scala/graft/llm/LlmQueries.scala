@@ -364,14 +364,16 @@ object LlmQueries {
 
     // ---- SimHash 4x16-bit banding -> candidate pairs (pigeonhole:
     // Hamming distance <= 3 always collides in >= 1 band).
-    // SCALE NOTE: kept for surface fidelity; the 4x16 key space is
+    // SCALE NOTE: kept for surface fidelity via the EXPLICIT legacy
+    // entry point (since r12 the default simhashCandidatePairs is the
+    // Manku block-permutation banding, q203); the 4x16 key space is
     // fixed (262144 keys), so buckets saturate as the corpus grows —
     // q200_simhash_scalable is the non-saturating production path
     // (20 block-triple bands, ~2^32 keys each, exact Hamming verify) ----
     Q("q41_simhash_bands",
       (s, d) => {
         import s.implicits._
-        Dedup.simhashCandidatePairs(T(s, d, "documents"), "text",
+        Dedup.simhashCandidatePairs4x16(T(s, d, "documents"), "text",
           "doc_id").orderBy($"a", $"b")
       },
       Some(s"""WITH hs AS (SELECT doc_id,
@@ -5361,11 +5363,19 @@ object LlmQueries {
     // signature is an exact-match band); the threshold verify is
     // unchanged and the oracle mirrors the 16-plane matrix literally.
     // Scale: one shuffle on the signature + candidate-linear verify
-    // with the gated vector join-back (q42's r11 rewrite) ----
+    // with the gated vector join-back (q42's r11 rewrite).
+    // The corpus is SEEDED with one exact duplicate (vec_id 0's vector
+    // re-inserted as vec_id -1) so the oracle row is non-vacuous at
+    // every SF — 16 planes over the driver's ~500-vector sf0.01 emit
+    // an empty candidate set otherwise, and a 0 == 0 pass proves only
+    // the empty case (r11 verdict What's-wrong #3) ----
     Q("q201_embedding_neardup_scaled",
       (s, d) => {
         import s.implicits._
-        Similarity.embeddingNearDuplicates(T(s, d, "embeddings"),
+        val emb = T(s, d, "embeddings").select($"vec_id", $"embedding")
+        val seeded = emb.unionByName(emb.where($"vec_id" === 0L)
+          .select(lit(-1L).as("vec_id"), $"embedding"))
+        Similarity.embeddingNearDuplicates(seeded,
           "embedding", "vec_id", dim = 64, threshold = 0.25,
           planes = 16)
           .orderBy($"a", $"b")
@@ -5374,7 +5384,12 @@ object LlmQueries {
         val m = Similarity.planeMatrix(16, 64)
         val mLit = m.map(_.mkString("[", ", ", "]"))
           .mkString("[", ",\n    ", "]")
-        s"""WITH pm AS (SELECT $mLit AS m),
+        s"""WITH emb2 AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |  UNION ALL
+           |  SELECT CAST(-1 AS BIGINT), embedding FROM embeddings
+           |  WHERE vec_id = 0),
+           |pm AS (SELECT $mLit AS m),
            |sig AS (
            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
            |    array_to_string(
@@ -5383,7 +5398,7 @@ object LlmQueries {
            |        j -> CAST(embedding[CAST(j AS INT)] AS DOUBLE)
            |             * m[CAST(p AS INT)][CAST(j AS INT)])) >= 0
            |      THEN '1' ELSE '0' END), '') AS sig
-           |  FROM embeddings, pm),
+           |  FROM emb2, pm),
            |rkd AS (
            |  SELECT vec_id, v, sig,
            |         row_number() OVER (PARTITION BY sig
@@ -5409,6 +5424,123 @@ object LlmQueries {
            |      ELSE dt / (na * nb) END, 6) >= 0.25
            |ORDER BY a, b""".stripMargin
       },
-      bench = true)
+      bench = true),
+
+    // ---- q202: the embedding-near-dup DEFAULT path (round 12).
+    // Calling Similarity.embeddingNearDuplicates WITHOUT a plane count
+    // now auto-scales the signature width: planes = min p in [8,32]
+    // with 2^p * 4 >= count(corpus) — integer arithmetic on both
+    // engines, so no floating-log2 boundary divergence. This is the
+    // r11 verdict's top prescription (the scale-killer 8-plane config
+    // was the default a user actually got); q42 keeps the legacy
+    // behavior at an EXPLICIT planes = 8. The oracle mirrors the rule
+    // dynamically (min-p scalar subquery over a 32-row matrix literal
+    // sliced by generate_series), so the row stays green at any SF
+    // with the planes the engine actually picked. Seeded duplicate as
+    // q201, so the row is non-vacuous at the driver's sf0.01 ----
+    Q("q202_embedding_neardup_auto",
+      (s, d) => {
+        import s.implicits._
+        val emb = T(s, d, "embeddings").select($"vec_id", $"embedding")
+        val seeded = emb.unionByName(emb.where($"vec_id" === 0L)
+          .select(lit(-1L).as("vec_id"), $"embedding"))
+        Similarity.embeddingNearDuplicates(seeded,
+          "embedding", "vec_id", dim = 64, threshold = 0.25)
+          .orderBy($"a", $"b")
+      },
+      Some {
+        val m = Similarity.planeMatrix(32, 64)
+        val mLit = m.map(_.mkString("[", ", ", "]"))
+          .mkString("[", ",\n    ", "]")
+        s"""WITH emb2 AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |  UNION ALL
+           |  SELECT CAST(-1 AS BIGINT), embedding FROM embeddings
+           |  WHERE vec_id = 0),
+           |np AS (SELECT CAST(coalesce(
+           |  (SELECT min(p) FROM range(8, 33) t(p)
+           |   WHERE power(2.0, p) * 4 >= (SELECT count(*) FROM emb2)),
+           |  32) AS INT) AS planes),
+           |pm AS (SELECT $mLit AS m),
+           |sig AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           |    array_to_string(
+           |    list_transform(
+           |      generate_series(1, (SELECT planes FROM np)), p ->
+           |      CASE WHEN list_sum(list_transform(generate_series(1, 64),
+           |        j -> CAST(embedding[CAST(j AS INT)] AS DOUBLE)
+           |             * m[CAST(p AS INT)][CAST(j AS INT)])) >= 0
+           |      THEN '1' ELSE '0' END), '') AS sig
+           |  FROM emb2, pm),
+           |rkd AS (
+           |  SELECT vec_id, v, sig,
+           |         row_number() OVER (PARTITION BY sig
+           |                            ORDER BY vec_id) AS rk
+           |  FROM sig),
+           |cand AS (
+           |  SELECT x.vec_id AS a, y.vec_id AS b, x.v AS va, y.v AS vb
+           |  FROM rkd x JOIN rkd y
+           |    ON x.sig = y.sig AND x.vec_id < y.vec_id
+           |   AND x.rk <= 10000 AND y.rk <= 10000),
+           |sc AS (
+           |  SELECT a, b,
+           |    list_sum(list_transform(generate_series(1, 64), j ->
+           |      va[CAST(j AS INT)] * vb[CAST(j AS INT)])) AS dt,
+           |    sqrt(list_sum(list_transform(va, x -> x * x))) AS na,
+           |    sqrt(list_sum(list_transform(vb, x -> x * x))) AS nb
+           |  FROM cand)
+           |SELECT a, b,
+           |  round(CASE WHEN na = 0 OR nb = 0 THEN 0
+           |        ELSE dt / (na * nb) END, 6) AS score
+           |FROM sc
+           |WHERE round(CASE WHEN na = 0 OR nb = 0 THEN 0
+           |      ELSE dt / (na * nb) END, 6) >= 0.25
+           |ORDER BY a, b""".stripMargin
+      },
+      bench = true),
+
+    // ---- q203: the SimHash-candidate DEFAULT path (round 12).
+    // Dedup.simhashCandidatePairs now defaults to the Manku
+    // block-permutation banding (q200's candidate stage — 20
+    // block-triple bands, ~2^32 keys each) instead of the saturating
+    // 4x16 scheme, which moved behind the explicit
+    // simhashCandidatePairs4x16 (q41). This row gates the new default
+    // exactly as q41 gates the legacy one: candidates only, no verify
+    // (q200 covers the verified path; not a bench row for the same
+    // reason — the candidate stage is a strict subset of q200's
+    // measured plan) ----
+    Q("q203_simhash_candidates_default",
+      (s, d) => {
+        import s.implicits._
+        Dedup.simhashCandidatePairs(T(s, d, "documents"), "text",
+          "doc_id").orderBy($"a", $"b")
+      },
+      Some {
+        val comboSelects = Dedup.SimhashCombos.zipWithIndex
+          .map { case (c, ci) =>
+            val key = c.map { i =>
+              val (off, len) = Dedup.SimhashBlocks(i)
+              s"substr(sh, $off, $len)"
+            }.mkString(" || ")
+            s"  SELECT doc_id, $ci AS band, $key AS bkey FROM sk"
+          }.mkString("\nUNION ALL\n")
+        s"""WITH hs AS (SELECT doc_id,
+           |  list_transform($dTokens, t -> md5(t)) AS h
+           |  FROM documents),
+           |sk AS (SELECT doc_id, $dSimhashExpr AS sh FROM hs),
+           |bands AS (
+           |$comboSelects),
+           |rkd AS (
+           |  SELECT doc_id, band, bkey,
+           |         row_number() OVER (PARTITION BY band, bkey
+           |                            ORDER BY doc_id) AS rk
+           |  FROM bands)
+           |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           |FROM rkd x JOIN rkd y
+           |  ON x.band = y.band AND x.bkey = y.bkey
+           | AND x.doc_id < y.doc_id
+           | AND x.rk <= $dMaxBucket AND y.rk <= $dMaxBucket
+           |ORDER BY a, b""".stripMargin
+      })
   )
 }

@@ -302,6 +302,20 @@ object Similarity {
     vecs.queryExecution.optimizedPlan.stats.sizeInBytes *
       VecBytesAmplification <= maxBytes
 
+  /** Hyperplane count for a corpus of `n` vectors: the smallest
+    * `planes` in [8, 32] with `2^planes * targetBucket >= n`, i.e.
+    * planes ≈ log2(n / targetBucket) — expected signature-bucket fill
+    * stays O(targetBucket) at ANY corpus size instead of growing
+    * linearly inside a fixed key space (the r11 sf10 window measured
+    * the fixed 8-plane/256-key default at a 53.3x decade slope vs 5.3x
+    * for 16 planes on the same corpus; 16 is exactly what this rule
+    * picks at that window's 200K vectors). Integer arithmetic only —
+    * no floating log2, so the DuckDB oracle mirror (`min p WHERE
+    * power(2,p)*target >= n`) can never diverge on an exact-power
+    * boundary. */
+  def autoPlanes(n: Long, targetBucket: Long = 4L): Int =
+    (8 to 32).find(p => (1L << p) * targetBucket >= n).getOrElse(32)
+
   /** Embedding-cosine near-duplicate pairs: candidates share an exact
     * hyperplane-signature bucket (ONE shuffle on the signature — never
     * all-pairs), verified by exact cosine >= threshold. The same
@@ -310,6 +324,15 @@ object Similarity {
     * vec_ids (same cap semantics as `Dedup.minhashCandidatePairs`):
     * bounded C(maxBucket,2) cost, and the bucket head still surfaces
     * the near-dup cluster instead of vanishing wholesale.
+    *
+    * `planes <= 0` (the DEFAULT) auto-scales the signature width with
+    * the corpus via [[autoPlanes]] — one count() job, then the plan is
+    * built against the literal matrix for that width. A FIXED plane
+    * count is a scale bug waiting to happen: the key space saturates
+    * as the corpus grows and candidate volume goes quadratic until the
+    * cap truncates (q42 keeps the legacy 8-plane behavior by passing
+    * `planes = 8` explicitly; its measured sf1->sf10 slope was 53.3x
+    * vs 5.3x for the scaled width — README §BENCH_r11).
     *
     * Scale shape (the r11 sf10 window's lesson): pair emission carries
     * IDS ONLY — a rank-capped self-join on the signature streams the
@@ -322,11 +345,13 @@ object Similarity {
     * caught. */
   def embeddingNearDuplicates(embeddings: DataFrame, vecCol: String,
                               idCol: String, dim: Int,
-                              threshold: Double, planes: Int = 8,
+                              threshold: Double, planes: Int = 0,
                               maxBucket: Int = 10000): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     import org.apache.spark.sql.expressions.Window
-    val idx = annIndex(embeddings, vecCol, idCol, dim, planes)
+    val nPlanes =
+      if (planes > 0) planes else autoPlanes(embeddings.count())
+    val idx = annIndex(embeddings, vecCol, idCol, dim, nPlanes)
     val rkd = idx
       .select(col("vec_id"), col("sig"),
         row_number().over(

@@ -197,6 +197,62 @@ class LlmSpec extends AnyFunSuite {
     assert(pairs == Set((7L, 42L)), s"got $pairs")
   }
 
+  test("autoPlanes: smallest p in [8,32] with 2^p*4 >= n (integer rule)") {
+    import Similarity.autoPlanes
+    assert(autoPlanes(1L) == 8)
+    assert(autoPlanes(501L) == 8) // the driver's seeded sf0.01 corpus
+    assert(autoPlanes(2001L) == 9) // seeded sf0.1
+    assert(autoPlanes(20001L) == 13) // seeded sf1
+    assert(autoPlanes(200001L) == 16) // seeded sf10 == q201's planes
+    assert(autoPlanes(32768L) == 13) // exact-power boundary: inclusive
+    assert(autoPlanes(32769L) == 14)
+    assert(autoPlanes(Long.MaxValue) == 32) // upper clamp
+  }
+
+  test("embeddingNearDuplicates DEFAULT auto-scales planes (== explicit " +
+    "autoPlanes width) and still finds the planted pair") {
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val rows = (0L until 120L).map { i =>
+      val v = if (i == 3L || i == 77L) base.map(x => x * (1 + i * 1e-4f))
+      else Array.fill(16)(rnd.nextGaussian().toFloat)
+      (i, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    def run(planes: Int): Set[(Long, Long)] =
+      Similarity.embeddingNearDuplicates(df, "embedding", "vec_id",
+        dim = 16, threshold = 0.999, planes = planes)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+    val auto = run(0) // the default: planes <= 0 -> autoPlanes(count)
+    assert(auto == run(Similarity.autoPlanes(120L)))
+    assert(auto == Set((3L, 77L)), s"got $auto")
+  }
+
+  test("simhashCandidatePairs DEFAULT is the block-permutation banding") {
+    val base = (1 to 80).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 79).map(i => s"tok$i").mkString(" ") + " tok80x"
+    val other = (200 to 280).map(i => s"w$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> near, 3L -> other, 4L -> base)
+    val got = Dedup.simhashCandidatePairs(d, "text", "doc_id")
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // driver-side mirror of the 20-block-triple banding over sketches
+    val sk = Dedup.simhashSketch(d, "text", "doc_id")
+      .as[(Long, String)].collect().toMap
+    val mirror = (for {
+      combo <- Dedup.SimhashCombos
+      key = (id: Long) => combo.map { i =>
+        val (off, len) = Dedup.SimhashBlocks(i)
+        sk(id).substring(off - 1, off - 1 + len)
+      }.mkString
+      grouped = sk.keys.toSeq.groupBy(key)
+      ids <- grouped.values if ids.size >= 2
+      s = ids.sorted
+      i <- s.indices; j <- (i + 1) until s.size
+    } yield (s(i), s(j))).toSet
+    assert(got == mirror, s"got $got vs mirror $mirror")
+    assert(got.contains((1L, 4L))) // exact dup: identical sketch
+  }
+
   test("curate funnel: dedup, near-dup, quality, language in order") {
     val good = "the cat and the dog sat in the house for a while " * 4
     val d = docs(
