@@ -14,7 +14,10 @@ import java.nio.file.{Files, Paths}
   *   - a warmup pass touches EVERY input table so no query pays one-time
   *     FileIndex listing / footer-read costs inside its timed region;
   *   - a query that throws is reported with elapsed = -1 and listed in a
-  *     "failed" array — a broken query must not read as a fast one.
+  *     "failed" array — a broken query must not read as a fast one;
+  *   - every row also reports "rows_out" (output cardinality, observed
+  *     in the same pass via a CollectMetrics node) so scale-slope
+  *     analysis can separate output growth from plan regression.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -28,9 +31,31 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-    : Unit =
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    import org.apache.spark.sql.functions.{count, lit}
+    // Materialize through the noop sink AND count output rows in the
+    // same pass via the Observation API (a CollectMetrics node at the
+    // plan root — no second action, no plan-shape change below it).
+    // rows_out lets the slope tool separate output growth from plan
+    // regression: three of r11's five heaviest sf10 rows were defended
+    // as "output-driven" in prose only (r11 verdict prescription #4).
+    // getOrEmpty (never-blocking) is public bytecode but private[sql]
+    // in the ScalaSig — reflection keeps this tooling on the
+    // no-hang-ever path without a package-escape shim.
+    val getOrEmpty = classOf[org.apache.spark.sql.Observation]
+      .getMethod("getOrEmpty")
+    def run(name: String,
+            fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+    : Long = {
+      val obs = org.apache.spark.sql.Observation(
+        s"rows_${name}_${System.nanoTime()}")
+      fn(spark, sfDir).observe(obs, count(lit(1)).as("n"))
+        .write.format("noop").mode("overwrite").save()
+      getOrEmpty.invoke(obs)
+        .asInstanceOf[Map[String, Any]].get("n") match {
+        case Some(n: Long) => n
+        case _ => -1L // metrics unavailable; never block the bench on it
+      }
+    }
 
     // Warmup: touch every table (pays one-time listing/footer/codegen
     // costs) plus one shuffle to warm the exchange path. A warmup failure
@@ -111,13 +136,23 @@ object Bench {
     // executor OOM in local mode can take the whole JVM down before the
     // final JSON prints (the r11 sf10 window lost 100 minutes of
     // measurements to one q42 heap death) — with this file the
-    // completed rows survive any mid-run crash
-    val progressPath = Paths.get("/tmp/graft_bench_progress.jsonl")
+    // completed rows survive any mid-run crash. Path is per-(sf, pid)
+    // by default so two bench JVMs on one host (an A/B leg overlapping
+    // a suite run) can't clobber each other's crash-recovery artifact;
+    // scripts that collect it set SPARK_GRAFT_BENCH_PROGRESS explicitly.
+    val progressPath = Paths.get(sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_PROGRESS", {
+        val sfBase = Paths.get(sfDir).getFileName.toString
+          .replaceAll("[^A-Za-z0-9._-]", "_")
+        s"/tmp/graft_bench_progress_${sfBase}_${ProcessHandle.current.pid}.jsonl"
+      }))
+    System.err.println(s"[bench] progress file: $progressPath")
     try Files.writeString(progressPath, "")
     catch { case _: Throwable => () }
-    def progress(name: String, sec: Double, err: Option[String]): Unit =
+    def progress(name: String, sec: Double, rows: Long,
+                 err: Option[String]): Unit =
       try Files.writeString(progressPath,
-        s"""{"q":"$name","sec":$sec${err.map(e =>
+        s"""{"q":"$name","sec":$sec,"rows_out":$rows${err.map(e =>
           ",\"err\":\"" + jsonEsc(e) + "\"").getOrElse("")}}""" + "\n",
         java.nio.file.StandardOpenOption.APPEND)
       catch { case _: Throwable => () }
@@ -129,8 +164,9 @@ object Bench {
         val t0 = System.nanoTime()
         // a failed row carries its cause so the artifact alone is
         // diagnosable (not just a -1 sentinel)
+        var rows = -1L
         val err: Option[String] =
-          try { run(fn); None } catch { case e: Throwable =>
+          try { rows = run(name, fn); None } catch { case e: Throwable =>
             val reason = s"${e.getClass.getName}: " +
               String.valueOf(e.getMessage).replace('\n', ' ').take(300)
             System.err.println(s"[bench] FAILED $name: $reason")
@@ -138,21 +174,26 @@ object Bench {
           }
         val sec =
           if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0
-        progress(name, sec, err)
-        (name, sec, err)
+        progress(name, sec, rows, err)
+        (name, sec, rows, err)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, Some(_)) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
+    // additive key (r12): output rows per query, same key set as
+    // "queries" (-1 = failed or metric unavailable) — lets slope
+    // analysis separate output growth from plan regression
+    val rowsOut = results.map { case (k, _, r, _) => "\"" + k + "\":" + r }
+      .mkString("{", ",", "}")
+    val failedNames = results.collect { case (k, _, _, Some(_)) => k }
+    val failed = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     // additive key: per-failure reason strings, {} when all green
-    val failures = results.collect { case (k, _, Some(msg)) =>
+    val failures = results.collect { case (k, _, _, Some(msg)) =>
       "\"" + k + "\":\"" + jsonEsc(msg) + "\"" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, None) => v }.sum
+    val total = results.collect { case (_, v, _, None) => v }.sum
     val sfEsc = jsonEsc(sfDir)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"failures":$failures,"sf":"$sfEsc"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows_out":$rowsOut,"failed":$failed,"failures":$failures,"sf":"$sfEsc"}"""
     println(json)
     try Files.writeString(Paths.get("/tmp/graft_bench_out.json"), json + "\n")
     catch {
@@ -170,17 +211,27 @@ object Bench {
     // the final line — total/failures plus the slowest queries that fit
     // a 1400-char budget — and point at the full per-query file. The
     // full line stays first for logs and /tmp.
-    val okRows = results.collect { case (k, v, None) => (k, v) }
+    val okRows = results.collect { case (k, v, _, None) => (k, v) }
     // locale-pinned: f"" uses the default locale, and a comma decimal
     // separator would corrupt the JSON
     def d2(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // The failed list must ALSO be bounded in the compact line: in a
+    // mass-failure run (bad SF dir -> ~200 failed rows) the raw array
+    // alone is ~4 KB, blowing the 1400-char budget from under every
+    // compact(N) candidate — exactly the parsed:null failure this line
+    // exists to prevent, in the runs where diagnosability matters most.
+    // Emit a count plus the first few names; full_results has the rest.
+    val failedCompact =
+      if (failedNames.isEmpty) "[]"
+      else failedNames.take(5).map("\"" + _ + "\"")
+        .mkString("[", ",", if (failedNames.size > 5) ",\"...\"]" else "]")
     def compact(topN: Int): String = {
       val top = okRows.sortBy(-_._2).take(topN)
         .map { case (k, v) => "\"" + k + "\":" + d2(v) }
         .mkString("{", ",", "}")
       val tot = d2(total)
-      s"""{"metric":"total","value":$tot,"unit":"sec","queries":$top,"queries_total":${results.size},"queries_shown":${math.min(topN, okRows.size)},"failed":$failed,"full_results":"/tmp/graft_bench_out.json","sf":"$sfEsc"}"""
+      s"""{"metric":"total","value":$tot,"unit":"sec","queries":$top,"queries_total":${results.size},"queries_shown":${math.min(topN, okRows.size)},"failed_count":${failedNames.size},"failed":$failedCompact,"full_results":"/tmp/graft_bench_out.json","sf":"$sfEsc"}"""
     }
     // widest top-N that fits the budget (leaves headroom for the build
     // tool's trailing "[success]" line inside the same 2000-char tail)

@@ -12,7 +12,9 @@ import org.apache.spark.sql.functions._
   * Every method pins the manifest version captured at construction:
   * one [[OsmDb]] = one LMDB read transaction (`src/cmd.cpp:50`).
   */
-final class OsmDb(spark: SparkSession, root: String) {
+final class OsmDb(spark: SparkSession, root: String,
+                  forceJobPath: Boolean =
+                    sys.env.contains("SPARK_GRAFT_LOOKUP_VIA_JOB")) {
 
   /** The pinned snapshot (readers are stable across later commits). */
   val snapshot: VersionedTable.Manifest =
@@ -30,6 +32,37 @@ final class OsmDb(spark: SparkSession, root: String) {
     * a later commit never mutates the files a pinned `v=N/` references. */
   private val bucketFrames =
     scala.collection.concurrent.TrieMap[(String, Int), DataFrame]()
+
+  /** Driver-local point reader over the same pinned snapshot: single-id
+    * probes on a bucketed store skip the Spark scheduler entirely (the
+    * ~50 ms/job floor BASELINE.md §QD1 documents) and read the one
+    * pruned bucket file directly via parquet-mr — results pinned equal
+    * to the job path by PointReaderSpec. Set env
+    * SPARK_GRAFT_LOOKUP_VIA_JOB=1 to force every probe through the
+    * Spark job path (A/B and spec use). */
+  private val direct = new PointReader(root, snapshot)
+  private val forceJob = forceJobPath
+  @volatile private var directWarned = false
+
+  /** Route a single-key probe: driver-local direct read when the table
+    * is bucketed by the probed column (and not overridden), Spark job
+    * otherwise. A direct-path failure falls back to the job path LOUDLY
+    * (once) — a silent fallback would hide a 50x latency regression. */
+  private def point[T](table: String, keyCol: String, key: Long)
+                      (decode: org.apache.parquet.example.data.Group => T)
+                      (viaJob: => Seq[T]): Seq[T] =
+    if (!forceJob && direct.supports(table, keyCol)) {
+      try direct.rows(table, keyCol, key).map(decode)
+      catch { case e: Throwable =>
+        if (!directWarned) {
+          directWarned = true
+          System.err.println(s"[osmdb] WARN direct point read failed " +
+            s"($table.$keyCol=$key), falling back to Spark job path: " +
+            s"${e.getClass.getName}: ${e.getMessage}")
+        }
+        viaJob
+      }
+    } else viaJob
 
   /** Key-pruned scan: on a bucketed (copy-on-write) store the lookup
     * reads ONE bucket directory (the driver computes the key's bucket
@@ -55,51 +88,78 @@ final class OsmDb(spark: SparkSession, root: String) {
   /** P1: location lookup — (lon, lat, version) or None (a node's coords
     * exist even when its tags don't, `src/cmd.cpp:53-60`). */
   def location(id: Long): Option[(Int, Int, Int)] =
-    keyed("locations", "id", id)
-      .select(col("lon"), col("lat"), col("version"))
-      .collect().headOption.map(r => (r.getInt(0), r.getInt(1),
-        r.getInt(2)))
+    point("locations", "id", id)(g =>
+      (direct.int(g, "lon"), direct.int(g, "lat"),
+        direct.int(g, "version"))) {
+      keyed("locations", "id", id)
+        .select(col("lon"), col("lat"), col("version"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+        .toSeq
+    }.headOption
 
   /** P2/P3: tagged-node lookup (tags + metadata). CDC-upserted blobs
     * carry null meta (OsmModel's documented shape) — version 0 then,
     * like the reference's metadata-stripped stores. */
   def node(id: Long): Option[(Map[String, String], Int)] =
-    keyed("nodes", "id", id)
-      .select(col("tags"), col("meta.version"))
-      .collect().headOption
-      .map(r => (r.getMap[String, String](0).toMap,
-        if (r.isNullAt(1)) 0 else r.getInt(1)))
+    point("nodes", "id", id)(g =>
+      (direct.stringMap(g, "tags"),
+        direct.structInt(g, "meta", "version", 0))) {
+      keyed("nodes", "id", id)
+        .select(col("tags"), col("meta.version"))
+        .collect()
+        .map(r => (r.getMap[String, String](0).toMap,
+          if (r.isNullAt(1)) 0 else r.getInt(1))).toSeq
+    }.headOption
 
   /** P3: way lookup — ordered node refs + tags. */
   def way(id: Long): Option[(Seq[Long], Map[String, String])] =
-    keyed("ways", "id", id)
-      .select(col("nodes"), col("tags"))
-      .collect().headOption
-      .map(r => (r.getSeq[Long](0), r.getMap[String, String](1).toMap))
+    point("ways", "id", id)(g =>
+      (direct.longSeq(g, "nodes"), direct.stringMap(g, "tags"))) {
+      keyed("ways", "id", id)
+        .select(col("nodes"), col("tags"))
+        .collect()
+        .map(r => (r.getSeq[Long](0),
+          r.getMap[String, String](1).toMap)).toSeq
+    }.headOption
 
   /** P3: relation lookup — members + tags. */
   def relation(id: Long)
   : Option[(Seq[(Long, String, String)], Map[String, String])] =
-    keyed("relations", "id", id)
-      .select(col("members"), col("tags"))
-      .collect().headOption
-      .map(r => (r.getSeq[org.apache.spark.sql.Row](0)
-        .map(m => (m.getLong(0), m.getString(1), m.getString(2))),
-        r.getMap[String, String](1).toMap))
+    point("relations", "id", id)(g =>
+      (direct.groupSeq(g, "members").map(m =>
+        (direct.long(m, "ref"), m.getString("mtype", 0),
+          m.getString("role", 0))),
+        direct.stringMap(g, "tags"))) {
+      keyed("relations", "id", id)
+        .select(col("members"), col("tags"))
+        .collect()
+        .map(r => (r.getSeq[org.apache.spark.sql.Row](0)
+          .map(m => (m.getLong(0), m.getString(1), m.getString(2))),
+          r.getMap[String, String](1).toMap)).toSeq
+    }.headOption
 
   /** P2: existence tests. */
   def nodeExists(id: Long): Boolean =
-    !keyed("locations", "id", id).isEmpty
+    point("locations", "id", id)(_ => ()) {
+      if (keyed("locations", "id", id).isEmpty) Seq.empty else Seq(())
+    }.nonEmpty
   def wayExists(id: Long): Boolean =
-    !keyed("ways", "id", id).isEmpty
+    point("ways", "id", id)(_ => ()) {
+      if (keyed("ways", "id", id).isEmpty) Seq.empty else Seq(())
+    }.nonEmpty
   def relationExists(id: Long): Boolean =
-    !keyed("relations", "id", id).isEmpty
+    point("relations", "id", id)(_ => ()) {
+      if (keyed("relations", "id", id).isEmpty) Seq.empty else Seq(())
+    }.nonEmpty
 
   /** P4: reverse-index lookup (`python/osmx/osmx.py:41-46`). */
   def parents(adjTable: String, memberId: Long): Seq[Long] =
-    keyed(adjTable, "member_id", memberId)
-      .select(col("parent_id")).orderBy(col("parent_id"))
-      .collect().map(_.getLong(0)).toSeq
+    point(adjTable, "member_id", memberId)(g =>
+      direct.long(g, "parent_id")) {
+      keyed(adjTable, "member_id", memberId)
+        .select(col("parent_id"))
+        .collect().map(_.getLong(0)).toSeq
+    }.sorted
 
   /** P5: per-table row counts + metadata, like `osmx query` with no
     * args (`src/cmd.cpp:96-109`). */

@@ -134,6 +134,7 @@ class PlanSpec extends AnyFunSuite {
       "q45_curate_funnel", "q57_dedup_components", "q70_dedup_keep_best",
       "q42_embedding_neardup", "q109_semantic_dedup",
       "q201_embedding_neardup_scaled",
+      "q202_embedding_neardup_auto", // same vectorBroadcastable gate (r12)
       // k-bounded probe batches over embeddings: the hinted side is
       // `vec_id % step = 0 AND vec_id < K` — a literal id-range
       // predicate that caps the batch at a CONSTANT (<= K/step rows,
@@ -203,7 +204,8 @@ class PlanSpec extends AnyFunSuite {
       "q75_chunk_overlap", "q76_vocab_oov", "q77_source_similarity",
       "q79_quality_quota", "q80_dup_spans", "q82_bm25", "q85_frame_dedup",
       "q99_edit_distance",
-      "q200_simhash_scalable" /* simhash64 over text (round 11) */)
+      "q200_simhash_scalable" /* simhash64 over text (round 11) */,
+      "q203_simhash_candidates_default" /* simhash64 over text (r12) */)
     val offenders = suitePlans.flatMap { case (name, qe) =>
       qe.sparkPlan.collect {
         case f: FileSourceScanExec
