@@ -285,16 +285,20 @@ object Cli {
         println(if (commit) s"committed seqnum $seqnum at $root"
                 else s"dry-run ok (pass --commit to publish seqnum " +
                   s"$seqnum)")
-      case ApplyResult.EmptyDiff =>
+      case ApplyResult.EmptyDiff(observedVersion) =>
         // a quiet replication interval is NOT an error: under --commit,
         // record the seqnum/timestamp anyway (the reference commits the
         // metadata txn unconditionally, src/update.cpp:283-287) so the
         // next default seqnum is recorded+1 and an automated catch-up
         // loop advances past the empty interval instead of recomputing
-        // the same empty diff forever
+        // the same empty diff forever. expectedVersion pins the record
+        // to the manifest applyBatch's replay guard validated — a
+        // concurrent committer landing in between fails this commit
+        // LOUDLY (ConcurrentCommitException) instead of silently
+        // recording a stale or duplicate seqnum (r11 advice).
         if (commit) {
           streaming.Replication.recordReplicationMeta(spark, root,
-            seqnum, extra)
+            seqnum, extra, expectedVersion = Some(observedVersion))
           println(s"no changes in $osc; recorded seqnum $seqnum at $root")
         } else println(s"no changes in $osc (dry-run; pass --commit to " +
           s"record seqnum $seqnum)")

@@ -70,16 +70,20 @@ import scala.jdk.CollectionConverters._
 object VersionedTable {
 
   /** A commit lost the publish race: `version` was already claimed by
-    * another writer (or a crashed writer left an orphan claim). The
-    * first commit's data is intact; this one wrote NOTHING. */
-  final class ConcurrentCommitException(root: String, version: Long,
-                                        cause: Throwable)
-    extends IllegalStateException(
+    * another writer (or a crashed writer left an orphan claim), or the
+    * store advanced past the version the caller validated against
+    * (expected-version CAS). The winning commit's data is intact; this
+    * one wrote NOTHING. */
+  final class ConcurrentCommitException private[osm] (
+      msg: String, cause: Throwable)
+    extends IllegalStateException(msg, cause) {
+    def this(root: String, version: Long, cause: Throwable) = this(
       s"concurrent commit at $root: version $version is already claimed " +
         s"by another writer (manifest.v=$version.json exists). This " +
         "commit wrote nothing; re-read the current version and retry. " +
         "If the claiming writer is known dead and never published, " +
         s"delete $root/manifest.v=$version.json to recover.", cause)
+  }
 
   /** Test seam: runs inside [[claimVersion]] after the committer has
     * observed the previous version but before the CREATE_NEW claim —
@@ -534,9 +538,24 @@ object VersionedTable {
   def commitDelta(spark: SparkSession, root: String,
                   deltas: Map[String, Delta],
                   meta: Map[String, String] = Map.empty,
-                  dryRun: Boolean = false): Long = {
+                  dryRun: Boolean = false,
+                  expectedVersion: Option[Long] = None): Long = {
     val prev = current(root).getOrElse(throw new IllegalStateException(
       s"commitDelta needs an existing bucketed commit at $root"))
+    // expected-version CAS: a caller whose guard was evaluated against
+    // version E (e.g. the CLI's empty-diff seqnum record, validated by
+    // applyBatch's replay check) passes E so the guard and this commit
+    // are ATOMIC. If the store moved past E, fail loudly BEFORE
+    // claiming — and once the claim of E+1 below succeeds, no other
+    // writer can publish until we do (every competitor must claim the
+    // same E+1), so the check cannot go stale between here and publish.
+    expectedVersion.filter(_ != prev.version).foreach { e =>
+      throw new ConcurrentCommitException(
+        s"concurrent commit at $root: caller validated against version " +
+          s"$e but the store is now at ${prev.version}. This commit " +
+          "wrote nothing; re-read the current version, re-validate, " +
+          "and retry.", null)
+    }
     val next = prev.version + 1L
     claimVersion(root, next) // dry-runs claim too — see commit()
     // claim released on any pre-publish failure incl. the manifest

@@ -75,7 +75,13 @@ object Replication {
   sealed trait ApplyResult
   object ApplyResult {
     case object Applied extends ApplyResult
-    case object EmptyDiff extends ApplyResult
+    /** Carries the manifest version the emptiness/replay guards were
+      * evaluated against, so a caller recording the seqnum anyway (the
+      * CLI's `--commit` path) can make its metadata commit ATOMIC with
+      * this validation via `commitDelta(expectedVersion = ...)` — a
+      * concurrent committer landing in between otherwise records a
+      * stale or duplicate seqnum (r11 advice). */
+    final case class EmptyDiff(observedVersion: Long) extends ApplyResult
     case object ReplayedBatch extends ApplyResult
   }
 
@@ -88,11 +94,12 @@ object Replication {
     * wedges an automated loop on the same seqnum forever. */
   def recordReplicationMeta(spark: SparkSession, root: String,
                             seqnum: Long,
-                            extraMeta: Map[String, String] = Map.empty)
+                            extraMeta: Map[String, String] = Map.empty,
+                            expectedVersion: Option[Long] = None)
   : Long =
     VersionedTable.commitDelta(spark, root, Map.empty,
       Map(SeqKey -> seqnum.toString, BatchIdKey -> seqnum.toString) ++
-        extraMeta)
+        extraMeta, expectedVersion = expectedVersion)
 
   /** U5: continuous replication catch-up over a BUCKETED copy-on-write
     * store ([[VersionedTable.commitBucketed]]). Watches `changesDir`
@@ -159,7 +166,7 @@ object Replication {
     // isEmpty runs anyway
     if (prev.meta.get(BatchIdKey).contains(batchId.toString))
       return ApplyResult.ReplayedBatch
-    if (batch.isEmpty) return ApplyResult.EmptyDiff
+    if (batch.isEmpty) return ApplyResult.EmptyDiff(prev.version)
     val bk = prev.buckets
     require(bk.nonEmpty,
       s"catch-up needs a bucketed store at $root (commitBucketed)")

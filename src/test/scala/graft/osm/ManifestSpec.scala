@@ -560,4 +560,32 @@ class ManifestSpec extends AnyFunSuite {
     assert(Replication.timestampToSeqnum(ts, 0, 10000, 1060) == 1)
     assert(Replication.timestampToSeqnum(ts, 0, 10000, 601060) == 10000)
   }
+
+  test("expected-version CAS: a stale metadata record fails loudly " +
+    "instead of recording a duplicate/stale seqnum (r11 advice)") {
+    val root = Files.createTempDirectory("graft-casmeta").toString
+    VersionedTable.commitBucketed(root,
+      Map("t" -> ((Seq((1L, "a")).toDF("id", "v"), "id"))), nBuckets = 2)
+    val observed = VersionedTable.current(root).get.version
+    // a concurrent committer lands between the guard and the record
+    VersionedTable.commitDelta(spark, root, Map.empty,
+      Map("streaming_batch_id" -> "77"))
+    // the CLI-shaped record pinned to the STALE observed version must
+    // throw and leave the manifest untouched...
+    val before = VersionedTable.current(root).get
+    intercept[VersionedTable.ConcurrentCommitException] {
+      Replication.recordReplicationMeta(spark, root, seqnum = 5L,
+        expectedVersion = Some(observed))
+    }
+    val after = VersionedTable.current(root).get
+    assert(after.version == before.version)
+    assert(after.meta == before.meta)
+    assert(!after.meta.get("osmosis_replication_sequence_number")
+      .contains("5"))
+    // ...and re-validating against the CURRENT version succeeds
+    Replication.recordReplicationMeta(spark, root, seqnum = 5L,
+      expectedVersion = Some(after.version))
+    assert(VersionedTable.current(root).get
+      .meta("osmosis_replication_sequence_number") == "5")
+  }
 }
