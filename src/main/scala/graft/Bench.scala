@@ -23,9 +23,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // dev A/B knob ONLY (round artifacts always use the harness default
+    // of `cpus`): q03's sf10 slope is sort-merge spill at 32 partitions
+    // x 24g heap — SPARK_GRAFT_SHUFFLE_PARTITIONS lets the spill cost
+    // be MEASURED (README §BENCH_r12) instead of inferred. AQE
+    // coalescing (on by default in Spark 4) folds small post-shuffle
+    // partitions back together, so a higher setting costs little where
+    // it isn't needed.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -46,6 +55,10 @@ object Bench {
     def run(name: String,
             fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
     : Long = {
+      if (sys.env.contains("SPARK_GRAFT_BENCH_NO_OBSERVE")) {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        return -1L
+      }
       val obs = org.apache.spark.sql.Observation(
         s"rows_${name}_${System.nanoTime()}")
       fn(spark, sfDir).observe(obs, count(lit(1)).as("n"))
