@@ -38,7 +38,12 @@ import org.apache.spark.sql.functions._
   * Prints ONE JSON line. Env: SPARK_GRAFT_SF_DIR (default
   * /tmp/graft_sf1), SPARK_GRAFT_CPUS, SPARK_GRAFT_LOOKUPS (default 64
   * per table), SPARK_GRAFT_LOOKUP_DB (reuse an existing bucketed store
-  * instead of building one — for cross-SF A/B on prebuilt stores).
+  * instead of building one — for cross-SF A/B on prebuilt stores),
+  * SPARK_GRAFT_LOOKUP_BUILD_DB (build the store at this persistent
+  * path instead of an auto-deleted temp dir — pair with LOOKUP_DB in a
+  * SECOND JVM to separate reader latency from ingest-JVM aging: the
+  * build run's probes execute in a heap that just churned through the
+  * whole ingest, the reuse run's in a quiet one).
   */
 object LookupBench {
 
@@ -63,7 +68,8 @@ object LookupBench {
       val pbfDir = TempDirs.create("graft-lookupbench-pbf")
       Ingest.writeExtract(t, all, pbfDir, shards = cpus.toInt,
         format = "osmpbf")
-      val r = TempDirs.create("graft-lookupbench-db")
+      val r = sys.env.get("SPARK_GRAFT_LOOKUP_BUILD_DB")
+        .getOrElse(TempDirs.create("graft-lookupbench-db"))
       Ingest.expandBucketed(spark, pbfDir, r, nBuckets = 64)
       r
     }

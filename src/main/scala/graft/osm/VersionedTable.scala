@@ -375,7 +375,8 @@ object VersionedTable {
     * Subsequent [[commitDelta]] calls rewrite only changed buckets. */
   def commitBucketed(root: String, tables: Map[String, (DataFrame, String)],
                      nBuckets: Int, meta: Map[String, String] = Map.empty,
-                     dryRun: Boolean = false): Long = {
+                     dryRun: Boolean = false,
+                     pageRowLimit: Int = 2000): Long = {
     val prev = current(root)
     val next = prev.map(_.version).getOrElse(0L) + 1L
     claimVersion(root, next) // dry-runs claim too — see commit()
@@ -385,8 +386,28 @@ object VersionedTable {
       tables.foreach { case (name, (df, key)) =>
         df.withColumn("__bucket", bucketExpr(key, nBuckets))
           .repartition(col("__bucket"))
-          .sortWithinPartitions(col(key))
+          // (__bucket, key), NOT key alone: the dynamic-partition
+          // writer REQUIRES its output ordered by the partition
+          // column, and an ordering that doesn't lead with __bucket
+          // makes Spark insert its own non-stable sort by __bucket on
+          // top — which scrambles the key order the whole pruning
+          // ladder depends on (measured: 117K/234K inversions in a
+          // node_way bucket → every page's min/max spans the full id
+          // range → point probes decoded the entire file). Leading
+          // with __bucket satisfies the writer's requirement, so THIS
+          // sort is the only one and per-bucket key order is exact.
+          .sortWithinPartitions(col("__bucket"), col(key))
           .write.mode("overwrite").partitionBy("__bucket")
+          // Point-read page granularity: a probe's cost floor is the
+          // record-decode of every row in the column-index-selected
+          // pages, so page row count bounds per-probe work the way a
+          // B-tree leaf bounds the reference's (`src/storage.cpp:70-77`
+          // descends to one 4K page). parquet-mr's 20K-row default
+          // made sf10 probes decode 20-40K rows (~30-50 ms); 2K rows
+          // per page keeps warm probes single-digit-ms at ANY store
+          // size while row groups (scan granularity) stay unchanged.
+          .option("parquet.page.row.count.limit",
+            pageRowLimit.toString)
           .parquet(s"$root/v=$next/$name")
       }
       if (!dryRun) {
@@ -574,8 +595,14 @@ object VersionedTable {
             .withColumn("__bucket", bucketCol)
             .where(col("__bucket").isin(changed.map(Integer.valueOf): _*))
             .repartition(col("__bucket"))
-            .sortWithinPartitions(col(spec.key))
+            // (__bucket, key) — see commitBucketed: leading with the
+            // partition column keeps the writer from inserting its own
+            // unstable sort that would scramble per-bucket key order
+            .sortWithinPartitions(col("__bucket"), col(spec.key))
             .write.mode("overwrite").partitionBy("__bucket")
+            // same point-read page granularity as commitBucketed, so a
+            // CDC-rewritten bucket keeps the probe-cost bound
+            .option("parquet.page.row.count.limit", "2000")
             .parquet(s"$root/v=$next/$name")
         }
         val versions = spec.versions.zipWithIndex.map { case (v, b) =>
