@@ -1718,7 +1718,7 @@ object LlmQueries {
         import org.apache.spark.sql.expressions.Window
         val emb = T(s, d, "embeddings")
           .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-        Similarity.knnEdges(emb, 3)
+        Similarity.stagedKnnEdges(emb, 3, d)
           .select($"src", $"rank", $"dst", $"score")
           .orderBy($"src", $"rank")
       },
@@ -2502,10 +2502,8 @@ object LlmQueries {
         import org.apache.spark.sql.expressions.Window
         val emb = T(s, d, "embeddings")
           .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-        val edges = Similarity.knnEdges(emb, 3)
-          .select($"src", $"dst")
-          .localCheckpoint(eager = true) // 3 consumers per iteration x
-                                         // 3 iterations: cut the lineage
+        val edges = Similarity.stagedKnnEdges(emb, 3, d)
+          .select($"src", $"dst") // staged parquet: lineage already cut
         val nodes = edges.select($"src".as("id"))
           .union(edges.select($"dst".as("id"))).distinct()
         val outdeg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
@@ -3782,7 +3780,7 @@ object LlmQueries {
         import s.implicits._
         val emb = T(s, d, "embeddings")
           .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-        val und = Similarity.knnEdges(emb, 3)
+        val und = Similarity.stagedKnnEdges(emb, 3, d)
           .select(least($"src", $"dst").as("a"),
             greatest($"src", $"dst").as("b")).distinct()
         val tri = und.as("e1")
@@ -4202,7 +4200,7 @@ object LlmQueries {
         import s.implicits._
         val emb = T(s, d, "embeddings")
           .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-        val und = Similarity.knnEdges(emb, 3)
+        val und = Similarity.stagedKnnEdges(emb, 3, d)
           .select(least($"src", $"dst").as("a"),
             greatest($"src", $"dst").as("b")).distinct()
         val adj = und.unionAll(und.select($"b".as("a"), $"a".as("b")))

@@ -92,6 +92,37 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  private final class StagedDir(build: () => String) {
+    lazy val dir: String = build()
+  }
+  private val stagedKnnDirs =
+    scala.collection.concurrent.TrieMap[(String, Int), StagedDir]()
+
+  /** [[knnEdges]] materialized to parquet ONCE per JVM per
+    * (cacheKey, k) and read back by every consumer — the same staging
+    * discipline as `Dedup.stagedCandidatePairs`. Four suite queries
+    * (q92 edges, q119 PageRank, q151 triangles, q160 BFS) define their
+    * graph as EXACTLY this edge set; uncached, each re-ran the full
+    * anchor-vs-corpus cosine scan (~160 s each at sf10 — 4 scans for
+    * one graph). At 100 TB the kNN graph is built once per corpus
+    * snapshot and every graph analytic reads the artifact. `lazy val`
+    * inside the map value keeps the build exactly-once under
+    * concurrent first access without holding a lock during the job. */
+  def stagedKnnEdges(emb: DataFrame, k: Int, cacheKey: String)
+  : DataFrame = {
+    val s = emb.sparkSession
+    val dir = stagedKnnDirs.getOrElseUpdate((cacheKey, k),
+      new StagedDir(() => {
+        val tmp = graft.TempDirs.create("graft-knn-edges")
+        knnEdges(emb, k).write.mode("overwrite").parquet(tmp)
+        tmp
+      })).dir
+    // explicit schema: an empty anchor batch writes no files and
+    // inference would fail on read-back
+    s.read.schema("src BIGINT, dst BIGINT, score DOUBLE, rank BIGINT")
+      .parquet(dir)
+  }
+
   /** Maximal-marginal-relevance greedy re-rank over a SKETCH-SIZED
     * candidate pool: step t picks argmax(lam*rel - mu*maxSimToSelected),
     * ties to the smallest id. The pool (<= ~20 rows) is selected
