@@ -228,11 +228,26 @@ class PlanSpec extends AnyFunSuite {
       "band join must never plan a cartesian product")
   }
 
-  test("q92 kNN graph broadcasts the sample side") {
-    val plan = q("q92_knn_graph").queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastNestedLoopJoin") ||
-      plan.contains("BroadcastHashJoin"),
-      s"kNN scoring should be map-side over a broadcast sample:\n$plan")
+  test("kNN edge build broadcasts the sample side; q92 reads the " +
+    "staged artifact") {
+    // r12: q92/q119/q151/q160 read stagedKnnEdges (one build per
+    // corpus), so the broadcast pin moves to the BUILDER's plan —
+    // q92's own plan must be a bare parquet read of the staged edges
+    // (no rescoring scan hiding behind the stage).
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Queries.T(spark, SF, "embeddings")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+    val build = graft.llm.Similarity.knnEdges(emb, 3)
+      .queryExecution.executedPlan.toString
+    assert(build.contains("BroadcastNestedLoopJoin") ||
+      build.contains("BroadcastHashJoin"),
+      s"kNN scoring should be map-side over a broadcast sample:\n$build")
+    val served = q("q92_knn_graph").queryExecution.executedPlan.toString
+    assert(served.contains("graft-knn-edges"),
+      s"q92 should read the staged edge artifact:\n$served")
+    assert(!served.contains("cosine_sim"),
+      s"q92 must not re-run the scoring scan:\n$served")
   }
 
   test("q127 delta dedup broadcasts the delta fingerprints and never " +
