@@ -70,6 +70,33 @@ object Bench {
       }
     }
 
+    // ---- query selection, BEFORE warmup so untimed setup can be
+    // scoped to what will actually run ----
+    // isolation filter (dev loop: bench chosen queries in one JVM)
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // forked-JVM window segment "i/N" (1-based): the r12 verdict's
+    // structural fix for JVM-aging confounds — a 200-query window
+    // measures a 70-query-deep JVM's accumulated heap/codegen state as
+    // query cost (q159: 94.9 s in-window vs 28.5 s fresh-JVM, same
+    // code). tools/bench_seg.sh runs every segment in its own JVM and
+    // tools/bench_merge.py reassembles the round artifact.
+    val segment: Option[(Int, Int)] =
+      sys.env.get("SPARK_GRAFT_BENCH_SEGMENT").map { v =>
+        val Array(i, n) = v.split("/")
+        require(i.toInt >= 1 && i.toInt <= n.toInt,
+          s"bad segment $v")
+        (i.toInt, n.toInt)
+      }
+    val allNames = SparkEntry.queries.keys.toSeq.sorted
+    val segNames: Set[String] = segment match {
+      case None => allNames.toSet
+      case Some((i, n)) => segmentNames(allNames, n)(i - 1).toSet
+    }
+    val selected: Set[String] =
+      allNames.filter(q => segNames(q) && only.forall(_.contains(q)))
+        .toSet
+
     // Warmup: touch every table (pays one-time listing/footer/codegen
     // costs) plus one shuffle to warm the exchange path. A warmup failure
     // is NOT swallowed silently — a schema drift in the driver's testdata
@@ -97,9 +124,14 @@ object Bench {
       // timed region: the reference's queries run against an
       // already-built .osmx database, so deriving the OSM model from
       // the star schema is setup, not query work. (Building the store
-      // itself IS measured — that's q38.) Skippable for isolation
-      // benches of non-OSM queries.
-      if (!sys.env.contains("SPARK_GRAFT_BENCH_NO_OSM_WARMUP"))
+      // itself IS measured — that's q38.) Skipped automatically when
+      // the selection contains no OSM query (segmented windows: only
+      // OSM-carrying segments pay the bundle; SPARK_GRAFT_OSM_MAT_DIR
+      // additionally shares one bundle across segment JVMs).
+      val osmSelected =
+        graft.osm.OsmQueries.all.exists(q => selected(q.name))
+      if (!sys.env.contains("SPARK_GRAFT_BENCH_NO_OSM_WARMUP") &&
+          osmSelected)
         graft.osm.SyntheticOsm.materialized(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] WARMUP FAILED (osm bundle/shuffle): " +
@@ -135,9 +167,6 @@ object Bench {
       Thread.sleep(400)
     }
 
-    // optional isolation filter (dev loop: bench one query per JVM)
-    val only: Option[Set[String]] =
-      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     // JSON-escape free-form strings (paths, exception messages)
     def jsonEsc(s: String): String = s.flatMap {
       case '"' => "\\\""
@@ -169,8 +198,41 @@ object Bench {
           ",\"err\":\"" + jsonEsc(e) + "\"").getOrElse("")}}""" + "\n",
         java.nio.file.StandardOpenOption.APPEND)
       catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
+    // ---- stage rows: build each shared staged artifact the selected
+    // queries consume, billed as its OWN named row (build wall +
+    // artifact row count as rows_out) — consumers then measure their
+    // MARGINAL cost, and a plan regression in a build surfaces in the
+    // build's row, not misattributed to whichever consumer ran first
+    // (r12 verdict "What's wrong" #2). The row count doubles as the
+    // work-driver telemetry slope analysis needs to annotate
+    // candidate-driven consumers (stage_of below maps consumer ->
+    // stage). SPARK_GRAFT_BENCH_NO_STAGES restores the old inclusive
+    // billing for A/Bs against pre-r13 artifacts.
+    val stagesToRun =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_NO_STAGES")) Seq.empty
+      else BenchStages.required(selected ++
+        // a stage row named directly in BENCH_ONLY runs even with no
+        // consumer selected (fresh-JVM isolation of the build itself)
+        only.getOrElse(Set.empty).filter(_.startsWith("stage:")))
+    val stageResults = stagesToRun.map { st =>
+      sweep()
+      val t0 = System.nanoTime()
+      var rows = -1L
+      val err: Option[String] =
+        try { rows = st.build(spark, sfDir).count(); None }
+        catch { case e: Throwable =>
+          val reason = s"${e.getClass.getName}: " +
+            String.valueOf(e.getMessage).replace('\n', ' ').take(300)
+          System.err.println(s"[bench] STAGE FAILED ${st.name}: $reason")
+          Some(reason)
+        }
+      val sec = if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0
+      progress(st.name, sec, rows, err)
+      (st.name, sec, rows, err)
+    }
+
+    val queryResults = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => selected(n) }
       .map {
       case (name, fn) =>
         sweep()
@@ -190,6 +252,7 @@ object Bench {
         progress(name, sec, rows, err)
         (name, sec, rows, err)
     }
+    val results = stageResults ++ queryResults
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // additive key (r12): output rows per query, same key set as
@@ -205,8 +268,18 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _, None) => v }.sum
     val sfEsc = jsonEsc(sfDir)
+    // consumer -> work-driver stage map, for slope analysis (only
+    // pairs where both ends are in this run's rows)
+    val stageOf = BenchStages.stageOf
+      .filter { case (q, st) =>
+        selected(q) && stageResults.exists(_._1 == st) }
+      .toSeq.sorted
+      .map { case (q, st) => "\"" + q + "\":\"" + st + "\"" }
+      .mkString("{", ",", "}")
+    val segfield = segment.map { case (i, n) =>
+      s""","segment":"$i/$n"""" }.getOrElse("")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows_out":$rowsOut,"failed":$failed,"failures":$failures,"sf":"$sfEsc"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows_out":$rowsOut,"failed":$failed,"failures":$failures,"stage_of":$stageOf$segfield,"sf":"$sfEsc"}"""
     println(json)
     try Files.writeString(Paths.get("/tmp/graft_bench_out.json"), json + "\n")
     catch {
@@ -252,5 +325,38 @@ object Bench {
       .find(_.length <= 1400).getOrElse(compact(1))
     println(line)
     spark.stop()
+  }
+
+  /** Deterministic split of the sorted query list into `n` contiguous
+    * segments for forked-JVM windows. Stage-chain consumers
+    * ([[BenchStages.groupOf]]) are kept WHOLE in one segment — each
+    * staged artifact then builds in exactly one JVM per window, so the
+    * window's total stage cost equals the once-per-corpus cost a
+    * production pipeline pays (scattering consumers would rebuild the
+    * artifact per segment and inflate the total). Greedy proportional
+    * fill over atomic units; same (names, n) always yields the same
+    * split, so per-segment artifacts from one window line up. */
+  private[graft] def segmentNames(sorted: Seq[String], n: Int)
+  : Seq[Seq[String]] = {
+    val units =
+      scala.collection.mutable.LinkedHashMap[String, Vector[String]]()
+    sorted.foreach { q =>
+      val k = BenchStages.groupOf.getOrElse(q, q)
+      units.update(k, units.getOrElse(k, Vector.empty) :+ q)
+    }
+    val total = sorted.size
+    val out = Vector.fill(n)(Vector.newBuilder[String])
+    var si = 0
+    var filled = 0
+    units.values.foreach { u =>
+      // advance once the current segment reached its proportional
+      // share of the total (integer boundaries, last segment absorbs
+      // the remainder)
+      while (si < n - 1 && filled >= ((si + 1).toLong * total / n).toInt)
+        si += 1
+      out(si) ++= u
+      filled += u.size
+    }
+    out.map(_.result())
   }
 }

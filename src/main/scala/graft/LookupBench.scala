@@ -104,6 +104,11 @@ object LookupBench {
         (id: Long) => { d.way(id); () }),
       (s"relation$suffix", sampleIds("relations", "id"),
         (id: Long) => { d.relation(id); () }),
+      // r13: meta-only relation probe — projection drops the member
+      // arrays (~230 KB/row at sf10), the r12 verdict's Next #4 target
+      // (warm p50 < 10 ms at sf10 for tags/meta callers)
+      (s"relation_meta$suffix", sampleIds("relations", "id"),
+        (id: Long) => { d.relationMeta(id); () }),
       (s"parents$suffix", sampleIds("node_way", "member_id"),
         (id: Long) => { d.parents("node_way", id); () }))
     // direct (the public API path) first, then the Spark job path

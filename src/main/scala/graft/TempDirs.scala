@@ -23,6 +23,16 @@ object TempDirs {
     p.toString
   }
 
+  /** Eagerly delete a registered dir (a staged build that FAILED
+    * mid-write leaves a half-written artifact that no reader will ever
+    * consume — reclaiming it at JVM exit is too late for a long-lived
+    * serving JVM that retries the build). No-op on unknown paths. */
+  def deleteNow(dir: String): Unit = {
+    val p = Path.of(dir)
+    dirs.remove(p)
+    delete(p)
+  }
+
   private def delete(root: Path): Unit =
     try {
       val walk = Files.walk(root)

@@ -255,9 +255,13 @@ object Dedup {
     val dir = stagedCandidateDirs.getOrElseUpdate(
       (cacheKey, bands, rowsPerBand, maxBucket), new StagedDir(() => {
         val tmp = graft.TempDirs.create("graft-dedup-cand")
-        minhashCandidatePairs(docs, textCol, idCol, bands, rowsPerBand,
-          maxBucket).write.mode("overwrite").parquet(tmp)
-        tmp
+        try {
+          minhashCandidatePairs(docs, textCol, idCol, bands, rowsPerBand,
+            maxBucket).write.mode("overwrite").parquet(tmp)
+          tmp
+        } catch { case e: Throwable =>
+          graft.TempDirs.deleteNow(tmp); throw e
+        }
       })).dir
     // explicit schema: a corpus with zero colliding buckets writes no
     // parquet files and inference would fail on read-back
@@ -283,12 +287,16 @@ object Dedup {
     val dir = stagedPairDirs.getOrElseUpdate(
       (cacheKey, threshold, ngram), new StagedDir(() => {
         val tmp = graft.TempDirs.create("graft-dedup-pairs")
-        // verify FROM the staged candidate artifact: the corpus-scale
-        // banding pass runs once per corpus, shared across thresholds
-        val cand = stagedCandidatePairs(docs, textCol, idCol, cacheKey)
-        verifyCandidates(cand, docs, textCol, idCol, threshold, ngram)
-          .write.mode("overwrite").parquet(tmp)
-        tmp
+        try {
+          // verify FROM the staged candidate artifact: the corpus-scale
+          // banding pass runs once per corpus, shared across thresholds
+          val cand = stagedCandidatePairs(docs, textCol, idCol, cacheKey)
+          verifyCandidates(cand, docs, textCol, idCol, threshold, ngram)
+            .write.mode("overwrite").parquet(tmp)
+          tmp
+        } catch { case e: Throwable =>
+          graft.TempDirs.deleteNow(tmp); throw e
+        }
       })).dir
     // explicit schema: a corpus with zero near-dup pairs writes no
     // parquet files and inference would fail on read-back
@@ -314,13 +322,17 @@ object Dedup {
     val dir = stagedComponentDirs.getOrElseUpdate(
       (cacheKey, threshold, ngram), new StagedDir(() => {
         val tmp = graft.TempDirs.create("graft-dedup-comp")
-        // build from the staged pair artifact: one verify pass per
-        // corpus serves pairs-consumers AND the component labels
-        val pairs = stagedNearDupPairs(docs, textCol, idCol, cacheKey,
-          threshold, ngram)
-        graft.ops.Components.connectedComponents(pairs, "a", "b")
-          .write.mode("overwrite").parquet(tmp)
-        tmp
+        try {
+          // build from the staged pair artifact: one verify pass per
+          // corpus serves pairs-consumers AND the component labels
+          val pairs = stagedNearDupPairs(docs, textCol, idCol, cacheKey,
+            threshold, ngram)
+          graft.ops.Components.connectedComponents(pairs, "a", "b")
+            .write.mode("overwrite").parquet(tmp)
+          tmp
+        } catch { case e: Throwable =>
+          graft.TempDirs.deleteNow(tmp); throw e
+        }
       })).dir
     // explicit schema: a corpus with zero near-dup pairs writes no
     // parquet files and inference would fail on read-back (q100 rule)

@@ -107,15 +107,26 @@ object Similarity {
     * one graph). At 100 TB the kNN graph is built once per corpus
     * snapshot and every graph analytic reads the artifact. `lazy val`
     * inside the map value keeps the build exactly-once under
-    * concurrent first access without holding a lock during the job. */
+    * concurrent first access without holding a lock during the job.
+    *
+    * `cacheKey` must identify an IMMUTABLE corpus snapshot (same
+    * contract as [[Dedup.stagedCandidatePairs]]): the artifact is keyed
+    * only by (cacheKey, k), so re-provisioning the embeddings under the
+    * same key within one JVM would silently serve stale edges to every
+    * consumer — fold a snapshot/version token (e.g. the store's
+    * manifest version) into the key if the corpus can change during
+    * the JVM's lifetime. A build that THROWS deletes its half-written
+    * temp dir immediately and leaves the slot retryable. */
   def stagedKnnEdges(emb: DataFrame, k: Int, cacheKey: String)
   : DataFrame = {
     val s = emb.sparkSession
     val dir = stagedKnnDirs.getOrElseUpdate((cacheKey, k),
       new StagedDir(() => {
         val tmp = graft.TempDirs.create("graft-knn-edges")
-        knnEdges(emb, k).write.mode("overwrite").parquet(tmp)
-        tmp
+        try { knnEdges(emb, k).write.mode("overwrite").parquet(tmp); tmp }
+        catch { case e: Throwable =>
+          graft.TempDirs.deleteNow(tmp); throw e
+        }
       })).dir
     // explicit schema: an empty anchor batch writes no files and
     // inference would fail on read-back

@@ -255,4 +255,50 @@ object TextFunctions {
         regexp_replace(text, EmailPattern, "<EMAIL>"),
         UrlPattern, "<URL>"),
       PhonePattern, "<PHONE>")
+
+  // ---- staged doc-length artifact (BM25's shared intermediate) ----
+
+  private final class StagedDir(build: () => String) {
+    lazy val dir: String = build()
+  }
+  private val stagedDlDirs =
+    scala.collection.concurrent.TrieMap[(String, String, String),
+      StagedDir]()
+
+  /** Per-doc whitespace token counts (`doc_id`, `dl`) materialized to
+    * parquet ONCE per JVM per (cacheKey, textCol, idCol) and read back
+    * by every consumer — the [[Dedup.stagedCandidatePairs]] staging
+    * discipline applied to retrieval's corpus statistics. BM25 needs dl
+    * three times per scorer (N, avgdl, then the per-doc score join) and
+    * two suite queries (q82, q159) share the same scorer; an in-memory
+    * `.persist()` here both re-tokenized per JVM-lifetime consumer and
+    * pinned cached blocks until eviction pressure (the r12 advisor
+    * finding). At 100 TB, doc-length is a per-corpus-snapshot artifact
+    * computed once at ingest, exactly this shape.
+    *
+    * Same immutable-corpus contract as the other staged artifacts:
+    * `cacheKey` must identify a fixed corpus snapshot; a build that
+    * throws deletes its half-written dir and leaves the slot
+    * retryable. */
+  def stagedDocLengths(docs: org.apache.spark.sql.DataFrame,
+                       textCol: String, idCol: String,
+                       cacheKey: String)
+  : org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    val dir = stagedDlDirs.getOrElseUpdate((cacheKey, textCol, idCol),
+      new StagedDir(() => {
+        val tmp = graft.TempDirs.create("graft-bm25-dl")
+        try {
+          docs.select(col(idCol).as("doc_id"),
+              tokenCountWs(col(textCol)).cast("long").as("dl"))
+            .write.mode("overwrite").parquet(tmp)
+          tmp
+        } catch { case e: Throwable =>
+          graft.TempDirs.deleteNow(tmp); throw e
+        }
+      })).dir
+    // explicit schema: an empty corpus writes no files and inference
+    // would fail on read-back
+    s.read.schema("doc_id BIGINT, dl BIGINT").parquet(dir)
+  }
 }

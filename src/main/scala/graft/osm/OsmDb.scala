@@ -47,12 +47,17 @@ final class OsmDb(spark: SparkSession, root: String,
   /** Route a single-key probe: driver-local direct read when the table
     * is bucketed by the probed column (and not overridden), Spark job
     * otherwise. A direct-path failure falls back to the job path LOUDLY
-    * (once) — a silent fallback would hide a 50x latency regression. */
-  private def point[T](table: String, keyCol: String, key: Long)
+    * (once) — a silent fallback would hide a 50x latency regression.
+    * `columns` projects the direct decode to keyCol + those fields
+    * (None = full row) — each accessor passes exactly what it returns,
+    * so a meta probe never pays a member-array decode. */
+  private def point[T](table: String, keyCol: String, key: Long,
+                       columns: Option[Seq[String]] = None)
                       (decode: org.apache.parquet.example.data.Group => T)
                       (viaJob: => Seq[T]): Seq[T] =
     if (!forceJob && direct.supports(table, keyCol)) {
-      try direct.rows(table, keyCol, key).map(decode)
+      try columns.fold(direct.rows(table, keyCol, key))(cs =>
+        direct.rows(table, keyCol, key, cs)).map(decode)
       catch { case e: Throwable =>
         if (!directWarned) {
           directWarned = true
@@ -88,7 +93,7 @@ final class OsmDb(spark: SparkSession, root: String,
   /** P1: location lookup — (lon, lat, version) or None (a node's coords
     * exist even when its tags don't, `src/cmd.cpp:53-60`). */
   def location(id: Long): Option[(Int, Int, Int)] =
-    point("locations", "id", id)(g =>
+    point("locations", "id", id, Some(Seq("lon", "lat", "version")))(g =>
       (direct.int(g, "lon"), direct.int(g, "lat"),
         direct.int(g, "version"))) {
       keyed("locations", "id", id)
@@ -101,7 +106,7 @@ final class OsmDb(spark: SparkSession, root: String,
     * carry null meta (OsmModel's documented shape) — version 0 then,
     * like the reference's metadata-stripped stores. */
   def node(id: Long): Option[(Map[String, String], Int)] =
-    point("nodes", "id", id)(g =>
+    point("nodes", "id", id, Some(Seq("tags", "meta")))(g =>
       (direct.stringMap(g, "tags"),
         direct.structInt(g, "meta", "version", 0))) {
       keyed("nodes", "id", id)
@@ -113,7 +118,7 @@ final class OsmDb(spark: SparkSession, root: String,
 
   /** P3: way lookup — ordered node refs + tags. */
   def way(id: Long): Option[(Seq[Long], Map[String, String])] =
-    point("ways", "id", id)(g =>
+    point("ways", "id", id, Some(Seq("nodes", "tags")))(g =>
       (direct.longSeq(g, "nodes"), direct.stringMap(g, "tags"))) {
       keyed("ways", "id", id)
         .select(col("nodes"), col("tags"))
@@ -125,7 +130,7 @@ final class OsmDb(spark: SparkSession, root: String,
   /** P3: relation lookup — members + tags. */
   def relation(id: Long)
   : Option[(Seq[(Long, String, String)], Map[String, String])] =
-    point("relations", "id", id)(g =>
+    point("relations", "id", id, Some(Seq("members", "tags")))(g =>
       (direct.groupSeq(g, "members").map(m =>
         (direct.long(m, "ref"), m.getString("mtype", 0),
           m.getString("role", 0))),
@@ -138,23 +143,40 @@ final class OsmDb(spark: SparkSession, root: String,
           r.getMap[String, String](1).toMap)).toSeq
     }.headOption
 
-  /** P2: existence tests. */
+  /** P3 meta-only relation probe: tags + version WITHOUT decoding the
+    * member arrays — in wide stores relations carry hundreds of KB of
+    * members per row (~29 ms of decode at sf10, the r12 micro-note),
+    * which a caller wanting tags/meta never needed. Same pruning
+    * ladder; the projection drops the member column's pages. */
+  def relationMeta(id: Long): Option[(Map[String, String], Int)] =
+    point("relations", "id", id, Some(Seq("tags", "meta")))(g =>
+      (direct.stringMap(g, "tags"),
+        direct.structInt(g, "meta", "version", 0))) {
+      keyed("relations", "id", id)
+        .select(col("tags"), col("meta.version"))
+        .collect()
+        .map(r => (r.getMap[String, String](0).toMap,
+          if (r.isNullAt(1)) 0 else r.getInt(1))).toSeq
+    }.headOption
+
+  /** P2: existence tests (key-only projection: zero payload pages). */
   def nodeExists(id: Long): Boolean =
-    point("locations", "id", id)(_ => ()) {
+    point("locations", "id", id, Some(Nil))(_ => ()) {
       if (keyed("locations", "id", id).isEmpty) Seq.empty else Seq(())
     }.nonEmpty
   def wayExists(id: Long): Boolean =
-    point("ways", "id", id)(_ => ()) {
+    point("ways", "id", id, Some(Nil))(_ => ()) {
       if (keyed("ways", "id", id).isEmpty) Seq.empty else Seq(())
     }.nonEmpty
   def relationExists(id: Long): Boolean =
-    point("relations", "id", id)(_ => ()) {
+    point("relations", "id", id, Some(Nil))(_ => ()) {
       if (keyed("relations", "id", id).isEmpty) Seq.empty else Seq(())
     }.nonEmpty
 
   /** P4: reverse-index lookup (`python/osmx/osmx.py:41-46`). */
   def parents(adjTable: String, memberId: Long): Seq[Long] =
-    point(adjTable, "member_id", memberId)(g =>
+    point(adjTable, "member_id", memberId,
+      Some(Seq("parent_id")))(g =>
       direct.long(g, "parent_id")) {
       keyed(adjTable, "member_id", memberId)
         .select(col("parent_id"))

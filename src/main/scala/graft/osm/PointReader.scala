@@ -97,13 +97,55 @@ final class PointReader(root: String,
       } finally pf.close()
     })
 
+  /** Per-(file, projection) requested schema + record assembly, cached
+    * like the full-schema FileMeta (both are immutable under the
+    * snapshot pin). The projection preserves FILE field order so the
+    * assembled Groups index identically however the caller ordered
+    * `columns`. */
+  private val projCache =
+    TrieMap[(String, String), (MessageType, MessageColumnIO)]()
+
+  private def projected(fm: FileMeta, p: Path, keyCol: String,
+                        columns: Seq[String])
+  : (MessageType, MessageColumnIO) = {
+    val want = (columns :+ keyCol).toSet
+    projCache.getOrElseUpdate((p.toString, want.toSeq.sorted.mkString(",")), {
+      import scala.jdk.CollectionConverters._
+      // tolerant of requested fields ABSENT from this file's schema
+      // (stores written without optional meta, schema evolution): the
+      // assembled Group then simply lacks the field and the decode
+      // helpers default — exactly what full-schema reads did. Only the
+      // key column is mandatory (the filter needs it).
+      val fields = fm.schema.getFields.asScala.filter(f => want(f.getName))
+      require(fields.exists(_.getName == keyCol),
+        s"key column $keyCol absent from $p")
+      val req = new MessageType(fm.schema.getName, fields.asJava)
+      (req, new ColumnIOFactory().getColumnIO(req))
+    })
+  }
+
   /** Every row with `keyCol == key`, decoded as parquet example
     * Groups. Empty when the key is absent (including a bucket no row
     * ever hashed into — no directory, zero files). Per probe: row
     * groups pruned by the cached footer's key statistics, pages pruned
     * by the column index, survivors filtered record-level — all via
-    * the public parquet-mr filter2 machinery. */
-  def rows(table: String, keyCol: String, key: Long): Seq[Group] = {
+    * the public parquet-mr filter2 machinery.
+    *
+    * `columns` projects the decode: only `keyCol` + `columns` pages
+    * are read and assembled (empty = key-only existence probe). The
+    * unprojected overload decodes the full schema. Projection matters
+    * on WIDE rows — a relation row carries ~230 KB of member arrays in
+    * the sf10 synthetic store, ~29 ms of decode a tags-only caller
+    * never needed (r12 verdict micro-note). */
+  def rows(table: String, keyCol: String, key: Long): Seq[Group] =
+    rowsProjected(table, keyCol, key, None)
+
+  def rows(table: String, keyCol: String, key: Long,
+           columns: Seq[String]): Seq[Group] =
+    rowsProjected(table, keyCol, key, Some(columns))
+
+  private def rowsProjected(table: String, keyCol: String, key: Long,
+                            columns: Option[Seq[String]]): Seq[Group] = {
     val spec = snapshot.buckets.getOrElse(table,
       throw new IllegalStateException(s"$table is not bucketed"))
     require(spec.key == keyCol,
@@ -111,17 +153,25 @@ final class PointReader(root: String,
     val b = VersionedTable.bucketOfValue(key, spec.nBuckets)
     files(table, b).flatMap { f =>
       val fm = fileMeta(f)
+      val (schema, columnIO) = columns match {
+        case None => (fm.schema, fm.columnIO)
+        case Some(cs) => projected(fm, f, keyCol, cs)
+      }
       val filter = FilterCompat.get(FilterApi.eq(
         FilterApi.longColumn(keyCol), java.lang.Long.valueOf(key)))
       val opts = ParquetReadOptions.builder(pconf)
         .withRecordFilter(filter).build()
       val reader = new ParquetFileReader(conf, f, fm.footer, opts)
       try {
+        // restrict the column chunks the reader materializes to the
+        // projection (filter evaluation only needs keyCol, which the
+        // projection always contains)
+        reader.setRequestedSchema(schema)
         val out = Vector.newBuilder[Group]
         var pages = reader.readNextFilteredRowGroup()
         while (pages != null) {
-          val rr = fm.columnIO.getRecordReader(pages,
-            new GroupRecordConverter(fm.schema), filter)
+          val rr = columnIO.getRecordReader(pages,
+            new GroupRecordConverter(schema), filter)
           var i = 0L
           val n = pages.getRowCount
           while (i < n) {

@@ -66,20 +66,40 @@ object SyntheticOsm {
     * reference re-derives the table from the star schema (in-memory
     * columnar caching of the map/array columns measured SLOWER than
     * recompute — parquet materialization wins). Content is identical
-    * to [[tables]]: every derivation is deterministic. */
+    * to [[tables]]: every derivation is deterministic.
+    *
+    * Env `SPARK_GRAFT_OSM_MAT_DIR=<root>` shares ONE materialization
+    * across JVMs (the segmented bench forks a fresh JVM per query
+    * segment — without sharing, every OSM-containing segment would
+    * rebuild the bundle in its untimed warmup). The bundle is keyed by
+    * the sanitized source-dir path with a completion marker written
+    * LAST, so a JVM killed mid-write leaves no marker and the next run
+    * rebuilds. Deterministic content makes reuse exact. Unset (the
+    * default, and all correctness paths), behavior is unchanged:
+    * per-JVM temp dir, shutdown-reclaimed. */
   def materialized(s: SparkSession, dir: String): Tables = {
     val base = materializedDirs.getOrElseUpdate(dir, {
-      val tmp = graft.TempDirs.create("graft-osm-mat")
-      val t = tables(s, dir)
-      Seq("locations" -> t.locations, "nodes" -> t.nodes,
-        "ways" -> t.ways, "relations" -> t.relations,
-        "node_way" -> t.nodeWay, "node_relation" -> t.nodeRelation,
-        "way_relation" -> t.wayRelation,
-        "relation_relation" -> t.relationRelation)
-        .foreach { case (n, df) =>
-          df.write.mode("overwrite").parquet(s"$tmp/$n")
-        }
-      tmp
+      val shared = sys.env.get("SPARK_GRAFT_OSM_MAT_DIR").map { root =>
+        s"$root/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}"
+      }
+      val marker = shared.map(p =>
+        java.nio.file.Paths.get(p, "_GRAFT_BUNDLE_DONE"))
+      if (marker.exists(java.nio.file.Files.exists(_))) shared.get
+      else {
+        val tmp = shared.getOrElse(
+          graft.TempDirs.create("graft-osm-mat"))
+        val t = tables(s, dir)
+        Seq("locations" -> t.locations, "nodes" -> t.nodes,
+          "ways" -> t.ways, "relations" -> t.relations,
+          "node_way" -> t.nodeWay, "node_relation" -> t.nodeRelation,
+          "way_relation" -> t.wayRelation,
+          "relation_relation" -> t.relationRelation)
+          .foreach { case (n, df) =>
+            df.write.mode("overwrite").parquet(s"$tmp/$n")
+          }
+        marker.foreach(java.nio.file.Files.createFile(_))
+        tmp
+      }
     })
     def r(n: String) = s.read.parquet(s"$base/$n")
     Tables(r("locations"), r("nodes"), r("ways"), r("relations"),

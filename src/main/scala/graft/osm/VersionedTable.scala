@@ -369,14 +369,25 @@ object VersionedTable {
     next
   }
 
+  /** Store-meta key recording the bucketed layout's parquet page row
+    * limit: [[commitDelta]] reads it back so CDC-rewritten buckets keep
+    * the SAME point-read page granularity the store was created with —
+    * a non-default limit passed to [[commitBucketed]] must survive
+    * every later delta, or the probe-cost bound silently decays on
+    * exactly the buckets that change most. */
+  val PageRowLimitKey = "graft.parquet.page.row.count.limit"
+  private val DefaultPageRowLimit = 2000
+
   /** Initial bucketed write: every table is hash-bucketed on its key
     * column into `nBuckets` `__bucket=B/` directories, rows sorted by
     * key within each bucket (point-lookup row-group pruning survives).
-    * Subsequent [[commitDelta]] calls rewrite only changed buckets. */
+    * Subsequent [[commitDelta]] calls rewrite only changed buckets,
+    * re-reading `pageRowLimit` from the store meta
+    * ([[PageRowLimitKey]]). */
   def commitBucketed(root: String, tables: Map[String, (DataFrame, String)],
                      nBuckets: Int, meta: Map[String, String] = Map.empty,
                      dryRun: Boolean = false,
-                     pageRowLimit: Int = 2000): Long = {
+                     pageRowLimit: Int = DefaultPageRowLimit): Long = {
     val prev = current(root)
     val next = prev.map(_.version).getOrElse(0L) + 1L
     claimVersion(root, next) // dry-runs claim too — see commit()
@@ -418,7 +429,12 @@ object VersionedTable {
         val prevM = prev.getOrElse(Manifest(0L, Nil, Map.empty))
         writeManifest(root, Manifest(next,
           (prevM.tables ++ tables.keys).distinct,
-          prevM.meta ++ meta,
+          // record the layout's page granularity so commitDelta's
+          // rewrites reproduce it: this call's limit supersedes any
+          // previously recorded one (the store is being re-laid-out),
+          // and explicit caller meta wins over both
+          prevM.meta ++
+            Map(PageRowLimitKey -> pageRowLimit.toString) ++ meta,
           prevM.tableVersions -- tables.keys,
           prevM.buckets ++ bk))
       }
@@ -600,9 +616,13 @@ object VersionedTable {
             // unstable sort that would scramble per-bucket key order
             .sortWithinPartitions(col("__bucket"), col(spec.key))
             .write.mode("overwrite").partitionBy("__bucket")
-            // same point-read page granularity as commitBucketed, so a
-            // CDC-rewritten bucket keeps the probe-cost bound
-            .option("parquet.page.row.count.limit", "2000")
+            // same point-read page granularity as the store was laid
+            // out with (recorded in meta at commitBucketed time): a
+            // CDC-rewritten bucket must keep the probe-cost bound the
+            // creator chose, not a hardcoded default
+            .option("parquet.page.row.count.limit",
+              prev.meta.getOrElse(PageRowLimitKey,
+                DefaultPageRowLimit.toString))
             .parquet(s"$root/v=$next/$name")
         }
         val versions = spec.versions.zipWithIndex.map { case (v, b) =>

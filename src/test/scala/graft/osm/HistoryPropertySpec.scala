@@ -63,7 +63,10 @@ class HistoryPropertySpec extends AnyFunSuite {
           assert(got == want,
             s"seed=$seed: v=$v table=$t got=$got want=$want")
         }
-        assert(m.get.meta == snap.meta,
+        // the layout records its page granularity under an internal
+        // meta key at commitBucketed time (r13, read back by
+        // commitDelta) — the model tracks USER meta only
+        assert(m.get.meta - VersionedTable.PageRowLimitKey == snap.meta,
           s"seed=$seed: v=$v meta=${m.get.meta} want=${snap.meta}")
       }
       pruned.foreach { v =>

@@ -49,6 +49,9 @@ class PointReaderSpec extends AnyFunSuite {
       .withColumn("members", transform(col("members"), m =>
         struct(m("_1").as("ref"), m("_2").as("mtype"),
           m("_3").as("role"))))
+      .withColumn("meta", struct(lit(4).as("version"),
+        lit(456L).as("timestamp"), lit(8L).as("changeset"),
+        lit(2L).as("uid"), lit("v").as("user")))
     val nodeWay = Seq((3L, 10L), (3L, 11L), (4L, 10L))
       .toDF("member_id", "parent_id")
     VersionedTable.commitBucketed(r, Map(
@@ -110,6 +113,48 @@ class PointReaderSpec extends AnyFunSuite {
       assert(jobs.get() == 0,
         s"direct path scheduled ${jobs.get()} Spark job(s)")
     } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("column-projected reads equal full-schema reads, field by field") {
+    val pr = new PointReader(root, VersionedTable.current(root).get)
+    // every projection of the widest row must agree with the full read
+    val full = pr.rows("relations", "id", 20L)
+    assert(full.size == 1)
+    for (cols <- Seq(Seq("tags"), Seq("members"), Seq("meta"),
+        Seq("tags", "meta"), Seq("members", "tags", "meta"))) {
+      val proj = pr.rows("relations", "id", 20L, cols)
+      assert(proj.size == 1, s"projection $cols")
+      for (c <- cols) c match {
+        case "tags" => assert(pr.stringMap(proj.head, "tags") ==
+          pr.stringMap(full.head, "tags"))
+        case "members" => assert(
+          pr.groupSeq(proj.head, "members").map(m => pr.long(m, "ref")) ==
+          pr.groupSeq(full.head, "members").map(m => pr.long(m, "ref")))
+        case "meta" => assert(
+          pr.structInt(proj.head, "meta", "version", 0) ==
+          pr.structInt(full.head, "meta", "version", 0))
+      }
+      // the key survives every projection (filter + belt-check need it)
+      assert(pr.long(proj.head, "id") == 20L)
+    }
+    // key-only projection: existence with zero payload pages
+    assert(pr.rows("locations", "id", 2L, Nil).size == 1)
+    assert(pr.rows("locations", "id", 9999L, Nil).isEmpty)
+    // requested field absent from the file schema: tolerated, decode
+    // helpers default (schema-evolution / meta-less stores)
+    val lax = pr.rows("locations", "id", 2L, Seq("no_such_column"))
+    assert(lax.size == 1 &&
+      pr.structInt(lax.head, "no_such_column", "x", -7) == -7)
+  }
+
+  test("meta-only relation probe agrees across paths, skips members") {
+    val directDb = new OsmDb(spark, root, forceJobPath = false)
+    val jobDb = new OsmDb(spark, root, forceJobPath = true)
+    for (id <- Seq(20L, 21L, 0L, 9999L))
+      assert(directDb.relationMeta(id) == jobDb.relationMeta(id),
+        s"relationMeta($id)")
+    assert(directDb.relationMeta(20L).contains(
+      (Map("type" -> "multipolygon"), 4)))
   }
 
   test("non-bucketed tables fall through to the Spark path") {

@@ -119,4 +119,50 @@ class StoreLayoutSpec extends AnyFunSuite {
     }.sum
     assert(total === (nBuckets * rowsPerBucket).toLong)
   }
+
+  test("commitDelta reproduces the creator's pageRowLimit, not a default") {
+    // r13 (r12 advisor): a store laid out with a NON-default page
+    // granularity must keep it on CDC-rewritten buckets — the limit is
+    // recorded in the manifest meta at commitBucketed time and read
+    // back by commitDelta, so the probe-cost bound can't silently
+    // decay to 2000 on exactly the buckets that change.
+    val r = Files.createTempDirectory("graft-layoutspec-prl").toString
+    val n = 4 * 1500
+    val adj = spark.range(n).select(
+      (lit(n.toLong) - col("id")).as("member_id"),
+      (col("id") % 17).as("parent_id"))
+    VersionedTable.commitBucketed(r,
+      Map("node_way" -> ((adj.toDF(), "member_id"))), nBuckets = 4,
+      pageRowLimit = 500)
+    assert(VersionedTable.current(r).get.meta
+      .get(VersionedTable.PageRowLimitKey).contains("500"))
+    VersionedTable.commitDelta(spark, r,
+      Map("node_way" -> VersionedTable.Delta(Seq(1), identity)))
+    val conf = new Configuration()
+    val dir = new Path(s"$r/v=2/node_way/__bucket=1")
+    val fs = dir.getFileSystem(conf)
+    val rewritten = fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath)
+    assert(rewritten.nonEmpty, "bucket 1 was not rewritten under v=2")
+    rewritten.foreach { f =>
+      val pf = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try pf.getFooter.getBlocks.asScala.foreach { block =>
+        val chunk = block.getColumns.asScala
+          .find(_.getPath.toDotString == "member_id").get
+        val oi = pf.readOffsetIndex(chunk)
+        assert(oi != null, s"${f.getName}: no offset index")
+        val pc = oi.getPageCount
+        val rowCounts = (0 until pc).map { i =>
+          val first = oi.getFirstRowIndex(i)
+          val last = if (i + 1 < pc) oi.getFirstRowIndex(i + 1) - 1
+                     else block.getRowCount - 1
+          last - first + 1
+        }
+        assert(rowCounts.forall(_ <= 500),
+          s"${f.getName}: page row counts $rowCounts exceed the " +
+            "creator's 500-row limit")
+      } finally pf.close()
+    }
+  }
 }

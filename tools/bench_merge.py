@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Merge per-segment Bench JSON lines into one round artifact.
+
+Usage: python3 tools/bench_merge.py SEG1.json SEG2.json ... > OUT.json
+
+Each input holds the one `"metric"` JSON line a forked-JVM segment
+printed (tools/bench_seg.sh collects them). The merge:
+  - unions `queries` / `rows_out` / `failures` / `stage_of` (duplicate
+    query keys across segments are an ERROR — the segmenter guarantees
+    disjointness, and a silent overwrite would hide a double-billed
+    staged build);
+  - concatenates `failed`;
+  - sums `value` (total seconds);
+  - records `segments` = input count so readers know the window shape.
+
+Optionally, a file produced by an isolation re-measure pass can be
+folded in with --isolated ISO.json (its `queries` map becomes the
+`isolated` key; tools/slope.py then flags on those numbers).
+"""
+import json
+import sys
+
+
+def load(path):
+    line = [l for l in open(path) if '"metric"' in l][0]
+    return json.loads(line[line.index("{") :])
+
+
+def main(argv):
+    iso_paths, seg_paths = [], []
+    it = iter(argv)
+    for a in it:
+        if a == "--isolated":
+            iso_paths.append(next(it))
+        else:
+            seg_paths.append(a)
+    if not seg_paths:
+        sys.exit("no segment files given")
+    segs = [load(p) for p in seg_paths]
+    out = {
+        "metric": "total",
+        "value": 0.0,
+        "unit": "sec",
+        "queries": {},
+        "rows_out": {},
+        "failed": [],
+        "failures": {},
+        "stage_of": {},
+        "segments": len(segs),
+        "sf": segs[0].get("sf"),
+    }
+    for p, s in zip(seg_paths, segs):
+        if s.get("sf") != out["sf"]:
+            sys.exit(f"{p}: sf {s.get('sf')} != {out['sf']}")
+        for k in ("queries", "rows_out", "failures"):
+            for q, v in s.get(k, {}).items():
+                if k == "queries" and q in out[k]:
+                    sys.exit(f"{p}: duplicate query row {q} across segments")
+                out[k][q] = v
+        out["stage_of"].update(s.get("stage_of", {}))
+        out["failed"] += s.get("failed", [])
+        out["value"] += s["value"]
+    if iso_paths:
+        iso = {}
+        for p in iso_paths:
+            for q, v in load(p)["queries"].items():
+                if v > 0:
+                    iso[q] = v
+        out["isolated"] = iso
+    json.dump(out, sys.stdout, separators=(",", ":"))
+    print()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
