@@ -47,7 +47,14 @@ object BenchStages {
       (s, d) => llm.Dedup.stagedCandidatePairs(
         Queries.T(s, d, "documents"), "text", "doc_id", cacheKey = d)),
     Stage("stage:neardup_pairs",
-      Set("q27_ngram_jaccard", "q100_training_build",
+      // q44/q45 reach the artifact INDIRECTLY (nearDupSurvivors /
+      // Curate.curate with cacheKey) — the r13 sf10 window caught their
+      // omission as 676 s / 709 s chain REBUILDS in two other segments
+      // (the exact double-build failure mode segment affinity exists to
+      // prevent). Any new query that passes cacheKey to a Dedup/Curate
+      // helper must be listed here; BenchStagesSpec pins the names.
+      Set("q27_ngram_jaccard", "q44_dedup_survivors", "q45_curate_funnel",
+        "q100_training_build",
         "q162_crossdup_matrix", "q166_threshold_sweep",
         "q170_dup_audit_sample", "q172_split_leakage",
         "q174_dataset_card", "q176_sketch_calibration"),

@@ -188,11 +188,20 @@ object Dedup {
     // unconditional — at 100 TB it would OOM the executors instead of
     // degrading to a shuffled join. Gate on the optimizer's driver-side
     // size estimate (no job): under the cap, hint broadcast; over it,
-    // leave the join un-hinted so Spark plans a shuffled join (and AQE
-    // can still flip it back to broadcast from real runtime sizes).
+    // SHUFFLE_HASH on the shingle side. The default sort-merge join
+    // SORTS the candidate stream — whose rows carry a full shingle
+    // array after the first join, so the second join's sort runs over
+    // candidates x array-bytes (~160 GB at sf10's 94.7 M candidates)
+    // and spills: the r13 segmented window measured the verify stage at
+    // 20.2x across a decade of 6.6x candidate growth. A shuffled hash
+    // join builds on the corpus-LINEAR side (per-partition share =
+    // shingle bytes / shuffle partitions — 25 MB here; a deployment
+    // sizes partitions so that fits, the normal hash-join discipline)
+    // and STREAMS the candidate side unsorted: same shuffle IO, no
+    // candidate-mass sort (post-fix A/B in README §BENCH_r13).
     val hinted: DataFrame => DataFrame =
       if (shingleBroadcastable(sh, maxBroadcastBytes)) broadcast(_)
-      else identity
+      else _.hint("shuffle_hash")
     // threshold-aware kernel: NULL (early merge exit) once the running
     // bound proves the pair can't round to >= threshold — most
     // candidates on a heavy-collision stream fail long before the

@@ -3957,10 +3957,16 @@ object LlmQueries {
         val sh = docs.select($"doc_id",
           TextFunctions.ngramShingleHashes($"text", 3).as("sh"))
         // width-aware gate: hashed shingles materialize ~32x their
-        // parquet-bytes estimate (Dedup.ShingleBytesAmplification)
+        // parquet-bytes estimate (Dedup.ShingleBytesAmplification).
+        // Non-broadcastable corpora take a SHUFFLE_HASH join on the
+        // corpus-linear shingle side instead of the default sort-merge:
+        // SMJ would sort the candidate stream with its carried arrays
+        // (the verifyCandidates spill shape, r13) — SHJ streams it
+        // unsorted
         val hinted: org.apache.spark.sql.DataFrame =>
           org.apache.spark.sql.DataFrame =
-          if (Dedup.shingleBroadcastable(sh)) broadcast(_) else identity
+          if (Dedup.shingleBroadcastable(sh)) broadcast(_)
+          else _.hint("shuffle_hash")
         pairs
           .join(hinted(sh.select($"doc_id".as("a"), $"sh".as("sha"))),
             Seq("a"))
@@ -4993,10 +4999,15 @@ object LlmQueries {
           .distinct()
         val js = sh.select($"doc_id", $"hs")
         // width-aware gate: hashed shingles materialize ~32x their
-        // parquet-bytes estimate (Dedup.ShingleBytesAmplification)
+        // parquet-bytes estimate (Dedup.ShingleBytesAmplification);
+        // non-broadcastable corpora take SHUFFLE_HASH on the
+        // corpus-linear side (not sort-merge: SMJ sorts the candidate
+        // stream with carried arrays — the verifyCandidates spill
+        // shape, r13)
         val hinted: org.apache.spark.sql.DataFrame =>
           org.apache.spark.sql.DataFrame =
-          if (Dedup.shingleBroadcastable(js)) broadcast(_) else identity
+          if (Dedup.shingleBroadcastable(js)) broadcast(_)
+          else _.hint("shuffle_hash")
         cand
           .join(hinted(js.select($"doc_id".as("a"), $"hs".as("ja"))),
             Seq("a"))

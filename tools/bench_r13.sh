@@ -33,7 +33,7 @@ bash tools/bench_seg.sh /tmp/graft_sf1 "$NSEG" bench/BENCH_r13_sf1.json
 
 echo "[bench_r13] sf10 segmented leg start: $(date -u +%H:%M:%S)"
 bash tools/bench_seg.sh /tmp/graft_sf10 "$NSEG" bench/BENCH_r13_sf10.json \
-  bench/BENCH_r13_sf1.json 6.0
+  bench/BENCH_r13_sf1.json 6.0 10
 [ -s bench/BENCH_r13_sf10.json ] && commit_artifact bench/BENCH_r13_sf10.json
 
 run_lookup() { # $1=sfdir $2=name

@@ -6,15 +6,18 @@
 # its own fresh JVM, folding the isolated numbers in as "isolated"
 # (tools/slope.py then flags on those).
 #
-# Usage: tools/bench_seg.sh SFDIR NSEG OUT.json [SMALL_LOG] [FLAG_RATIO]
+# Usage: tools/bench_seg.sh SFDIR NSEG OUT.json [SMALL_LOG] [FLAG_RATIO] [DATA_RATIO]
 #   SFDIR      e.g. /tmp/graft_sf10
 #   NSEG       forked-JVM segment count (8 keeps each JVM ~25 queries deep)
 #   OUT.json   merged artifact path (committed as the round artifact)
 #   SMALL_LOG  optional small-SF merged log; enables the isolation pass
 #   FLAG_RATIO optional, default 6.0
+#   DATA_RATIO optional data-volume step between the logs (10 for a
+#              decade): rows at <= 1.2x it are corpus-linear, not
+#              re-measured
 set -u
 cd /root/repo
-SFDIR=$1; NSEG=$2; OUT=$3; SMALL=${4:-}; RATIO=${5:-6.0}
+SFDIR=$1; NSEG=$2; OUT=$3; SMALL=${4:-}; RATIO=${5:-6.0}; DR=${6:-}
 TAG=$(basename "$SFDIR")_$$
 CPUS=${SPARK_GRAFT_CPUS:-32}
 MEM=${SPARK_DRIVER_MEM:-24g}
@@ -43,7 +46,9 @@ python3 tools/bench_merge.py "${SEGS[@]}" > "$OUT"
 echo "[bench_seg] merged window -> $OUT" >&2
 
 if [ -n "$SMALL" ]; then
-  mapfile -t FLAGGED < <(python3 tools/slope.py "$SMALL" "$OUT" "$RATIO" --names-only)
+  DRARG=""
+  [ -n "$DR" ] && DRARG="--data-ratio=$DR"
+  mapfile -t FLAGGED < <(python3 tools/slope.py "$SMALL" "$OUT" "$RATIO" $DRARG --names-only)
   ISO=()
   for q in "${FLAGGED[@]}"; do
     [ -z "$q" ] && continue

@@ -36,7 +36,23 @@ def load(path):
 # --names-only: print just the flagged query names (one per line) —
 # bench_seg.sh feeds these to the fresh-JVM isolation re-measure pass
 names_only = "--names-only" in sys.argv
-argv = [a for a in sys.argv[1:] if a != "--names-only"]
+# --data-ratio=K: the data-volume step between the two logs (10 for a
+# decade, 3 for sf10->sf30). A full-corpus operator with CONSTANT
+# output (a report, a top-k, a sketch) legitimately grows ~K per step —
+# outx can't defend it (output ratio 1) and flagging it buries real
+# superlinear rows. With the ratio given, flagged rows at <= 1.2*K are
+# annotated [corpus-linear] instead (1.2 = the same grace the
+# output-driven band uses, tighter because K already includes the
+# expected growth).
+data_ratio = None
+argv = []
+for a in sys.argv[1:]:
+    if a == "--names-only":
+        continue
+    elif a.startswith("--data-ratio="):
+        data_ratio = float(a.split("=", 1)[1])
+    else:
+        argv.append(a)
 small, big = load(argv[0]), load(argv[1])
 flag = float(argv[2]) if len(argv) > 2 else 6.0
 rs, rb = small.get("rows_out", {}), big.get("rows_out", {})
@@ -79,6 +95,8 @@ for r, ts, tb, tb_win, os_, ob, q in rows:
             mark = "  [output-driven]"
         elif stage_outx is not None and r <= 1.5 * stage_outx:
             mark = f"  [candidate-driven x{stage_outx:.1f} via {stage_of[q]}]"
+        elif data_ratio is not None and r <= 1.2 * data_ratio:
+            mark = "  [corpus-linear]"
         else:
             mark = "  <<< FLAG"
             nflag += 1
