@@ -4999,15 +4999,16 @@ object LlmQueries {
           .distinct()
         val js = sh.select($"doc_id", $"hs")
         // width-aware gate: hashed shingles materialize ~32x their
-        // parquet-bytes estimate (Dedup.ShingleBytesAmplification);
-        // non-broadcastable corpora take SHUFFLE_HASH on the
-        // corpus-linear side (not sort-merge: SMJ sorts the candidate
-        // stream with carried arrays — the verifyCandidates spill
-        // shape, r13)
+        // parquet-bytes estimate (Dedup.ShingleBytesAmplification).
+        // Deliberately NOT the SHUFFLE_HASH fallback verifyCandidates
+        // uses: q193's cost is candidate GENERATION (the bucketed
+        // self-join + distinct), not the verify join, and the r13
+        // post-fix A/B measured the hint a wash at sf10 (612.8 vs
+        // 550.2 s) and a 2.4x LOSS at sf1 (65.9 vs 157.7 s) — the
+        // un-hinted plan stays (slope 9.3x/decade, corpus-linear)
         val hinted: org.apache.spark.sql.DataFrame =>
           org.apache.spark.sql.DataFrame =
-          if (Dedup.shingleBroadcastable(js)) broadcast(_)
-          else _.hint("shuffle_hash")
+          if (Dedup.shingleBroadcastable(js)) broadcast(_) else identity
         cand
           .join(hinted(js.select($"doc_id".as("a"), $"hs".as("ja"))),
             Seq("a"))
