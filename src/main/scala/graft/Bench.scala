@@ -83,10 +83,15 @@ object Bench {
     // tools/bench_merge.py reassembles the round artifact.
     val segment: Option[(Int, Int)] =
       sys.env.get("SPARK_GRAFT_BENCH_SEGMENT").map { v =>
-        val Array(i, n) = v.split("/")
-        require(i.toInt >= 1 && i.toInt <= n.toInt,
-          s"bad segment $v")
-        (i.toInt, n.toInt)
+        // guarded parse: a malformed value ('3', '1/8/2', 'a/b') must
+        // die with the friendly message, not a MatchError (r13 advisor)
+        v.split("/") match {
+          case Array(iS, nS) if iS.matches("\\d+") && nS.matches("\\d+")
+            && iS.toInt >= 1 && iS.toInt <= nS.toInt =>
+            (iS.toInt, nS.toInt)
+          case _ => sys.error(
+            s"bad SPARK_GRAFT_BENCH_SEGMENT '$v' (want 'i/N', 1<=i<=N)")
+        }
       }
     val allNames = SparkEntry.queries.keys.toSeq.sorted
     val segNames: Set[String] = segment match {
@@ -198,6 +203,48 @@ object Bench {
           ",\"err\":\"" + jsonEsc(e) + "\"").getOrElse("")}}""" + "\n",
         java.nio.file.StandardOpenOption.APPEND)
       catch { case _: Throwable => () }
+    // stage-rebuild tripwire (r13 verdict #4): a staged artifact that
+    // COLD-builds while some other row is being timed means the
+    // BenchStages registry missed a consumer — the row's cost includes
+    // a mis-billed corpus-scale build. The builder fires a stderr
+    // marker; this sink makes the artifact itself carry the evidence.
+    StageTripwire.install((row, stage) =>
+      try Files.writeString(progressPath,
+        s"""{"q":"${jsonEsc(row)}","stage_rebuild_in":"${jsonEsc(row)}","stage":"${jsonEsc(stage)}"}""" + "\n",
+        java.nio.file.StandardOpenOption.APPEND)
+      catch { case _: Throwable => () })
+    // Host-contention stamp (r13 verdict #1): the r13 graded sf0.1 leg
+    // ran inside the builder's own still-running sf30 job and measured
+    // 763 s vs 315 s of pure contention. A bench cannot stop other
+    // processes, but it CAN refuse to pretend the host was quiet:
+    // sample other live JVMs (outside this process's own ancestor/
+    // descendant family — sbt forks us, so the parent chain is ours)
+    // and 1-min loadavg at leg start and end, and stamp the artifact.
+    // Consumers treat "contended": true as not-a-trend-signal.
+    def hostSample(): (Int, Double) = {
+      val self = ProcessHandle.current()
+      val family = scala.collection.mutable.Set[Long](self.pid)
+      var p = self.parent()
+      while (p.isPresent) { family += p.get.pid; p = p.get.parent() }
+      self.descendants().forEach(d => family += d.pid)
+      var others = 0
+      ProcessHandle.allProcesses().forEach { h =>
+        if (!family(h.pid)) {
+          val cmd = h.info().command().orElse("")
+          if (cmd.endsWith("/java") || cmd == "java") others += 1
+        }
+      }
+      val load =
+        try Files.readString(Paths.get("/proc/loadavg"))
+          .split(" ")(0).toDouble
+        catch { case _: Throwable => -1.0 }
+      (others, load)
+    }
+    val (startJvms, startLoad) = hostSample()
+    if (startJvms > 0)
+      System.err.println(s"[bench] WARN host contended at leg start: " +
+        s"$startJvms other live JVM(s), loadavg $startLoad — this " +
+        "artifact will be stamped \"contended\": true")
     // ---- stage rows: build each shared staged artifact the selected
     // queries consume, billed as its OWN named row (build wall +
     // artifact row count as rows_out) — consumers then measure their
@@ -216,6 +263,7 @@ object Bench {
         only.getOrElse(Set.empty).filter(_.startsWith("stage:")))
     val stageResults = stagesToRun.map { st =>
       sweep()
+      StageTripwire.setRow(st.name)
       val t0 = System.nanoTime()
       var rows = -1L
       val err: Option[String] =
@@ -227,6 +275,7 @@ object Bench {
           Some(reason)
         }
       val sec = if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0
+      StageTripwire.clearRow()
       progress(st.name, sec, rows, err)
       (st.name, sec, rows, err)
     }
@@ -236,6 +285,7 @@ object Bench {
       .map {
       case (name, fn) =>
         sweep()
+        StageTripwire.setRow(name)
         val t0 = System.nanoTime()
         // a failed row carries its cause so the artifact alone is
         // diagnosable (not just a -1 sentinel)
@@ -249,6 +299,7 @@ object Bench {
           }
         val sec =
           if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0
+        StageTripwire.clearRow()
         progress(name, sec, rows, err)
         (name, sec, rows, err)
     }
@@ -278,8 +329,16 @@ object Bench {
       .mkString("{", ",", "}")
     val segfield = segment.map { case (i, n) =>
       s""","segment":"$i/$n"""" }.getOrElse("")
+    val (endJvms, endLoad) = hostSample()
+    val contended = startJvms > 0 || endJvms > 0
+    if (contended)
+      System.err.println(s"[bench] WARN host contended " +
+        s"(start: $startJvms JVMs/$startLoad, end: $endJvms/$endLoad) " +
+        "— artifact stamped \"contended\": true")
+    val contention =
+      s""","contended":$contended,"contention":{"start_jvms":$startJvms,"start_load":$startLoad,"end_jvms":$endJvms,"end_load":$endLoad}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows_out":$rowsOut,"failed":$failed,"failures":$failures,"stage_of":$stageOf$segfield,"sf":"$sfEsc"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows_out":$rowsOut,"failed":$failed,"failures":$failures,"stage_of":$stageOf$segfield$contention,"sf":"$sfEsc"}"""
     println(json)
     try Files.writeString(Paths.get("/tmp/graft_bench_out.json"), json + "\n")
     catch {

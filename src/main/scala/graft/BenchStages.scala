@@ -42,11 +42,11 @@ object BenchStages {
 
   /** All stages, in dependency order (a stage's deps precede it). */
   val all: Seq[Stage] = Seq(
-    Stage("stage:lsh_candidates",
+    Stage(StageTripwire.LshCandidates,
       Set("q25_minhash_pairs", "q154_containment_dedup"), Nil,
       (s, d) => llm.Dedup.stagedCandidatePairs(
         Queries.T(s, d, "documents"), "text", "doc_id", cacheKey = d)),
-    Stage("stage:neardup_pairs",
+    Stage(StageTripwire.NearDupPairs,
       // q44/q45 reach the artifact INDIRECTLY (nearDupSurvivors /
       // Curate.curate with cacheKey) — the r13 sf10 window caught their
       // omission as 676 s / 709 s chain REBUILDS in two other segments
@@ -62,14 +62,14 @@ object BenchStages {
       (s, d) => llm.Dedup.stagedNearDupPairs(
         Queries.T(s, d, "documents"), "text", "doc_id", cacheKey = d,
         threshold = 0.5, ngram = 3)),
-    Stage("stage:dedup_components",
+    Stage(StageTripwire.DedupComponents,
       Set("q57_dedup_components", "q70_dedup_keep_best",
         "q171_component_histogram"),
       Seq("stage:neardup_pairs"),
       (s, d) => llm.Dedup.stagedComponents(
         Queries.T(s, d, "documents"), "text", "doc_id", cacheKey = d,
         threshold = 0.5, ngram = 3)),
-    Stage("stage:knn_edges",
+    Stage(StageTripwire.KnnEdges,
       Set("q92_knn_graph", "q119_pagerank", "q151_knn_triangles",
         "q160_bfs_hops"), Nil,
       // the consumers' exact input shape: (vec_id, v double[]) —
@@ -83,7 +83,7 @@ object BenchStages {
             col("embedding").cast("array<double>").as("v")),
           3, cacheKey = d)
       }),
-    Stage("stage:bm25_dl",
+    Stage(StageTripwire.Bm25Dl,
       Set("q82_bm25", "q159_rrf_fusion"), Nil,
       (s, d) => llm.TextFunctions.stagedDocLengths(
         Queries.T(s, d, "documents"), "text", "doc_id", cacheKey = d)),

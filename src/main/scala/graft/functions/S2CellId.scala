@@ -100,6 +100,7 @@ object GraftFunctions {
     checked("cms_estimate", 2)(a => CmsEstimate(a(0), a(1))),
     checked("bloom_contains", 2)(a => BloomContains(a(0), a(1))),
     checked("bitmap_agg", 1)(a => BitmapAgg(a(0))),
+    checked("topk_by_score", 3)(a => TopKByScore(a(0), a(1), a(2))),
     checked("bitmap_contains", 2)(a => BitmapContains(a(0), a(1))),
     checked("bitmap_cardinality", 1)(a => BitmapCardinality(a(0))))
 

@@ -94,6 +94,33 @@ object Dedup {
     bytes * BroadcastOverheadFactor <= maxBytes
   }
 
+  /** Per-partition build-side cap for the gated SHUFFLE_HASH hint:
+    * Spark's shuffled-hash build CANNOT spill, so a forced SHJ is only
+    * safe when the build side's per-partition share fits comfortably
+    * in task memory — the same "a hint must not be unconditional at
+    * 100 TB" discipline the broadcast gate enforces. 256 MiB leaves
+    * ~8x headroom against a 4 GiB task at default memory fractions. */
+  val ShjBuildPartitionCapBytes: Long = 256L << 20
+
+  /** Whether a hashed-shingle frame's estimated in-memory bytes,
+    * spread over the session's shuffle partitions, fit
+    * [[ShjBuildPartitionCapBytes]] per partition. Stats-only (no job:
+    * the exact probe would cost a corpus tokenize pass exactly where
+    * this gate matters — corpora too big to broadcast); the optimizer
+    * estimate tracks parquet bytes of the pruned source columns,
+    * amplified by the measured [[ShingleBytesAmplification]]. Over the
+    * cap, callers fall back to the un-hinted (spillable sort-merge)
+    * plan — a deployment that wants SHJ back sizes
+    * `spark.sql.shuffle.partitions` to its data, the normal hash-join
+    * discipline. */
+  def shjBuildFits(df: DataFrame): Boolean = {
+    val parts = math.max(1,
+      df.sparkSession.sessionState.conf.numShufflePartitions)
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes *
+      ShingleBytesAmplification
+    est / parts <= ShjBuildPartitionCapBytes
+  }
+
   /** Exact duplicate groups by normalized-content fingerprint.
     * Output: fingerprint, keep_id (min id), n_dups. */
   def exactGroups(docs: DataFrame, textCol: String, idCol: String)
@@ -200,10 +227,15 @@ object Dedup {
     // and STREAMS the candidate side unsorted: same shuffle IO, no
     // candidate-mass sort. Post-fix A/B (README §BENCH_r13): the verify
     // stage fell 309.3 -> 76.9 s at sf10's 94.7 M candidates, slope
-    // 20.2x -> 6.0x per decade against 6.6x candidate growth.
+    // 20.2x -> 6.0x per decade against 6.6x candidate growth. The SHJ
+    // hint is itself gated ([[shjBuildFits]]): the build side cannot
+    // spill, so when its per-partition share outgrows the cap the plan
+    // falls back to the un-hinted spillable sort-merge join rather
+    // than OOM (r13 advisor).
     val hinted: DataFrame => DataFrame =
       if (shingleBroadcastable(sh, maxBroadcastBytes)) broadcast(_)
-      else _.hint("shuffle_hash")
+      else if (shjBuildFits(sh)) _.hint("shuffle_hash")
+      else identity
     // threshold-aware kernel: NULL (early merge exit) once the running
     // bound proves the pair can't round to >= threshold — most
     // candidates on a heavy-collision stream fail long before the
@@ -249,22 +281,21 @@ object Dedup {
     * verify threshold/ngram, so one artifact serves every verify chain
     * (threshold 0.5 AND 0.6) plus the pre-verify consumers (containment
     * dedup) — at 100 TB the banding pass runs once per corpus snapshot,
-    * period. `cacheKey` must identify an IMMUTABLE corpus snapshot
-    * (the source dir of fixed content): the artifact is keyed only by
-    * (cacheKey, bands, rowsPerBand, maxBucket), so re-provisioning the
-    * docs under the same key within one JVM would silently serve stale
-    * candidates to every consumer — fold a snapshot/version token
-    * (e.g. the store's manifest version) into the key if the corpus
-    * can change during the JVM's lifetime. The same contract applies
-    * to [[stagedNearDupPairs]] and [[stagedComponents]], which build
-    * on this artifact. */
+    * period. The memo key folds a [[graft.SourceToken]] over the
+    * frame's backing files into the caller's `cacheKey`, so
+    * re-provisioning the docs at the same path within one JVM changes
+    * the key and cold-builds instead of silently serving stale
+    * candidates. The same contract applies to [[stagedNearDupPairs]]
+    * and [[stagedComponents]], which build on this artifact. */
   def stagedCandidatePairs(docs: DataFrame, textCol: String, idCol: String,
                            cacheKey: String, bands: Int = 4,
                            rowsPerBand: Int = 4,
                            maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val s = docs.sparkSession
+    val key = s"$cacheKey#${graft.SourceToken.of(docs)}"
     val dir = stagedCandidateDirs.getOrElseUpdate(
-      (cacheKey, bands, rowsPerBand, maxBucket), new StagedDir(() => {
+      (key, bands, rowsPerBand, maxBucket), new StagedDir(() => {
+        graft.StageTripwire.coldBuild(graft.StageTripwire.LshCandidates)
         val tmp = graft.TempDirs.create("graft-dedup-cand")
         try {
           minhashCandidatePairs(docs, textCol, idCol, bands, rowsPerBand,
@@ -295,8 +326,10 @@ object Dedup {
                          cacheKey: String, threshold: Double = 0.6,
                          ngram: Int = 3): DataFrame = {
     val s = docs.sparkSession
+    val key = s"$cacheKey#${graft.SourceToken.of(docs)}"
     val dir = stagedPairDirs.getOrElseUpdate(
-      (cacheKey, threshold, ngram), new StagedDir(() => {
+      (key, threshold, ngram), new StagedDir(() => {
+        graft.StageTripwire.coldBuild(graft.StageTripwire.NearDupPairs)
         val tmp = graft.TempDirs.create("graft-dedup-pairs")
         try {
           // verify FROM the staged candidate artifact: the corpus-scale
@@ -330,8 +363,10 @@ object Dedup {
                        cacheKey: String, threshold: Double = 0.6,
                        ngram: Int = 3): DataFrame = {
     val s = docs.sparkSession
+    val key = s"$cacheKey#${graft.SourceToken.of(docs)}"
     val dir = stagedComponentDirs.getOrElseUpdate(
-      (cacheKey, threshold, ngram), new StagedDir(() => {
+      (key, threshold, ngram), new StagedDir(() => {
+        graft.StageTripwire.coldBuild(graft.StageTripwire.DedupComponents)
         val tmp = graft.TempDirs.create("graft-dedup-comp")
         try {
           // build from the staged pair artifact: one verify pass per

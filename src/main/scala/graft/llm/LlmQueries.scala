@@ -3962,11 +3962,14 @@ object LlmQueries {
         // corpus-linear shingle side instead of the default sort-merge:
         // SMJ would sort the candidate stream with its carried arrays
         // (the verifyCandidates spill shape, r13) — SHJ streams it
-        // unsorted
+        // unsorted. Gated (Dedup.shjBuildFits): the SHJ build cannot
+        // spill, so past the per-partition cap the plan falls back to
+        // the spillable default rather than OOM (r13 advisor)
         val hinted: org.apache.spark.sql.DataFrame =>
           org.apache.spark.sql.DataFrame =
           if (Dedup.shingleBroadcastable(sh)) broadcast(_)
-          else _.hint("shuffle_hash")
+          else if (Dedup.shjBuildFits(sh)) _.hint("shuffle_hash")
+          else identity
         pairs
           .join(hinted(sh.select($"doc_id".as("a"), $"sh".as("sha"))),
             Seq("a"))

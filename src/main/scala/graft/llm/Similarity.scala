@@ -75,21 +75,43 @@ object Similarity {
     * Shared by q92 (the edges ARE the result) and q119 (PageRank runs
     * on them) so the graph definition cannot drift between the two. */
   def knnEdges(emb: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    // The anchor count is bounded (<= MaxAnchorId/25 = 200 groups at
+    // any SF) but above ObjectHashAggregate's sort-based fallback
+    // default (128 keys): without the bump, every map task would sort
+    // its whole scored partition by src the moment it saw the 129th
+    // anchor — precisely the sort the bounded top-k exists to avoid.
+    // Buffers here are k*16 bytes, so thousands of keys are trivially
+    // hash-resident; only raise, never lower a user's setting.
+    val fbKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val s = emb.sparkSession
+    if (s.conf.get(fbKey, "128").toInt < 1024) s.conf.set(fbKey, "1024")
     val sample = emb
       .where(col("vec_id") % 25 === 0 && col("vec_id") < MaxAnchorId)
       .select(col("vec_id").as("src"), col("v").as("qv"))
     val est = sample.queryExecution.optimizedPlan.stats.sizeInBytes
     val hinted = if (est <= (64L << 20)) broadcast(sample) else sample
+    // Scored stream -> bounded per-src top-k AGGREGATE, not a rank
+    // window: row_number().over(partitionBy(src)) shuffled and sorted
+    // every scored row (~400 M at sf10; 15.1x per data decade — the
+    // r13 suite's one superlinear stage). topk_by_score keeps <= k
+    // entries per src at every stage, so the corpus scan reduces
+    // map-side and only 200 k-buffers cross the exchange. Ordering
+    // (score DESC, dst ASC on the 6-dp-rounded score) is identical to
+    // the window formulation bit-for-bit — the q92/q119/q151/q160
+    // oracles pin the same edge set.
     emb.select(col("vec_id").as("dst"), col("v"))
       .join(hinted, col("dst") =!= col("src"))
       .select(col("src"), col("dst"),
         round(call_function("cosine_sim", col("v"), col("qv")), 6)
           .as("score"))
-      .withColumn("rank", row_number().over(Window
-        .partitionBy(col("src"))
-        .orderBy(col("score").desc, col("dst").asc)).cast("long"))
-      .where(col("rank") <= k)
+      .groupBy(col("src"))
+      .agg(call_function("topk_by_score", col("dst"), col("score"),
+        lit(k)).as("tk"))
+      .select(col("src"), posexplode(col("tk")))
+      .select(col("src"), col("col.id").as("dst"),
+        col("col.score").as("score"),
+        (col("pos") + 1).cast("long").as("rank"))
   }
 
   private final class StagedDir(build: () => String) {
@@ -109,19 +131,20 @@ object Similarity {
     * inside the map value keeps the build exactly-once under
     * concurrent first access without holding a lock during the job.
     *
-    * `cacheKey` must identify an IMMUTABLE corpus snapshot (same
-    * contract as [[Dedup.stagedCandidatePairs]]): the artifact is keyed
-    * only by (cacheKey, k), so re-provisioning the embeddings under the
-    * same key within one JVM would silently serve stale edges to every
-    * consumer — fold a snapshot/version token (e.g. the store's
-    * manifest version) into the key if the corpus can change during
-    * the JVM's lifetime. A build that THROWS deletes its half-written
-    * temp dir immediately and leaves the slot retryable. */
+    * The memo key folds a [[graft.SourceToken]] over the frame's
+    * backing files into the caller's `cacheKey` (same contract as
+    * [[Dedup.stagedCandidatePairs]]): re-provisioning the embeddings
+    * at the same path within one JVM changes the token and cold-builds
+    * instead of silently serving stale edges. A build that THROWS
+    * deletes its half-written temp dir immediately and leaves the slot
+    * retryable. */
   def stagedKnnEdges(emb: DataFrame, k: Int, cacheKey: String)
   : DataFrame = {
     val s = emb.sparkSession
-    val dir = stagedKnnDirs.getOrElseUpdate((cacheKey, k),
+    val key = s"$cacheKey#${graft.SourceToken.of(emb)}"
+    val dir = stagedKnnDirs.getOrElseUpdate((key, k),
       new StagedDir(() => {
+        graft.StageTripwire.coldBuild(graft.StageTripwire.KnnEdges)
         val tmp = graft.TempDirs.create("graft-knn-edges")
         try { knnEdges(emb, k).write.mode("overwrite").parquet(tmp); tmp }
         catch { case e: Throwable =>

@@ -276,17 +276,20 @@ object TextFunctions {
     * finding). At 100 TB, doc-length is a per-corpus-snapshot artifact
     * computed once at ingest, exactly this shape.
     *
-    * Same immutable-corpus contract as the other staged artifacts:
-    * `cacheKey` must identify a fixed corpus snapshot; a build that
-    * throws deletes its half-written dir and leaves the slot
-    * retryable. */
+    * Same snapshot contract as the other staged artifacts: the memo
+    * key folds a [[graft.SourceToken]] over the frame's backing files
+    * into `cacheKey` (new content at the same path => cold rebuild);
+    * a build that throws deletes its half-written dir and leaves the
+    * slot retryable. */
   def stagedDocLengths(docs: org.apache.spark.sql.DataFrame,
                        textCol: String, idCol: String,
                        cacheKey: String)
   : org.apache.spark.sql.DataFrame = {
     val s = docs.sparkSession
-    val dir = stagedDlDirs.getOrElseUpdate((cacheKey, textCol, idCol),
+    val key = s"$cacheKey#${graft.SourceToken.of(docs)}"
+    val dir = stagedDlDirs.getOrElseUpdate((key, textCol, idCol),
       new StagedDir(() => {
+        graft.StageTripwire.coldBuild(graft.StageTripwire.Bm25Dl)
         val tmp = graft.TempDirs.create("graft-bm25-dl")
         try {
           docs.select(col(idCol).as("doc_id"),

@@ -72,22 +72,30 @@ object SyntheticOsm {
     * across JVMs (the segmented bench forks a fresh JVM per query
     * segment — without sharing, every OSM-containing segment would
     * rebuild the bundle in its untimed warmup). The bundle is keyed by
-    * the sanitized source-dir path with a completion marker written
-    * LAST, so a JVM killed mid-write leaves no marker and the next run
-    * rebuilds. Deterministic content makes reuse exact. Unset (the
-    * default, and all correctness paths), behavior is unchanged:
-    * per-JVM temp dir, shutdown-reclaimed. */
+    * the sanitized source-dir path PLUS a [[graft.SourceToken]] over
+    * the source files (r13 advisor: path-only keying served a stale
+    * bundle if the data was regenerated at the same path while the
+    * shared root persisted). Publication is race-safe: each builder
+    * writes into its own staging dir (marker written LAST, inside it)
+    * and atomically renames into place; a loser of the rename race
+    * adopts the winner's bundle — two concurrent cold JVMs can no
+    * longer interleave writes into one directory. Unset (the default,
+    * and all correctness paths), behavior is unchanged: per-JVM temp
+    * dir, shutdown-reclaimed. */
   def materialized(s: SparkSession, dir: String): Tables = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     val base = materializedDirs.getOrElseUpdate(dir, {
       val shared = sys.env.get("SPARK_GRAFT_OSM_MAT_DIR").map { root =>
-        s"$root/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}"
+        val token = graft.SourceToken.ofDir(dir)
+        s"$root/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_$token"
       }
-      val marker = shared.map(p =>
-        java.nio.file.Paths.get(p, "_GRAFT_BUNDLE_DONE"))
-      if (marker.exists(java.nio.file.Files.exists(_))) shared.get
+      def done(p: String): Boolean =
+        Files.exists(Paths.get(p, "_GRAFT_BUNDLE_DONE"))
+      if (shared.exists(done)) shared.get
       else {
-        val tmp = shared.getOrElse(
-          graft.TempDirs.create("graft-osm-mat"))
+        // build in a private staging dir (unique per JVM), marker last
+        val tmp = shared.map(p => s"${p}_stage_${ProcessHandle.current.pid}")
+          .getOrElse(graft.TempDirs.create("graft-osm-mat"))
         val t = tables(s, dir)
         Seq("locations" -> t.locations, "nodes" -> t.nodes,
           "ways" -> t.ways, "relations" -> t.relations,
@@ -97,8 +105,25 @@ object SyntheticOsm {
           .foreach { case (n, df) =>
             df.write.mode("overwrite").parquet(s"$tmp/$n")
           }
-        marker.foreach(java.nio.file.Files.createFile(_))
-        tmp
+        shared match {
+          case None => tmp // per-JVM temp dir IS the bundle
+          case Some(pub) =>
+            Files.createFile(Paths.get(tmp, "_GRAFT_BUNDLE_DONE"))
+            try {
+              Files.move(Paths.get(tmp), Paths.get(pub),
+                StandardCopyOption.ATOMIC_MOVE)
+              pub
+            } catch { case _: Throwable =>
+              // another JVM published first (or the rename failed):
+              // adopt the winner if complete, else keep our staging
+              if (done(pub)) {
+                try org.apache.commons.io.FileUtils
+                  .deleteDirectory(new java.io.File(tmp))
+                catch { case _: Throwable => () }
+                pub
+              } else tmp
+            }
+        }
       }
     })
     def r(n: String) = s.read.parquet(s"$base/$n")

@@ -333,6 +333,7 @@ object VersionedTable {
   def commit(root: String, tables: Map[String, DataFrame],
              meta: Map[String, String] = Map.empty,
              dryRun: Boolean = false): Long = {
+    requireNoReservedMeta(meta)
     val prev = current(root)
     val next = prev.map(_.version).getOrElse(0L) + 1L
     // a DRY-RUN claims too: it writes real data under v=next, and an
@@ -378,6 +379,18 @@ object VersionedTable {
   val PageRowLimitKey = "graft.parquet.page.row.count.limit"
   private val DefaultPageRowLimit = 2000
 
+  /** Caller meta may not collide with reserved layout keys: the merge
+    * in [[commitBucketed]] lets explicit meta win, so a user map that
+    * happened to carry [[PageRowLimitKey]] (or a non-numeric value)
+    * would silently override the recorded layout limit and make
+    * [[commitDelta]] rewrite buckets at the wrong page granularity —
+    * or fail at write time (r13 advisor). Layout properties are SET
+    * via the `pageRowLimit` parameter, never via meta. */
+  private def requireNoReservedMeta(meta: Map[String, String]): Unit =
+    require(!meta.contains(PageRowLimitKey),
+      s"meta key '$PageRowLimitKey' is reserved for the store layout; " +
+        "pass pageRowLimit to commitBucketed instead")
+
   /** Initial bucketed write: every table is hash-bucketed on its key
     * column into `nBuckets` `__bucket=B/` directories, rows sorted by
     * key within each bucket (point-lookup row-group pruning survives).
@@ -388,6 +401,7 @@ object VersionedTable {
                      nBuckets: Int, meta: Map[String, String] = Map.empty,
                      dryRun: Boolean = false,
                      pageRowLimit: Int = DefaultPageRowLimit): Long = {
+    requireNoReservedMeta(meta)
     val prev = current(root)
     val next = prev.map(_.version).getOrElse(0L) + 1L
     claimVersion(root, next) // dry-runs claim too — see commit()
@@ -577,6 +591,7 @@ object VersionedTable {
                   meta: Map[String, String] = Map.empty,
                   dryRun: Boolean = false,
                   expectedVersion: Option[Long] = None): Long = {
+    requireNoReservedMeta(meta)
     val prev = current(root).getOrElse(throw new IllegalStateException(
       s"commitDelta needs an existing bucketed commit at $root"))
     // expected-version CAS: a caller whose guard was evaluated against

@@ -56,6 +56,50 @@ class BenchStagesSpec extends AnyFunSuite {
     }
   }
 
+  test("stage names match the tripwire constants the builders report") {
+    // the builders self-report cold builds under StageTripwire's
+    // constants; a registry row named anything else would never fire
+    assert(BenchStages.all.map(_.name).toSet == Set(
+      StageTripwire.LshCandidates, StageTripwire.NearDupPairs,
+      StageTripwire.DedupComponents, StageTripwire.KnnEdges,
+      StageTripwire.Bm25Dl))
+  }
+
+  test("registry covers every staged-artifact call site in the query files") {
+    // the r13 sf10 window paid 1386 s for two consumers (q44/q45) that
+    // reached a staged artifact INDIRECTLY and weren't listed — this
+    // scan enumerates every call site of a staged builder (or of the
+    // helpers that route to one: nearDupSurvivors / Curate.curate take
+    // cacheKey) inside the query registries and asserts the enclosing
+    // query is a registered consumer of SOME stage. Static twin of the
+    // runtime StageTripwire.
+    val helpers = Seq("stagedCandidatePairs", "stagedNearDupPairs",
+      "stagedComponents", "stagedKnnEdges", "stagedDocLengths",
+      "nearDupSurvivors", "Curate.curate")
+    val files = Seq("src/main/scala/graft/llm/LlmQueries.scala",
+      "src/main/scala/graft/Queries.scala",
+      "src/main/scala/graft/osm/OsmQueries.scala")
+      .map(java.nio.file.Paths.get(_))
+    assume(files.forall(java.nio.file.Files.exists(_)),
+      "source tree not available")
+    val qName = """Q\("(q\d+[A-Za-z0-9_]*)"""".r
+    val covered = BenchStages.stageOf.keySet
+    val misses = files.flatMap { f =>
+      val lines = java.nio.file.Files.readAllLines(f)
+      var current = "?"
+      (0 until lines.size).flatMap { i =>
+        val line = lines.get(i)
+        qName.findFirstMatchIn(line).foreach(m => current = m.group(1))
+        if (helpers.exists(line.contains) && current != "?" &&
+            !covered(current)) Some(s"$current (${f.getFileName}:${i + 1})")
+        else None
+      }
+    }.distinct
+    assert(misses.isEmpty,
+      s"staged-builder call sites whose query is not a BenchStages " +
+        s"consumer (registry gap => mis-billed bench row): $misses")
+  }
+
   test("stage families never straddle a segment") {
     for (n <- Seq(2, 4, 8, 13)) {
       val segs = Bench.segmentNames(names, n)

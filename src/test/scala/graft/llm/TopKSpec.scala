@@ -1,0 +1,100 @@
+package graft.llm
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TopKImpl
+
+/** The bounded top-k aggregate must be BIT-IDENTICAL to the rank
+  * window it replaced (`row_number().over(partitionBy(g).orderBy(
+  * score DESC, id ASC)) <= k`) — the q92/q119/q151/q160 oracles pin
+  * the exact edge set, so any ordering or tie divergence is a
+  * correctness failure, not a perf trade. */
+class TopKSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.functions.GraftFunctions.register(s)
+    s
+  }
+
+  test("buffer: ordering, capacity, tie-to-smallest-id") {
+    val b = new TopKImpl.Buffer(3)
+    b.add(10L, 0.5); b.add(11L, 0.9); b.add(12L, 0.1); b.add(13L, 0.9)
+    // 0.9 tie: id 11 before 13; 0.1 evicted by nothing yet (size 3
+    // after 4 adds drops the worst = 12)
+    assert(b.size == 3)
+    assert(b.ids.take(3).toSeq == Seq(11L, 13L, 10L))
+    assert(b.scores.take(3).toSeq == Seq(0.9, 0.9, 0.5))
+    // a worse row never enters; an equal-score larger id never enters
+    b.add(99L, 0.4)
+    b.add(99L, 0.5) // ties with current worst (10, 0.5), larger id
+    assert(b.ids.take(3).toSeq == Seq(11L, 13L, 10L))
+    // an equal-score SMALLER id displaces the worst
+    b.add(5L, 0.5)
+    assert(b.ids.take(3).toSeq == Seq(11L, 13L, 5L))
+  }
+
+  test("buffer: serialize/deserialize roundtrip and merge == bulk add") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(200)((rnd.nextInt(50).toLong,
+      math.rint(rnd.nextDouble() * 20) / 20.0))
+    val (l, r) = rows.splitAt(97)
+    val a = new TopKImpl.Buffer(5); l.foreach { case (i, s) => a.add(i, s) }
+    val b = new TopKImpl.Buffer(5); r.foreach { case (i, s) => b.add(i, s) }
+    val merged = TopKImpl.deserialize(a.serialize)
+    merged.mergeFrom(TopKImpl.deserialize(b.serialize))
+    val bulk = new TopKImpl.Buffer(5)
+    rows.foreach { case (i, s) => bulk.add(i, s) }
+    assert(merged.size == bulk.size)
+    assert(merged.ids.take(merged.size).toSeq ==
+      bulk.ids.take(bulk.size).toSeq)
+    assert(merged.scores.take(merged.size).toSeq ==
+      bulk.scores.take(bulk.size).toSeq)
+  }
+
+  test("aggregate == rank window, heavy ties, groups above the hash fallback") {
+    import spark.implicits._
+    // 300 groups (> the 128-key ObjectHashAggregate fallback default
+    // knnEdges bumps), quantized scores so ties are everywhere
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 30000).map { _ =>
+      (rnd.nextInt(300).toLong, rnd.nextInt(5000).toLong,
+        math.rint(rnd.nextDouble() * 50) / 50.0)
+    }
+    val df = rows.toDF("g", "id", "score")
+      .groupBy("g", "id").agg(max("score").as("score")) // unique (g,id)
+    val k = 7
+    import org.apache.spark.sql.expressions.Window
+    val win = df.withColumn("rank", row_number().over(Window
+        .partitionBy($"g").orderBy($"score".desc, $"id".asc)))
+      .where($"rank" <= k)
+      .select($"g", $"id", $"score", $"rank".cast("long").as("rank"))
+    val agg = df.groupBy($"g")
+      .agg(call_function("topk_by_score", $"id", $"score", lit(k))
+        .as("tk"))
+      .select($"g", posexplode($"tk"))
+      .select($"g", $"col.id".as("id"), $"col.score".as("score"),
+        ($"pos" + 1).cast("long").as("rank"))
+    assert(agg.exceptAll(win).isEmpty && win.exceptAll(agg).isEmpty,
+      "aggregate and window disagree")
+    assert(agg.count() == win.count())
+  }
+
+  test("fewer rows than k, and null inputs are skipped") {
+    import spark.implicits._
+    val df = Seq((1L, Some(10L), Some(1.0)), (1L, Some(11L), Some(0.5)),
+      (1L, None, Some(9.9)), (1L, Some(12L), None))
+      .toDF("g", "id", "score")
+    val out = df.groupBy($"g")
+      .agg(call_function("topk_by_score", $"id", $"score", lit(5))
+        .as("tk"))
+      .select(posexplode($"tk")).select($"col.id", $"col.score")
+      .as[(Long, Double)].collect().toSeq
+    assert(out == Seq((10L, 1.0), (11L, 0.5)))
+  }
+}

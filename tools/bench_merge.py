@@ -13,9 +13,15 @@ printed (tools/bench_seg.sh collects them). The merge:
   - sums `value` (total seconds);
   - records `segments` = input count so readers know the window shape.
 
-Optionally, a file produced by an isolation re-measure pass can be
-folded in with --isolated ISO.json (its `queries` map becomes the
-`isolated` key; tools/slope.py then flags on those numbers).
+Optionally, isolation re-measure passes can be folded in with
+--isolated NAME=ISO.json — only the NAMED row is taken from each file
+(an isolation run also re-builds stage dependencies incidentally;
+folding those too would overwrite the window's deliberate stage
+measurements with whichever isolation run happened last — r13
+advisor). The folded rows land under the `isolated` key;
+tools/slope.py then flags on those numbers. A bare --isolated ISO.json
+(no NAME=) keeps the legacy fold-every-positive-row behavior for
+hand-built A/B files.
 """
 import json
 import sys
@@ -62,10 +68,20 @@ def main(argv):
         out["value"] += s["value"]
     if iso_paths:
         iso = {}
-        for p in iso_paths:
-            for q, v in load(p)["queries"].items():
+        for spec in iso_paths:
+            if "=" in spec:
+                name, path = spec.split("=", 1)
+                v = load(path)["queries"].get(name, -1)
                 if v > 0:
-                    iso[q] = v
+                    iso[name] = v
+                else:
+                    print(f"[bench_merge] WARN isolated row {name} "
+                          f"missing/failed in {path}; not folded",
+                          file=sys.stderr)
+            else:
+                for q, v in load(spec)["queries"].items():
+                    if v > 0:
+                        iso[q] = v
         out["isolated"] = iso
     json.dump(out, sys.stdout, separators=(",", ":"))
     print()

@@ -61,7 +61,7 @@ if [ -n "$SMALL" ]; then
     grep -F '"metric"' /tmp/bench_iso_${TAG}_${q//[^A-Za-z0-9]/_}.stdout \
       | head -1 > /tmp/bench_iso_${TAG}_${q//[^A-Za-z0-9]/_}.json
     [ -s /tmp/bench_iso_${TAG}_${q//[^A-Za-z0-9]/_}.json ] && \
-      ISO+=(--isolated /tmp/bench_iso_${TAG}_${q//[^A-Za-z0-9]/_}.json)
+      ISO+=(--isolated "$q=/tmp/bench_iso_${TAG}_${q//[^A-Za-z0-9]/_}.json")
   done
   if [ ${#ISO[@]} -gt 0 ]; then
     python3 tools/bench_merge.py "${SEGS[@]}" "${ISO[@]}" > "$OUT"
