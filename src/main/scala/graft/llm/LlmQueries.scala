@@ -5562,6 +5562,89 @@ object LlmQueries {
            | AND x.doc_id < y.doc_id
            | AND x.rk <= $dMaxBucket AND y.rk <= $dMaxBucket
            |ORDER BY a, b""".stripMargin
-      })
+      }),
+
+    // ---- q204: IVF-bucketed approximate kNN edges — the opt-in
+    // 100 TB alternative to the exact anchor×corpus build (q92). Each
+    // vector joins its nearest coarse centroid (q49's quantizer, same
+    // 1-in-37 id-bounded codebook), each anchor probes its 4 nearest
+    // cells, and scoring touches only the probed lists — one broadcast
+    // hash join against the assigned corpus instead of a full scan,
+    // then the same bounded top-k aggregate as q92 (no window, no sort
+    // of scored rows). The oracle mirrors the PRUNING too, so the row
+    // is exact even though the result is approximate-by-design
+    // relative to q92's edge set ----
+    Q("q204_ivf_knn_edges",
+      (s, d) => {
+        import s.implicits._
+        val emb = T(s, d, "embeddings")
+          .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        Similarity.ivfKnnEdges(emb, 3)
+          .select($"src", $"rank", $"dst", $"score")
+          .orderBy($"src", $"rank")
+      },
+      Some("""WITH cents AS (
+             |  SELECT row_number() OVER (ORDER BY vec_id) AS cidx,
+             |         CAST(embedding AS DOUBLE[]) AS cv
+             |  FROM embeddings WHERE vec_id % 37 = 0 AND vec_id < 5000),
+             |pairs AS (
+             |  SELECT e.vec_id, e.embedding, c.cidx,
+             |    list_sum(list_transform(generate_series(1, 64), j ->
+             |      c.cv[CAST(j AS INT)]
+             |      * CAST(e.embedding[CAST(j AS INT)] AS DOUBLE))) AS dt,
+             |    sqrt(list_sum(list_transform(c.cv, x -> x * x))) AS nc,
+             |    sqrt(list_sum(list_transform(e.embedding, x ->
+             |      CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS ne
+             |  FROM embeddings e, cents c),
+             |assign AS (
+             |  SELECT vec_id, embedding, cidx,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY
+             |      (CASE WHEN nc = 0 OR ne = 0 THEN 0
+             |            ELSE dt / (nc * ne) END) DESC, cidx ASC) AS rk
+             |  FROM pairs),
+             |a1 AS (
+             |  SELECT vec_id, embedding, cidx FROM assign WHERE rk = 1),
+             |anchors AS (
+             |  SELECT vec_id AS src, CAST(embedding AS DOUBLE[]) AS qv
+             |  FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 5000),
+             |aprobe AS (
+             |  SELECT src, qv, cidx,
+             |    row_number() OVER (PARTITION BY src ORDER BY
+             |      (CASE WHEN nc = 0 OR nq = 0 THEN 0
+             |            ELSE dt / (nc * nq) END) DESC, cidx ASC) AS rk
+             |  FROM (
+             |    SELECT a.src, a.qv, c.cidx,
+             |      list_sum(list_transform(generate_series(1, 64), j ->
+             |        c.cv[CAST(j AS INT)] * a.qv[CAST(j AS INT)])) AS dt,
+             |      sqrt(list_sum(list_transform(c.cv, x -> x * x)))
+             |        AS nc,
+             |      sqrt(list_sum(list_transform(a.qv, x -> x * x)))
+             |        AS nq
+             |    FROM anchors a, cents c) p),
+             |probed AS (SELECT src, qv, cidx FROM aprobe WHERE rk <= 4),
+             |cand AS (
+             |  SELECT p.src, p.qv, a1.vec_id AS dst, a1.embedding
+             |  FROM a1 JOIN probed p USING (cidx)
+             |  WHERE a1.vec_id <> p.src),
+             |sc AS (
+             |  SELECT src, dst,
+             |    round(CASE WHEN nv = 0 OR nq = 0 THEN 0
+             |          ELSE dt / (nv * nq) END, 6) AS score
+             |  FROM (
+             |    SELECT src, dst,
+             |      list_sum(list_transform(generate_series(1, 64), j ->
+             |        CAST(embedding[CAST(j AS INT)] AS DOUBLE)
+             |        * qv[CAST(j AS INT)])) AS dt,
+             |      sqrt(list_sum(list_transform(embedding, x ->
+             |        CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nv,
+             |      sqrt(list_sum(list_transform(qv, x -> x * x))) AS nq
+             |    FROM cand) s0)
+             |SELECT src, rank, dst, score FROM (
+             |  SELECT src, dst, score,
+             |    CAST(row_number() OVER (PARTITION BY src
+             |      ORDER BY score DESC, dst ASC) AS BIGINT) AS rank
+             |  FROM sc)
+             |WHERE rank <= 3 ORDER BY src, rank""".stripMargin),
+      bench = true)
   )
 }

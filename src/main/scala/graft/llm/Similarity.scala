@@ -344,6 +344,70 @@ object Similarity {
       .limit(k)
   }
 
+  /** OPT-IN approximate kNN edge build — the IVF-bucketed 100 TB path
+    * [[knnEdges]]' doc names. The exact build scans anchors × corpus
+    * (corpus-linear, the right default while one scan is affordable);
+    * at 100 TB even one full scan per snapshot may be too much, and the
+    * standard trade is inverted-file pruning: each vector joins its
+    * nearest coarse centroid ([[ivfAssign]], map-side argmax against a
+    * literal matrix), each anchor probes only its `nprobe` nearest
+    * cells, and scoring touches ~`nprobe / |C|` of the corpus — here
+    * one broadcast hash join (the 800-row anchor×probe side) against
+    * the assigned corpus, no shuffle of the big side, then the same
+    * bounded [[graft.functions.TopKByScore]] top-k as the exact build.
+    * APPROXIMATE by design: a true neighbor assigned to an unprobed
+    * cell is missed (recall, not correctness, is the trade — q204's
+    * oracle mirrors the SAME pruning, so the row is still exact).
+    * Centroid count and anchor batch are both id-bounded constants, so
+    * every intermediate is either corpus-linear (assignment) or
+    * constant-size (probe sets, top-k buffers) at any SF.
+    * `emb` must have columns (vec_id, v: array<double>); output schema
+    * matches [[knnEdges]] (src, dst, score, rank). */
+  def ivfKnnEdges(emb: DataFrame, k: Int, every: Int = 37,
+                  nprobe: Int = 4): DataFrame = {
+    val s = emb.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    val fbKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    if (s.conf.get(fbKey, "128").toInt < 1024) s.conf.set(fbKey, "1024")
+    val cents = ivfCentroids(emb, "v", "vec_id", every)
+    val assigned = ivfAssign(emb, "v", "vec_id", cents)
+    val anchors = emb
+      .where(col("vec_id") % 25 === 0 && col("vec_id") < MaxAnchorId)
+      .select(col("vec_id").as("src"), col("v").as("qv"))
+    // per-anchor probe cells: bounded anchors × literal centroid rows
+    // (|C| ~ 135), ranked with the SAME bounded top-k aggregate — no
+    // window anywhere in the build. Ties to the smaller 1-based cidx,
+    // mirroring ivfAssign's first-wins argmax and the SQL oracle.
+    import s.implicits._
+    val centDf = cents.zipWithIndex
+      .map { case (c, i) => ((i + 1).toLong, c) }.toDF("cidx", "cv")
+    val probeCells = anchors.crossJoin(broadcast(centDf))
+      .select(col("src"),
+        col("cidx"), cosine(col("cv"), col("qv")).as("cs"))
+      .groupBy(col("src"))
+      .agg(call_function("topk_by_score", col("cidx"), col("cs"),
+        lit(nprobe)).as("tk"))
+      .select(col("src"), explode(col("tk")).as("p"))
+      .select(col("src"), col("p.id").cast("int").as("centroid"))
+    // anchors×probes (<= 200 * nprobe rows) broadcast; the assigned
+    // corpus streams map-side — each dst has exactly ONE cell, so a
+    // (src, dst) pair can match at most one probe row (no dedup)
+    val probeSide = probeCells.join(anchors, "src")
+    assigned
+      .join(broadcast(probeSide), Seq("centroid"))
+      .where(col("vec_id") =!= col("src"))
+      .select(col("src"), col("vec_id").as("dst"),
+        round(cosine(col("embedding").cast("array<double>"), col("qv")),
+          6).as("score"))
+      .groupBy(col("src"))
+      .agg(call_function("topk_by_score", col("dst"), col("score"),
+        lit(k)).as("tk"))
+      .select(col("src"), posexplode(col("tk")))
+      .select(col("src"), col("col.id").as("dst"),
+        col("col.score").as("score"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** In-memory amplification of a dense-vector frame over its parquet
     * estimate: float32 arrays parquet-encode near-raw (no dictionary
     * wins on dense floats), and the broadcast HashedRelation holds them

@@ -85,6 +85,41 @@ class TopKSpec extends AnyFunSuite {
     assert(agg.count() == win.count())
   }
 
+  test("ivfKnnEdges: no window/sort of scored rows, and high recall vs exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    // clustered vectors so IVF cells are meaningful
+    val centers = Array.fill(8)(Array.fill(16)(rnd.nextGaussian()))
+    val rows = (0L until 2000L).map { i =>
+      val c = centers((i % 8).toInt)
+      (i, c.map(x => x + rnd.nextGaussian() * 0.2).toSeq)
+    }
+    val emb = rows.toDF("vec_id", "v")
+    val exact = Similarity.knnEdges(emb, 3)
+    val approx = Similarity.ivfKnnEdges(emb, 3, every = 100, nprobe = 3)
+    // plan shape: the scale claim — no Window, no Sort over the scored
+    // stream (the final orderBy lives in callers, not the build)
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "IVF build must not rank via window")
+    val exactSet = exact.select("src", "dst")
+      .as[(Long, Long)].collect().toSet
+    val approxSet = approx.select("src", "dst")
+      .as[(Long, Long)].collect().toSet
+    // approximate-by-design, but on clustered data nprobe=3/8 cells
+    // must catch the vast majority of true neighbors
+    val recall = approxSet.count(exactSet) .toDouble / exactSet.size
+    assert(recall >= 0.8, s"IVF recall $recall vs exact edges")
+    // every approx edge is a REAL scored pair with the exact score
+    val exactScores = exact.select("src", "dst", "score")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, sc) => (a, b) -> sc }.toMap
+    approx.select("src", "dst", "score").as[(Long, Long, Double)]
+      .collect().foreach { case (a, b, sc) =>
+        exactScores.get((a, b)).foreach(es => assert(es == sc,
+          s"score drift on ($a,$b): exact $es vs ivf $sc"))
+      }
+  }
+
   test("fewer rows than k, and null inputs are skipped") {
     import spark.implicits._
     val df = Seq((1L, Some(10L), Some(1.0)), (1L, Some(11L), Some(0.5)),
