@@ -36,6 +36,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
+      // bounded-buffer aggregates (topk_by_score) keep thousands of
+      // keys hash-resident; the 128-key sort-based fallback default
+      // would sort whole scored partitions (session-bootstrap home for
+      // what knnEdges used to set as a hidden side effect — r14
+      // advisor)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "1024")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -84,9 +91,12 @@ object Bench {
     val segment: Option[(Int, Int)] =
       sys.env.get("SPARK_GRAFT_BENCH_SEGMENT").map { v =>
         // guarded parse: a malformed value ('3', '1/8/2', 'a/b') must
-        // die with the friendly message, not a MatchError (r13 advisor)
+        // die with the friendly message, not a MatchError (r13
+        // advisor). Digit count bounded to 9 so toInt itself can never
+        // throw NumberFormatException past Int.MaxValue (r14 advisor).
         v.split("/") match {
-          case Array(iS, nS) if iS.matches("\\d+") && nS.matches("\\d+")
+          case Array(iS, nS) if iS.matches("\\d{1,9}")
+            && nS.matches("\\d{1,9}")
             && iS.toInt >= 1 && iS.toInt <= nS.toInt =>
             (iS.toInt, nS.toInt)
           case _ => sys.error(
@@ -216,35 +226,18 @@ object Bench {
     // Host-contention stamp (r13 verdict #1): the r13 graded sf0.1 leg
     // ran inside the builder's own still-running sf30 job and measured
     // 763 s vs 315 s of pure contention. A bench cannot stop other
-    // processes, but it CAN refuse to pretend the host was quiet:
-    // sample other live JVMs (outside this process's own ancestor/
-    // descendant family — sbt forks us, so the parent chain is ours)
-    // and 1-min loadavg at leg start and end, and stamp the artifact.
-    // Consumers treat "contended": true as not-a-trend-signal.
-    def hostSample(): (Int, Double) = {
-      val self = ProcessHandle.current()
-      val family = scala.collection.mutable.Set[Long](self.pid)
-      var p = self.parent()
-      while (p.isPresent) { family += p.get.pid; p = p.get.parent() }
-      self.descendants().forEach(d => family += d.pid)
-      var others = 0
-      ProcessHandle.allProcesses().forEach { h =>
-        if (!family(h.pid)) {
-          val cmd = h.info().command().orElse("")
-          if (cmd.endsWith("/java") || cmd == "java") others += 1
-        }
-      }
-      val load =
-        try Files.readString(Paths.get("/proc/loadavg"))
-          .split(" ")(0).toDouble
-        catch { case _: Throwable => -1.0 }
-      (others, load)
-    }
-    val (startJvms, startLoad) = hostSample()
-    if (startJvms > 0)
+    // processes, but it CAN refuse to pretend the host was quiet —
+    // [[HostContention.sample]] trips on foreign live JVMs AND on any
+    // non-JVM process caught burning CPU (python gen, DuckDB oracle,
+    // compile jobs — the r14 verdict's widened condition), at leg
+    // start and end. Consumers treat "contended": true as
+    // not-a-trend-signal.
+    val start = HostContention.sample()
+    if (start.contended)
       System.err.println(s"[bench] WARN host contended at leg start: " +
-        s"$startJvms other live JVM(s), loadavg $startLoad — this " +
-        "artifact will be stamped \"contended\": true")
+        s"${start.otherJvms} other live JVM(s), busy ${start.busy}, " +
+        s"loadavg ${start.load} — this artifact will be stamped " +
+        "\"contended\": true")
     // ---- stage rows: build each shared staged artifact the selected
     // queries consume, billed as its OWN named row (build wall +
     // artifact row count as rows_out) — consumers then measure their
@@ -329,14 +322,17 @@ object Bench {
       .mkString("{", ",", "}")
     val segfield = segment.map { case (i, n) =>
       s""","segment":"$i/$n"""" }.getOrElse("")
-    val (endJvms, endLoad) = hostSample()
-    val contended = startJvms > 0 || endJvms > 0
+    val end = HostContention.sample()
+    val contended = start.contended || end.contended
     if (contended)
       System.err.println(s"[bench] WARN host contended " +
-        s"(start: $startJvms JVMs/$startLoad, end: $endJvms/$endLoad) " +
+        s"(start: ${start.otherJvms} JVMs/${start.load}/${start.busy}," +
+        s" end: ${end.otherJvms}/${end.load}/${end.busy}) " +
         "— artifact stamped \"contended\": true")
+    def busyArr(b: Seq[String]): String =
+      b.map(c => "\"" + jsonEsc(c) + "\"").mkString("[", ",", "]")
     val contention =
-      s""","contended":$contended,"contention":{"start_jvms":$startJvms,"start_load":$startLoad,"end_jvms":$endJvms,"end_load":$endLoad}"""
+      s""","contended":$contended,"contention":{"start_jvms":${start.otherJvms},"start_load":${start.load},"start_busy":${busyArr(start.busy)},"end_jvms":${end.otherJvms},"end_load":${end.load},"end_busy":${busyArr(end.busy)}}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows_out":$rowsOut,"failed":$failed,"failures":$failures,"stage_of":$stageOf$segfield$contention,"sf":"$sfEsc"}"""
     println(json)

@@ -84,6 +84,9 @@ object Cli {
     if (args.isEmpty) { System.err.println(usage); sys.exit(2) }
     val base = SparkSession.builder()
       .config("spark.sql.session.timeZone", "UTC")
+      // keep bounded top-k aggregates hash-resident (see Bench)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "1024")
       .config("spark.ui.enabled", "false")
       .appName(s"graft-${args.head}")
     // an explicit builder master would OVERRIDE spark-submit --master

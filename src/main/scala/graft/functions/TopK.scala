@@ -97,7 +97,14 @@ object TopKImpl {
   * -> ARRAY<STRUCT<id BIGINT, score DOUBLE>>` — bounded exact top-k
   * per group, ordered (score DESC, id ASC), best first. See
   * [[TopKImpl]]. NULL ids/scores are skipped (a window rank would
-  * order them last and they can never enter a top-k by score). */
+  * order them last and they can never enter a top-k by score).
+  * NaN scores are ALSO skipped — a DOCUMENTED divergence from the
+  * rank window, which under Spark's double ordering treats NaN as
+  * greater than every value and would rank NaN rows FIRST under
+  * `desc` (r14 advisor). Unreachable from graft's own callers (cosine
+  * kernels zero-norm-guard and 6-dp-round their scores), but the
+  * function is registered on the public SQL surface, where a silent
+  * NaN-at-the-top beats no contract; skip matches the NULL rule. */
 case class TopKByScore(id: Expression, score: Expression, k: Expression,
                        mutableAggBufferOffset: Int = 0,
                        inputAggBufferOffset: Int = 0)
@@ -138,7 +145,10 @@ case class TopKByScore(id: Expression, score: Expression, k: Expression,
                       input: InternalRow): TopKImpl.Buffer = {
     val i = id.eval(input)
     val s = score.eval(input)
-    if (i != null && s != null)
+    // NULL and NaN scores never enter a buffer (contract in the class
+    // doc; NaN would poison better()'s total order — every comparison
+    // against NaN is false, so a buffered NaN could never be evicted)
+    if (i != null && s != null && !s.asInstanceOf[Double].isNaN)
       buf.add(i.asInstanceOf[Long], s.asInstanceOf[Double])
     buf
   }

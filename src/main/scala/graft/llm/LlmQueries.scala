@@ -5645,6 +5645,100 @@ object LlmQueries {
              |      ORDER BY score DESC, dst ASC) AS BIGINT) AS rank
              |  FROM sc)
              |WHERE rank <= 3 ORDER BY src, rank""".stripMargin),
+      bench = true),
+
+    // ---- q205: IVF kNN edges with the AUTO-SCALED coarse quantizer —
+    // the documented large-corpus default (round 15). q204's codebook
+    // is a CONSTANT ~135 cells at any SF, so its probed corpus
+    // fraction (~nprobe/|C| ≈ 3%) never shrinks as the corpus grows;
+    // real IVF sizes nlist ≈ √n. Similarity.autoNlist picks the
+    // smallest c in [16, 4096] with c*c >= count(corpus) — integer
+    // arithmetic on both engines (the autoPlanes/q202 promotion
+    // pattern), the oracle mirrors the rule with a scalar min-subquery
+    // over range(16, 4097) and derives the SAME 1-in-every centroid
+    // predicate, so the row is exact at any SF while the probed
+    // fraction falls as ~nprobe/√n. q204 keeps the fixed-parameter
+    // surface for stability ----
+    Q("q205_ivf_knn_auto",
+      (s, d) => {
+        import s.implicits._
+        val emb = T(s, d, "embeddings")
+          .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+        Similarity.ivfKnnEdgesAuto(emb, 3)
+          .select($"src", $"rank", $"dst", $"score")
+          .orderBy($"src", $"rank")
+      },
+      Some("""WITH nl AS (
+             |  SELECT CAST(coalesce(
+             |    (SELECT min(c) FROM range(16, 4097) t(c)
+             |     WHERE c * c >= (SELECT count(*) FROM embeddings)),
+             |    4096) AS BIGINT) AS nlist),
+             |ev AS (
+             |  SELECT greatest(1, (SELECT count(*) FROM embeddings)
+             |    // (SELECT nlist FROM nl)) AS every),
+             |cents AS (
+             |  SELECT row_number() OVER (ORDER BY vec_id) AS cidx,
+             |         CAST(embedding AS DOUBLE[]) AS cv
+             |  FROM embeddings
+             |  WHERE vec_id % (SELECT every FROM ev) = 0),
+             |pairs AS (
+             |  SELECT e.vec_id, e.embedding, c.cidx,
+             |    list_sum(list_transform(generate_series(1, 64), j ->
+             |      c.cv[CAST(j AS INT)]
+             |      * CAST(e.embedding[CAST(j AS INT)] AS DOUBLE))) AS dt,
+             |    sqrt(list_sum(list_transform(c.cv, x -> x * x))) AS nc,
+             |    sqrt(list_sum(list_transform(e.embedding, x ->
+             |      CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS ne
+             |  FROM embeddings e, cents c),
+             |assign AS (
+             |  SELECT vec_id, embedding, cidx,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY
+             |      (CASE WHEN nc = 0 OR ne = 0 THEN 0
+             |            ELSE dt / (nc * ne) END) DESC, cidx ASC) AS rk
+             |  FROM pairs),
+             |a1 AS (
+             |  SELECT vec_id, embedding, cidx FROM assign WHERE rk = 1),
+             |anchors AS (
+             |  SELECT vec_id AS src, CAST(embedding AS DOUBLE[]) AS qv
+             |  FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 5000),
+             |aprobe AS (
+             |  SELECT src, qv, cidx,
+             |    row_number() OVER (PARTITION BY src ORDER BY
+             |      (CASE WHEN nc = 0 OR nq = 0 THEN 0
+             |            ELSE dt / (nc * nq) END) DESC, cidx ASC) AS rk
+             |  FROM (
+             |    SELECT a.src, a.qv, c.cidx,
+             |      list_sum(list_transform(generate_series(1, 64), j ->
+             |        c.cv[CAST(j AS INT)] * a.qv[CAST(j AS INT)])) AS dt,
+             |      sqrt(list_sum(list_transform(c.cv, x -> x * x)))
+             |        AS nc,
+             |      sqrt(list_sum(list_transform(a.qv, x -> x * x)))
+             |        AS nq
+             |    FROM anchors a, cents c) p),
+             |probed AS (SELECT src, qv, cidx FROM aprobe WHERE rk <= 4),
+             |cand AS (
+             |  SELECT p.src, p.qv, a1.vec_id AS dst, a1.embedding
+             |  FROM a1 JOIN probed p USING (cidx)
+             |  WHERE a1.vec_id <> p.src),
+             |sc AS (
+             |  SELECT src, dst,
+             |    round(CASE WHEN nv = 0 OR nq = 0 THEN 0
+             |          ELSE dt / (nv * nq) END, 6) AS score
+             |  FROM (
+             |    SELECT src, dst,
+             |      list_sum(list_transform(generate_series(1, 64), j ->
+             |        CAST(embedding[CAST(j AS INT)] AS DOUBLE)
+             |        * qv[CAST(j AS INT)])) AS dt,
+             |      sqrt(list_sum(list_transform(embedding, x ->
+             |        CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nv,
+             |      sqrt(list_sum(list_transform(qv, x -> x * x))) AS nq
+             |    FROM cand) s0)
+             |SELECT src, rank, dst, score FROM (
+             |  SELECT src, dst, score,
+             |    CAST(row_number() OVER (PARTITION BY src
+             |      ORDER BY score DESC, dst ASC) AS BIGINT) AS rank
+             |  FROM sc)
+             |WHERE rank <= 3 ORDER BY src, rank""".stripMargin),
       bench = true)
   )
 }

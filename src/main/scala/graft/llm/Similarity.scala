@@ -78,14 +78,17 @@ object Similarity {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     // The anchor count is bounded (<= MaxAnchorId/25 = 200 groups at
     // any SF) but above ObjectHashAggregate's sort-based fallback
-    // default (128 keys): without the bump, every map task would sort
-    // its whole scored partition by src the moment it saw the 129th
-    // anchor — precisely the sort the bounded top-k exists to avoid.
-    // Buffers here are k*16 bytes, so thousands of keys are trivially
-    // hash-resident; only raise, never lower a user's setting.
-    val fbKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
-    val s = emb.sparkSession
-    if (s.conf.get(fbKey, "128").toInt < 1024) s.conf.set(fbKey, "1024")
+    // default (128 keys): below that threshold every map task would
+    // sort its whole scored partition by src the moment it saw the
+    // 129th anchor — precisely the sort the bounded top-k exists to
+    // avoid. Buffers are k*16 bytes, so thousands of keys are
+    // trivially hash-resident. Sessions should therefore run with
+    // spark.sql.objectHashAggregate.sortBased.fallbackThreshold >=
+    // 1024 — graft's own entry points (Bench/Verify/Cli) set it at
+    // session build. NOT set here: a query builder silently and
+    // permanently rewriting the caller's session conf is a hidden
+    // side effect (r14 advisor), and the conf is read at EXECUTION
+    // time anyway, so a builder-scoped override cannot exist.
     val sample = emb
       .where(col("vec_id") % 25 === 0 && col("vec_id") < MaxAnchorId)
       .select(col("vec_id").as("src"), col("v").as("qv"))
@@ -286,7 +289,10 @@ object Similarity {
     * first `maxId` ids. The id bound keeps the centroid COUNT constant
     * at any SF — an unbounded 1-in-`every` rate makes the literal
     * centroid matrix (and the O(N*K) assignment) grow with the corpus,
-    * the same quadratic trap as unbounded anchor rates. */
+    * the same quadratic trap as unbounded anchor rates. A CONSTANT
+    * count also means a constant probed fraction at any corpus size —
+    * [[ivfCentroidsAuto]] (nlist ≈ √n) is the scale default; this
+    * stays as q49/q204's pinned fixed-parameter surface. */
   def ivfCentroids(embeddings: DataFrame, vecCol: String, idCol: String,
                    every: Int, maxId: Long = 5000L): Seq[Seq[Double]] =
     embeddings.where(col(idCol) % every === 0 && col(idCol) < maxId)
@@ -364,20 +370,67 @@ object Similarity {
     * `emb` must have columns (vec_id, v: array<double>); output schema
     * matches [[knnEdges]] (src, dst, score, rank). */
   def ivfKnnEdges(emb: DataFrame, k: Int, every: Int = 37,
-                  nprobe: Int = 4): DataFrame = {
+                  nprobe: Int = 4): DataFrame =
+    ivfKnnEdgesWith(emb, k, ivfCentroids(emb, "v", "vec_id", every),
+      nprobe)
+
+  /** Coarse-quantizer cell count for a corpus of `n` vectors: the
+    * smallest `c` in [16, 4096] with `c*c >= n`, i.e. nlist ≈ ceil(√n)
+    * — the standard IVF sizing, so the probed corpus fraction
+    * (`nprobe / nlist ≈ nprobe / √n`) SHRINKS as the corpus grows
+    * instead of staying constant the way a fixed codebook's does (the
+    * r14 verdict's one open scale note on q204). Integer arithmetic
+    * only, the [[autoPlanes]] discipline: the DuckDB oracle mirrors it
+    * as `min c FROM range(16, 4097) WHERE c*c >= n`, so no floating
+    * sqrt boundary can diverge. The 4096 clamp bounds the literal
+    * centroid matrix [[ivfAssign]] plans against (~2 MB of doubles at
+    * 64 dims — plan-safe); past ~16.8 M vectors per snapshot the flat
+    * coarse quantizer itself is the limit and the named extension is a
+    * two-level quantizer (assign to a √nlist super-cell first), not a
+    * bigger literal. */
+  def autoNlist(n: Long): Int =
+    (16 to 4096).find(c => c.toLong * c >= n).getOrElse(4096)
+
+  /** Auto-scaled quantizer codebook: ~[[autoNlist]](n) centroids taken
+    * deterministically as 1-in-`every` ids with `every = max(1, n /
+    * nlist)` over the WHOLE id range (no maxId cap — the count is
+    * bounded by construction, and spreading the codebook across the
+    * full corpus beats a prefix at any skew). */
+  def ivfCentroidsAuto(embeddings: DataFrame, vecCol: String,
+                       idCol: String, n: Long): Seq[Seq[Double]] = {
+    val every = math.max(1L, n / autoNlist(n))
+    embeddings.where(col(idCol) % every === 0)
+      .orderBy(col(idCol))
+      .select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0)).toSeq
+  }
+
+  /** [[ivfKnnEdges]] with the codebook auto-scaled to the corpus via
+    * [[autoNlist]] — the documented large-corpus default (q205), the
+    * same promotion autoPlanes gave the signature index (q202): one
+    * count() job sizes the codebook, then the probed fraction of the
+    * corpus falls as ~nprobe/√n instead of sitting at the fixed
+    * codebook's constant ~3%. q204 keeps the fixed 1-in-37 surface for
+    * stability. */
+  def ivfKnnEdgesAuto(emb: DataFrame, k: Int, nprobe: Int = 4)
+  : DataFrame =
+    ivfKnnEdgesWith(emb, k,
+      ivfCentroidsAuto(emb, "v", "vec_id", emb.count()), nprobe)
+
+  private def ivfKnnEdgesWith(emb: DataFrame, k: Int,
+                              cents: Seq[Seq[Double]], nprobe: Int)
+  : DataFrame = {
     val s = emb.sparkSession
     graft.functions.GraftFunctions.register(s)
-    val fbKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
-    if (s.conf.get(fbKey, "128").toInt < 1024) s.conf.set(fbKey, "1024")
-    val cents = ivfCentroids(emb, "v", "vec_id", every)
     val assigned = ivfAssign(emb, "v", "vec_id", cents)
     val anchors = emb
       .where(col("vec_id") % 25 === 0 && col("vec_id") < MaxAnchorId)
       .select(col("vec_id").as("src"), col("v").as("qv"))
     // per-anchor probe cells: bounded anchors × literal centroid rows
-    // (|C| ~ 135), ranked with the SAME bounded top-k aggregate — no
-    // window anywhere in the build. Ties to the smaller 1-based cidx,
-    // mirroring ivfAssign's first-wins argmax and the SQL oracle.
+    // (|C| ~ 135 fixed / <= 4096 auto), ranked with the SAME bounded
+    // top-k aggregate — no window anywhere in the build. Ties to the
+    // smaller 1-based cidx, mirroring ivfAssign's first-wins argmax
+    // and the SQL oracle.
     import s.implicits._
     val centDf = cents.zipWithIndex
       .map { case (c, i) => ((i + 1).toLong, c) }.toDF("cidx", "cv")

@@ -91,11 +91,39 @@ object SyntheticOsm {
       }
       def done(p: String): Boolean =
         Files.exists(Paths.get(p, "_GRAFT_BUNDLE_DONE"))
-      if (shared.exists(done)) shared.get
-      else {
+      def rmTree(p: String): Unit =
+        try org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(p))
+        catch { case _: Throwable => () }
+      if (shared.exists(done)) {
+        // adopting a published bundle: sweep orphan *_stage_* siblings
+        // a crashed builder left behind (disk leaked forever
+        // otherwise — r14 advisor). Age-gated so a LIVE concurrent
+        // builder's staging dir is never yanked mid-write; no bundle
+        // build approaches an hour.
+        val pub = Paths.get(shared.get)
+        try {
+          val prefix = pub.getFileName.toString + "_stage_"
+          val cutoff = System.currentTimeMillis - 60L * 60 * 1000
+          val st = Files.list(pub.getParent)
+          try st.forEach { p =>
+            if (p.getFileName.toString.startsWith(prefix) &&
+              Files.getLastModifiedTime(p).toMillis < cutoff)
+              rmTree(p.toString)
+          } finally st.close()
+        } catch { case _: Throwable => () }
+        shared.get
+      } else {
         // build in a private staging dir (unique per JVM), marker last
         val tmp = shared.map(p => s"${p}_stage_${ProcessHandle.current.pid}")
           .getOrElse(graft.TempDirs.create("graft-osm-mat"))
+        // a crashed predecessor whose pid the OS recycled may have
+        // left this exact staging dir — possibly marker-complete, in
+        // which case createFile below would throw
+        // FileAlreadyExistsException and fail THIS JVM's
+        // materialization (r14 advisor). Start from a clean dir; no
+        // live process can share our pid.
+        if (shared.isDefined) rmTree(tmp)
         val t = tables(s, dir)
         Seq("locations" -> t.locations, "nodes" -> t.nodes,
           "ways" -> t.ways, "relations" -> t.relations,

@@ -209,6 +209,22 @@ class LlmSpec extends AnyFunSuite {
     assert(autoPlanes(Long.MaxValue) == 32) // upper clamp
   }
 
+  test("autoNlist: smallest c in [16,4096] with c*c >= n (≈ ceil sqrt)") {
+    import Similarity.autoNlist
+    assert(autoNlist(1L) == 16) // lower clamp
+    assert(autoNlist(256L) == 16) // exact-square boundary: inclusive
+    assert(autoNlist(257L) == 17)
+    assert(autoNlist(500L) == 23) // the driver's sf0.01 corpus
+    assert(autoNlist(2000L) == 45) // sf0.1
+    assert(autoNlist(20000L) == 142) // sf1
+    assert(autoNlist(200000L) == 448) // sf10
+    assert(autoNlist(600000L) == 775) // sf30
+    assert(autoNlist(Long.MaxValue) == 4096) // upper clamp
+    // the probed corpus fraction nprobe/nlist must FALL across the
+    // bench decades — the property q205 exists to buy (r14 verdict #1)
+    assert(4.0 / autoNlist(600000L) < 4.0 / autoNlist(20000L))
+  }
+
   test("embeddingNearDuplicates DEFAULT auto-scales planes (== explicit " +
     "autoPlanes width) and still finds the planted pair") {
     val rnd = new scala.util.Random(11)

@@ -120,6 +120,64 @@ class TopKSpec extends AnyFunSuite {
       }
   }
 
+  test("ivfKnnEdgesAuto: codebook scales ~sqrt(n), plan window-free, " +
+    "agrees with fixed-codebook scores on shared edges") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val centers = Array.fill(8)(Array.fill(16)(rnd.nextGaussian()))
+    val rows = (0L until 2000L).map { i =>
+      val c = centers((i % 8).toInt)
+      (i, c.map(x => x + rnd.nextGaussian() * 0.2).toSeq)
+    }
+    val emb = rows.toDF("vec_id", "v")
+    val auto = Similarity.ivfKnnEdgesAuto(emb, 3)
+    val plan = auto.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "auto IVF build must not rank via window")
+    // n=2000 -> nlist=45 -> every=44 -> 46 centroids: recall against
+    // the exact edges stays high on clustered data even with the
+    // bigger codebook (probe fraction 4/46 vs fixed 4/20)
+    assert(Similarity.autoNlist(2000L) == 45)
+    val exact = Similarity.knnEdges(emb, 3)
+    val exactSet = exact.select("src", "dst")
+      .as[(Long, Long)].collect().toSet
+    val autoEdges = auto.select("src", "dst", "score")
+      .as[(Long, Long, Double)].collect()
+    val recall = autoEdges.map(e => (e._1, e._2)).toSet
+      .count(exactSet).toDouble / exactSet.size
+    assert(recall >= 0.8, s"auto-IVF recall $recall vs exact edges")
+    // any edge shared with the exact build carries the exact score
+    val exactScores = exact.select("src", "dst", "score")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, sc) => (a, b) -> sc }.toMap
+    autoEdges.foreach { case (a, b, sc) =>
+      exactScores.get((a, b)).foreach(es => assert(es == sc,
+        s"score drift on ($a,$b): exact $es vs auto-ivf $sc"))
+    }
+  }
+
+  test("NaN scores are skipped (documented divergence from the window, " +
+    "which ranks NaN first under desc)") {
+    import spark.implicits._
+    val df = Seq((1L, 10L, 1.0), (1L, 11L, Double.NaN), (1L, 12L, 0.5))
+      .toDF("g", "id", "score")
+    val agg = df.groupBy($"g")
+      .agg(call_function("topk_by_score", $"id", $"score", lit(2))
+        .as("tk"))
+      .select(posexplode($"tk")).select($"col.id", $"col.score")
+      .as[(Long, Double)].collect().toSeq
+    assert(agg == Seq((10L, 1.0), (12L, 0.5)),
+      "NaN must never enter a top-k buffer")
+    // pin the divergence the doc states: the rank window puts the NaN
+    // row FIRST under score DESC
+    import org.apache.spark.sql.expressions.Window
+    val win = df.withColumn("rank", row_number().over(Window
+        .partitionBy($"g").orderBy($"score".desc, $"id".asc)))
+      .where($"rank" <= 2).select($"id")
+      .as[Long].collect().toSeq
+    assert(win == Seq(11L, 10L), "window NaN-first premise changed")
+  }
+
   test("fewer rows than k, and null inputs are skipped") {
     import spark.implicits._
     val df = Seq((1L, Some(10L), Some(1.0)), (1L, Some(11L), Some(0.5)),

@@ -11,7 +11,12 @@ printed (tools/bench_seg.sh collects them). The merge:
     staged build);
   - concatenates `failed`;
   - sums `value` (total seconds);
-  - records `segments` = input count so readers know the window shape.
+  - records `segments` = input count so readers know the window shape;
+  - ORs the per-segment `contended` stamps into a top-level
+    `contended` and keeps every segment's raw contention sample under
+    `contention_segments` (r14 verdict #2: the merge used to DROP the
+    stamps, so a contended segment produced a clean-looking merged
+    artifact — absence read as uncontended).
 
 Optionally, isolation re-measure passes can be folded in with
 --isolated NAME=ISO.json — only the NAMED row is taken from each file
@@ -21,7 +26,10 @@ measurements with whichever isolation run happened last — r13
 advisor). The folded rows land under the `isolated` key;
 tools/slope.py then flags on those numbers. A bare --isolated ISO.json
 (no NAME=) keeps the legacy fold-every-positive-row behavior for
-hand-built A/B files.
+hand-built A/B files. An isolation file stamped `contended` is
+REFUSED (warned, not folded): a fresh-JVM re-measure exists to remove
+noise, so folding a contended one would launder contention back in as
+clean evidence.
 """
 import json
 import sys
@@ -55,6 +63,8 @@ def main(argv):
         "segments": len(segs),
         "sf": segs[0].get("sf"),
     }
+    out["contended"] = False
+    out["contention_segments"] = []
     for p, s in zip(seg_paths, segs):
         if s.get("sf") != out["sf"]:
             sys.exit(f"{p}: sf {s.get('sf')} != {out['sf']}")
@@ -66,20 +76,36 @@ def main(argv):
         out["stage_of"].update(s.get("stage_of", {}))
         out["failed"] += s.get("failed", [])
         out["value"] += s["value"]
+        out["contended"] = out["contended"] or bool(s.get("contended"))
+        out["contention_segments"].append(
+            {"segment": s.get("segment"),
+             "contended": s.get("contended"),
+             "contention": s.get("contention")})
     if iso_paths:
         iso = {}
         for spec in iso_paths:
             if "=" in spec:
                 name, path = spec.split("=", 1)
-                v = load(path)["queries"].get(name, -1)
-                if v > 0:
+                f = load(path)
+                v = f["queries"].get(name, -1)
+                if f.get("contended"):
+                    print(f"[bench_merge] REFUSED isolated row {name}: "
+                          f"{path} is stamped contended — a contended "
+                          f"re-measure is not isolation evidence",
+                          file=sys.stderr)
+                elif v > 0:
                     iso[name] = v
                 else:
                     print(f"[bench_merge] WARN isolated row {name} "
                           f"missing/failed in {path}; not folded",
                           file=sys.stderr)
             else:
-                for q, v in load(spec)["queries"].items():
+                f = load(spec)
+                if f.get("contended"):
+                    print(f"[bench_merge] REFUSED isolated file {spec}: "
+                          f"stamped contended", file=sys.stderr)
+                    continue
+                for q, v in f["queries"].items():
                     if v > 0:
                         iso[q] = v
         out["isolated"] = iso
