@@ -31,13 +31,18 @@ object DriverBudget {
   : Long = ((maxHeapBytes * HeapFraction) / EdgeRowBytes).toLong
 
   /** TIME-honest ceiling on the driver edge collect, independent of
-    * heap: a 16 GiB driver FITS ~6.7M boxed rows in 5% of heap, but a
-    * multi-million-row `take()` + single-threaded union-find is a
-    * latency cost memory budgets can't see (round-7 q57 regressed
-    * 9.6s -> 33.7s exactly this way). 500K edges union-find in
-    * ~tens of ms with the primitive-array implementation; above that
-    * the distributed large-star/small-star loop amortizes better. */
-  val EdgeRowTimeCap: Long = 500000L
+    * heap: the round-7 q57 regression (9.6s -> 33.7s) was a
+    * multi-million-row `take()` into a BOXED HashMap union-find; the
+    * primitive-array implementation that replaced it sorts + unions
+    * millions of edges in well under a second, so the binding cost is
+    * the `take()` itself (~1 s per million small rows in local mode,
+    * measured r15) versus the distributed star loop's ~4 jobs x
+    * O(log n) iterations (measured 15-26 s on 1-9 M-edge graphs,
+    * BENCH_r14_sf{0.1,1,10} stage:dedup_components). 8M keeps the
+    * probe's worst-case wasted take() under a few seconds when the
+    * graph turns out bigger; the heap gate ([[edgeRowBudget]], 6.7M
+    * rows at 16 GiB) remains the binding limit on small drivers. */
+  val EdgeRowTimeCap: Long = 8000000L
 
   /** Effective driver-collect limit: memory-honest AND time-honest. */
   def edgeCollectLimit(): Long = math.min(edgeRowBudget(), EdgeRowTimeCap)

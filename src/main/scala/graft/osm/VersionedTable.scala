@@ -330,6 +330,39 @@ object VersionedTable {
     * With `dryRun = true` the data is computed and written but the
     * manifest is NOT swapped — the reference's no-`--commit` mode.
     * Returns the version written (committed or not). */
+  /** Run the independent per-table write jobs of one commit from a
+    * small driver thread pool (optimization-guide §2.6 "overlap
+    * independent jobs"): Spark's scheduler runs several jobs at once,
+    * so the next table's tasks back-fill executors freed by the
+    * current table's straggler tail — a commit of the 8-table OSM
+    * bundle was otherwise eight strictly sequential jobs, each ending
+    * in a mostly-idle cluster. Default FIFO scheduling gives exactly
+    * the back-fill behavior; 4 writes in flight fill the tail without
+    * starving any one write. The first failure propagates (remaining
+    * writes are interrupted; their partial output stays vacuum-
+    * collectable under the unclaimed version, same as a sequential
+    * failure's). */
+  private def parallelTableWrites[A](tables: Seq[A])
+                                    (write: A => Unit): Unit = {
+    if (tables.sizeIs <= 1) { tables.foreach(write); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(4, tables.size))
+    try {
+      val fs = tables.map { t =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = write(t)
+        })
+      }
+      fs.foreach { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause
+        }
+      }
+    } finally pool.shutdownNow()
+  }
+
   def commit(root: String, tables: Map[String, DataFrame],
              meta: Map[String, String] = Map.empty,
              dryRun: Boolean = false): Long = {
@@ -348,7 +381,7 @@ object VersionedTable {
     // writeManifest's final atomic move, so releasing is always safe
     // here; an orphan claim would block every future commit)
     try {
-      tables.foreach { case (name, df) =>
+      parallelTableWrites(tables.toSeq) { case (name, df) =>
         df.write.mode("overwrite").parquet(s"$root/v=$next/$name")
       }
       if (!dryRun) {
@@ -408,7 +441,7 @@ object VersionedTable {
     // claim released on any pre-publish failure incl. the manifest
     // write itself — see commit()
     try {
-      tables.foreach { case (name, (df, key)) =>
+      parallelTableWrites(tables.toSeq) { case (name, (df, key)) =>
         df.withColumn("__bucket", bucketExpr(key, nBuckets))
           .repartition(col("__bucket"))
           // (__bucket, key), NOT key alone: the dynamic-partition
@@ -613,7 +646,10 @@ object VersionedTable {
     // claim released on any pre-publish failure incl. the manifest
     // write itself — see commit()
     try {
-      val newBuckets = deltas.map { case (name, d) =>
+      // per-table changed-bucket rewrites are independent jobs —
+      // overlap them like commit()/commitBucketed() (guide §2.6); the
+      // manifest spec update below is pure driver arithmetic
+      parallelTableWrites(deltas.toSeq) { case (name, d) =>
         val spec = prev.buckets.getOrElse(name,
           throw new IllegalStateException(s"$name is not bucketed"))
         val changed = d.changedBuckets.distinct.sorted
@@ -640,6 +676,10 @@ object VersionedTable {
                 DefaultPageRowLimit.toString))
             .parquet(s"$root/v=$next/$name")
         }
+      }
+      val newBuckets = deltas.map { case (name, d) =>
+        val spec = prev.buckets(name)
+        val changed = d.changedBuckets.distinct.sorted
         val versions = spec.versions.zipWithIndex.map { case (v, b) =>
           if (changed.contains(b)) next else v
         }
