@@ -4719,13 +4719,19 @@ object LlmQueries {
           cacheKey = d, threshold = 0.5, ngram = 3)
         val sig = docs.select($"doc_id",
           TextFunctions.minhashSignature($"text", 16).as("sig"))
+        // positional match count as 16 unrolled element_at terms:
+        // HOF lambdas (aggregate/zip_with) run interpreted per element
+        // and this expression runs once per VERIFIED PAIR (978K rows
+        // at sf0.1) — the unrolled form whole-stage-codegens (r15 opt,
+        // guide §"expressions and codegen"); value-identical (same
+        // positional equality, same 0/1 sum)
+        val m = (1 to 16).map(i =>
+          when(element_at($"sa", i) === element_at($"sb", i), 1L)
+            .otherwise(0L)).reduce(_ + _)
         pairs
           .join(sig.select($"doc_id".as("a"), $"sig".as("sa")), Seq("a"))
           .join(sig.select($"doc_id".as("b"), $"sig".as("sb")), Seq("b"))
-          .select($"a", $"b", $"jaccard",
-            expr("aggregate(zip_with(sa, sb, (x, y) -> " +
-              "IF(x = y, 1L, 0L)), 0L, (acc, v) -> acc + v)")
-              .as("m"))
+          .select($"a", $"b", $"jaccard", m.as("m"))
           .select($"a", $"b", $"jaccard",
             round($"m".cast("double") / 16, 6).as("est"),
             round($"m".cast("double") / 16 - $"jaccard", 6)
