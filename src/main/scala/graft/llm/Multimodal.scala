@@ -100,6 +100,16 @@ object Multimodal {
     * `text[(3*i + c) mod len]` masked to a byte — so the expected
     * channel sums are computable from the TEXT alone, while the engine
     * must round-trip real PNG bytes to reproduce them. */
+  /** ImageIO's stream "cache" defaults to a TEMP FILE on disk per
+    * created image input/output stream — ImageIO.read/write and
+    * createImageInput/OutputStream each pay a file create+delete PER
+    * IMAGE (thumbnail-sized assets here, so the syscalls dwarf the
+    * pixel work; r15 opt, guide §1.2 per-task work). Heap-buffer the
+    * streams instead: JVM-wide, idempotent, called executor-side at
+    * the top of every codec mapPartitions closure. */
+  private def disableImageIoDiskCache(): Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   private def pixelByte(text: String, i: Int, c: Int): Int =
     text.charAt((3 * i + c) % text.length).toInt & 0xff
 
@@ -116,6 +126,7 @@ object Multimodal {
       .where(length(col("text")) > 0)
       .as[(Long, String)]
       .mapPartitions { it =>
+        disableImageIoDiskCache()
         it.map { case (id, text) =>
           // floorMod: a negative id must not yield zero/negative
           // dimensions (same hardening as videosFromText/wavFromText)
@@ -149,6 +160,7 @@ object Multimodal {
     images.select(col(idCol).cast("long"), col(bytesCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        disableImageIoDiskCache()
         it.map { case (id, bytes) =>
           val im = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(bytes))
@@ -185,6 +197,7 @@ object Multimodal {
     images.select(col(idCol).cast("long"), col(bytesCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        disableImageIoDiskCache()
         it.map { case (id, bytes) =>
           val im = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(bytes))
@@ -233,6 +246,7 @@ object Multimodal {
     images.select(col(idCol).cast("long"), col(bytesCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        disableImageIoDiskCache()
         it.map { case (id, bytes) =>
           val im = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(bytes))
@@ -289,6 +303,7 @@ object Multimodal {
       .where(length(col("text")) > 0)
       .as[(Long, String)]
       .mapPartitions { it =>
+        disableImageIoDiskCache()
         import javax.imageio._
         import java.awt.image.{BufferedImage, IndexColorModel}
         // one writer per partition (codec-init amortization)
@@ -348,6 +363,7 @@ object Multimodal {
     videos.select(col(idCol).cast("long"), col(bytesCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        disableImageIoDiskCache()
         import javax.imageio._
         val rd = ImageIO.getImageReadersByFormatName("gif").next()
         it.flatMap { case (id, bytes) =>
