@@ -147,7 +147,8 @@ object Ingest {
              readerOptions: Map[String, String] = Map.empty): Long =
     withRaws(spark, xmlPath, readerOptions) { (n, w, r) =>
       val np = if (numPartitions > 0) numPartitions
-               else adaptivePartitions(xmlPath)
+               else adaptivePartitions(xmlPath,
+                 fallback = spark.sparkContext.defaultParallelism)
       VersionedTable.commit(root,
         derive(n, w, r, np, sorted = true),
         importMeta(xmlPath, n, w, r), dryRun = dryRun)
@@ -167,13 +168,17 @@ object Ingest {
     * machine-independent only when `numPartitions` is passed (same
     * caveat as before — row CONTENT is deterministic either way). */
   private[osm] def adaptivePartitions(path: String,
-                                      bytesPerPartition: Long = 64L << 20)
+                                      bytesPerPartition: Long = 64L << 20,
+                                      fallback: Int = 1)
   : Int = {
     def sizeOf(f: java.io.File): Long =
       if (f.isFile) f.length()
       else Option(f.listFiles()).map(_.map(sizeOf).sum).getOrElse(0L)
     val bytes = sizeOf(new java.io.File(path))
-    math.max(1L, (bytes + bytesPerPartition - 1) / bytesPerPartition)
+    // a non-local path (or empty dir) measures 0 bytes — fall back to
+    // the caller's cluster-width default instead of a 1-partition sort
+    if (bytes <= 0L) math.max(1, fallback)
+    else math.max(1L, (bytes + bytesPerPartition - 1) / bytesPerPartition)
       .min(1 << 24).toInt
   }
 
