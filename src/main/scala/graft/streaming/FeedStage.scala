@@ -14,38 +14,13 @@ object FeedStage {
 
   /** Write `batches` into a fresh feed dir, one file per batch, in
     * order. An empty batch still yields a (zero-row) file, so batch
-    * indices and replay order are always exactly as given.
-    *
-    * The per-batch write JOBS are independent (each stages into its own
-    * dir with an identical single-task coalesce(1) plan), so they run
-    * from a small driver pool and overlap (optimization-guide §2.6) —
-    * staging a 5-batch feed was otherwise five strictly sequential
-    * near-idle jobs. File CONTENT and in-file row order are exactly the
-    * sequential version's; the mtime stamping that defines replay
-    * order stays a sequential post-pass. */
+    * indices and replay order are always exactly as given. */
   def stageBatches(batches: Seq[DataFrame]): String = {
     val feed = graft.TempDirs.create("graft-stream-feed")
     val base = new java.io.File(feed).lastModified()
-    val stages = batches.indices.map(_ =>
-      graft.TempDirs.create("graft-stream-stage"))
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(4, math.max(1, batches.size)))
-    try {
-      val fs = batches.zip(stages).map { case (b, stage) =>
-        pool.submit(new java.util.concurrent.Callable[Unit] {
-          def call(): Unit =
-            b.coalesce(1).write.mode("overwrite").parquet(stage)
-        })
-      }
-      fs.foreach { f =>
-        try f.get()
-        catch {
-          case e: java.util.concurrent.ExecutionException =>
-            throw e.getCause
-        }
-      }
-    } finally pool.shutdownNow()
-    stages.zipWithIndex.foreach { case (stage, k) =>
+    batches.zipWithIndex.foreach { case (b, k) =>
+      val stage = graft.TempDirs.create("graft-stream-stage")
+      b.coalesce(1).write.mode("overwrite").parquet(stage)
       // an empty batch still yields one (zero-row) part file, so a
       // missing part means the write itself went wrong — say so
       val part = new java.io.File(stage).listFiles()
