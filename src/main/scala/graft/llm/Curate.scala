@@ -119,13 +119,15 @@ object Curate {
                           textCol: String, idCol: String, ngram: Int)
   : DataFrame = {
     graft.functions.GraftFunctions.register(train.sparkSession)
-    val bs = bench.select(explode(
+    // widen: both shingle passes are per-doc kernel work — see
+    // ScanParallelism (single-file scans otherwise serialize them)
+    val bs = graft.ops.ScanParallelism.widen(bench).select(explode(
         TextFunctions.ngramShingleHashes(col(textCol), ngram)).as("h"))
       .distinct()
     // coalesce: a NULL-text row must score n_sh = 0 (size(null) is -1
     // under Spark's default sizeOfNull — an impossible shingle count
     // that would read as "clean" downstream)
-    val tr = train.withColumn("sh",
+    val tr = graft.ops.ScanParallelism.widen(train).withColumn("sh",
       coalesce(TextFunctions.ngramShingleHashes(col(textCol), ngram),
         array().cast("array<bigint>")))
     val shared = tr.select(col(idCol), explode(col("sh")).as("h"))
@@ -170,7 +172,9 @@ object Curate {
       .head().getAs[Array[Byte]](0)
     // coalesce: a NULL-text row must score n_sh = 0 (size(null) is -1
     // under Spark's default sizeOfNull — an impossible shingle count
-    // that would read as "clean" downstream)
+    // that would read as "clean" downstream). Not widened (r16 A/B:
+    // q108 0.95x — the bloom probe drops most rows map-side, so the
+    // extra exchange outweighs the kernel parallelism here)
     val tr = train.withColumn("sh",
       coalesce(TextFunctions.ngramShingleHashes(col(textCol), ngram),
         array().cast("array<bigint>")))

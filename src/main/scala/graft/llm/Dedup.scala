@@ -125,6 +125,9 @@ object Dedup {
     * Output: fingerprint, keep_id (min id), n_dups. */
   def exactGroups(docs: DataFrame, textCol: String, idCol: String)
   : DataFrame =
+    // NOT widened (r16 paired A/B: q45_curate_funnel 0.76x with the
+    // widen — the md5 fingerprint is cheap enough that the extra
+    // exchange costs more than the kernel parallelism buys)
     docs.select(col(idCol).as("doc_id"),
         TextFunctions.fingerprint(col(textCol)).as("fingerprint"))
       .groupBy("fingerprint")
@@ -157,7 +160,9 @@ object Dedup {
                             maxBucket: Int = DefaultMaxBucket): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val n = bands * rowsPerBand
-    val withBands = docs
+    // kernel-parallelism floor: the signature pass is the corpus-linear
+    // cost and must not run single-task on a single-file input
+    val withBands = graft.ops.ScanParallelism.widen(docs)
       // cast: the lsh_first_band_pairs kernel type-checks
       // STRUCT<BIGINT,...> and the staged artifact schema is BIGINT —
       // accept any numeric id like the rest of the dedup family
@@ -205,9 +210,12 @@ object Dedup {
   : DataFrame = {
     // hashed shingles: 8-byte sorted longs instead of string arrays —
     // ~10x less data copied per candidate probe, same jaccard values
-    // (md5-48bit hashing is deterministic and engine-identical)
-    val sh = docs.select(col(idCol).as("sid"),
-      TextFunctions.ngramShingleHashes(col(textCol), ngram).as("shingles"))
+    // (md5-48bit hashing is deterministic and engine-identical).
+    // widen: the shingle pass is per-doc kernel work — see
+    // ScanParallelism (single-file scans otherwise serialize it)
+    val sh = graft.ops.ScanParallelism.widen(docs)
+      .select(col(idCol).as("sid"),
+        TextFunctions.ngramShingleHashes(col(textCol), ngram).as("shingles"))
     // The candidate-pair side is the big one (quadratic in cluster size);
     // the per-doc shingle side is linear in corpus size. Broadcasting the
     // doc side keeps the pair stream map-side (no shuffle of pairs), but
@@ -388,8 +396,9 @@ object Dedup {
   /** Per-doc SimHash sketch. */
   def simhashSketch(docs: DataFrame, textCol: String, idCol: String)
   : DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-      TextFunctions.simhashBits(col(textCol)).as("simhash"))
+    graft.ops.ScanParallelism.widen(docs)
+      .select(col(idCol).as("doc_id"),
+        TextFunctions.simhashBits(col(textCol)).as("simhash"))
 
   /** SimHash near-dup candidate pairs — block-permutation (Manku)
     * banding, the DEFAULT since r12: 20 block-triple bands with ~2^32

@@ -3954,7 +3954,9 @@ object LlmQueries {
         // r8 verdict's top perf item — q154 was 20.1s re-running it)
         val pairs = Dedup.stagedCandidatePairs(docs, "text", "doc_id",
           cacheKey = d)
-        val sh = docs.select($"doc_id",
+        // widen: the shingle pass is per-doc kernel work (single-file
+        // scans otherwise serialize it — ScanParallelism, r16)
+        val sh = graft.ops.ScanParallelism.widen(docs).select($"doc_id",
           TextFunctions.ngramShingleHashes($"text", 3).as("sh"))
         // width-aware gate: hashed shingles materialize ~32x their
         // parquet-bytes estimate (Dedup.ShingleBytesAmplification).
@@ -4956,10 +4958,20 @@ object LlmQueries {
         // (word-level prefixes degenerate on this corpus's 31-word
         // vocab — every "rare" token still hits 1000s of docs and the
         // candidate join measured 66s; hashes make rarity real)
+        // persist (r16): the 4-gram shingle kernel fed FOUR subtrees
+        // (df-rank, rank-join, and both verify sides) — 4 serial
+        // single-task kernel passes (~8 s of the row's cost, JobProbe
+        // bench/r16). One pass, cached; MEMORY_AND_DISK spills rather
+        // than OOMs at corpus scale (production stages this artifact
+        // to disk, as the Dedup staged builders do). NOT widened:
+        // paired A/B measured widen 0.86x here — with the persist the
+        // kernel runs once, and the extra exchange costs more than one
+        // pass's parallelism buys.
         val sh = T(s, d, "documents")
           .select($"doc_id",
             TextFunctions.ngramShingleHashes($"text", 4).as("hs"))
           .where(size($"hs") > 0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val dfr = sh.select($"doc_id", explode($"hs").as("h"))
           .groupBy($"h").agg(count(lit(1)).as("df"))
         val ranked = sh.select($"doc_id", explode($"hs").as("h"))
@@ -5174,8 +5186,10 @@ object LlmQueries {
         import s.implicits._
         val B = 512
         val docs = T(s, d, "documents")
-        val toks = docs.select($"doc_id", $"source",
-          TextFunctions.tokens($"text").as("t"))
+        // widen: tokenize is the corpus-linear kernel here (r16)
+        val toks = graft.ops.ScanParallelism.widen(docs)
+          .select($"doc_id", $"source",
+            TextFunctions.tokens($"text").as("t"))
         // ONE scan, ONE explode: unigrams and bigrams concatenated per
         // row (the native ngram_join kernel — an interpreted
         // zip_with/slice formulation measured 4x the tokenize cost on

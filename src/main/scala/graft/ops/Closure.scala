@@ -72,25 +72,94 @@ object Closure {
       else Array.empty[org.apache.spark.sql.Row]
     if (takenE.length <= driverEdgeLimit &&
         takenS.length <= driverEdgeLimit) {
-      // reference-style driver closure (`src/extract.cpp:211-237`)
-      val adj = takenE
-        .groupBy(_.getLong(0))
-        .map { case (c, rows) => c -> rows.map(_.getLong(1)) }
+      // reference-style driver closure (`src/extract.cpp:211-237`),
+      // ALL-PRIMITIVE (r16, r15 advisor): the old branch grouped boxed
+      // Rows into a Map[Long, Array[Long]] and walked a LinkedHashSet —
+      // exactly the multi-million-row boxed pattern the old 500K cap
+      // existed to avoid, now that the shared cap admits 8M rows. Ids
+      // map to dense ints via one sorted long array + binary search
+      // (Components' r7 rework), edges into a CSR adjacency, and the
+      // BFS runs over int arrays + a boolean visited[]. Result SET is
+      // identical (ClosureSpec pins driver == distributed).
+      val n = takenE.length
+      val ec = new Array[Long](n); val ep = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        val r = takenE(i); ec(i) = r.getLong(0); ep(i) = r.getLong(1)
+        i += 1
+      }
       e.unpersist(blocking = false)
       val seedIds = takenS.map(_.getLong(0))
       seedsDf.unpersist(blocking = false)
-      val visited = scala.collection.mutable.LinkedHashSet[Long](
-        seedIds: _*)
-      var frontier: Seq[Long] = seedIds.toSeq
+      // dense id space: sorted distinct over children ∪ parents ∪ seeds
+      val all = new Array[Long](2 * n + seedIds.length)
+      System.arraycopy(ec, 0, all, 0, n)
+      System.arraycopy(ep, 0, all, n, n)
+      System.arraycopy(seedIds, 0, all, 2 * n, seedIds.length)
+      java.util.Arrays.sort(all)
+      var m = 0
+      i = 0
+      while (i < all.length) {
+        if (m == 0 || all(i) != all(m - 1)) { all(m) = all(i); m += 1 }
+        i += 1
+      }
+      val ids = java.util.Arrays.copyOf(all, m)
+      def dense(id: Long): Int = java.util.Arrays.binarySearch(ids, id)
+      // CSR adjacency: per-child degree, prefix-sum offsets, place
+      val deg = new Array[Int](m)
+      i = 0
+      while (i < n) { deg(dense(ec(i))) += 1; i += 1 }
+      val off = new Array[Int](m + 1)
+      i = 0
+      while (i < m) { off(i + 1) = off(i) + deg(i); i += 1 }
+      val adj = new Array[Int](n)
+      val fill = new Array[Int](m)
+      i = 0
+      while (i < n) {
+        val c = dense(ec(i))
+        adj(off(c) + fill(c)) = dense(ep(i))
+        fill(c) += 1
+        i += 1
+      }
+      val visited = new Array[Boolean](m)
+      var frontier = new Array[Int](m)
+      var next = new Array[Int](m)
+      var fLen = 0
+      i = 0
+      while (i < seedIds.length) {
+        val s0 = dense(seedIds(i))
+        if (!visited(s0)) {
+          visited(s0) = true; frontier(fLen) = s0; fLen += 1
+        }
+        i += 1
+      }
       var iter = 0
-      while (frontier.nonEmpty && iter < maxIters) {
-        frontier = frontier.flatMap(adj.getOrElse(_, Array.empty[Long]))
-          .distinct.filterNot(visited.contains)
-        visited ++= frontier
+      while (fLen > 0 && iter < maxIters) {
+        var nLen = 0
+        i = 0
+        while (i < fLen) {
+          val c = frontier(i)
+          var j = off(c)
+          val end = off(c + 1)
+          while (j < end) {
+            val p = adj(j)
+            if (!visited(p)) {
+              visited(p) = true; next(nLen) = p; nLen += 1
+            }
+            j += 1
+          }
+          i += 1
+        }
+        val tmp = frontier; frontier = next; next = tmp
+        fLen = nLen
         iter += 1
       }
+      val out = new Array[Long](m)
+      var k = 0
+      i = 0
+      while (i < m) { if (visited(i)) { out(k) = ids(i); k += 1 }; i += 1 }
       import spark.implicits._
-      return visited.toSeq.toDF("id")
+      return java.util.Arrays.copyOf(out, k).toSeq.toDF("id")
     }
     var visited = seedsDf.localCheckpoint(eager = true)
     seedsDf.unpersist(blocking = false) // checkpoint is materialized

@@ -176,10 +176,27 @@ object Ingest {
       else Option(f.listFiles()).map(_.map(sizeOf).sum).getOrElse(0L)
     val bytes = sizeOf(new java.io.File(path))
     // a non-local path (or empty dir) measures 0 bytes — fall back to
-    // the caller's cluster-width default instead of a 1-partition sort
+    // the caller's cluster-width default instead of a 1-partition sort.
+    // NOTE: only bare local paths are measurable this way; a file:/
+    // hdfs:/ s3a: URI also reads 0 and takes the fallback (documented
+    // r15 advisor).
     if (bytes <= 0L) math.max(1, fallback)
-    else math.max(1L, (bytes + bytesPerPartition - 1) / bytesPerPartition)
-      .min(1 << 24).toInt
+    else {
+      val target = (bytes + bytesPerPartition - 1) / bytesPerPartition
+      // parallelism floor (r16, verdict #2): the r15 floor of 1
+      // serialized each sub-64MB table's range-sample + sort + write
+      // onto one core. Floor at one partition per 16 MB of source,
+      // capped by cluster width (`fallback` = defaultParallelism from
+      // expand) — data-derived below the cap, never wider than the
+      // machine, and the §6 file-size band still holds (a 16 MB-source
+      // partition writes a several-MB parquet file at worst).
+      // SPARK_GRAFT_EXPAND_FLOOR=one restores the r15 floor (A/B lever).
+      val floor =
+        if (sys.env.get("SPARK_GRAFT_EXPAND_FLOOR").contains("one")) 1L
+        else math.min(fallback.toLong,
+          (bytes + (16L << 20) - 1) / (16L << 20))
+      math.max(target, math.max(1L, floor)).min(1 << 24).toInt
+    }
   }
 
   /** Expand into the BUCKETED copy-on-write layout — the store

@@ -342,26 +342,75 @@ object VersionedTable {
     * writes are interrupted; their partial output stays vacuum-
     * collectable under the unclaimed version, same as a sequential
     * failure's). */
-  private def parallelTableWrites[A](tables: Seq[A])
-                                    (write: A => Unit): Unit = {
-    if (tables.sizeIs <= 1) { tables.foreach(write); return }
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(4, tables.size))
+  /** Commit write-pool width. Parameterized (r16): `SPARK_GRAFT_COMMIT_POOL`
+    * overrides; `1` = strictly sequential writes (the pre-r15 shape,
+    * kept as the A/B lever the r15 verdict asked for). */
+  private def commitPoolSize: Int =
+    sys.env.get("SPARK_GRAFT_COMMIT_POOL").flatMap(_.toIntOption)
+      .filter(_ >= 1).getOrElse(4)
+
+  private def parallelTableWrites[A](
+      sc: => org.apache.spark.SparkContext, tables: Seq[A])
+      (write: A => Unit): Unit = {
+    val poolSize = math.min(commitPoolSize, tables.size)
+    if (tables.sizeIs <= 1 || poolSize <= 1) {
+      tables.foreach(write); return
+    }
+    // one cancellable job group per commit (r15 advisor): when a write
+    // fails, sibling pool threads' Spark jobs may still be mid-flight;
+    // the claim must not be released while their tasks can still land
+    // bytes under v=next (a concurrent committer could re-claim it and
+    // have its directory polluted). Cancel the group, then wait for
+    // the pool to drain, BEFORE the caller's catch releases the claim.
+    val context = sc
+    val group = s"graft-commit-${java.util.UUID.randomUUID()}"
+    val pool =
+      java.util.concurrent.Executors.newFixedThreadPool(poolSize)
     try {
       val fs = tables.map { t =>
         pool.submit(new java.util.concurrent.Callable[Unit] {
-          def call(): Unit = write(t)
+          def call(): Unit = {
+            // thread-local: every job this write submits joins the
+            // commit's cancellable group
+            context.setJobGroup(group, "graft commit table write",
+              interruptOnCancel = true)
+            write(t)
+          }
         })
       }
-      fs.foreach { f =>
+      try fs.foreach { f =>
         try f.get()
         catch {
           case e: java.util.concurrent.ExecutionException =>
             throw e.getCause
         }
+      } catch { case e: Throwable =>
+        try context.cancelJobGroup(group)
+        catch { case _: Throwable => () }
+        throw e
       }
-    } finally pool.shutdownNow()
+    } finally {
+      pool.shutdownNow()
+      // bounded drain: cancelled writes must actually stop before the
+      // claim release that follows a failure
+      pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+      ()
+    }
   }
+
+  /** r16: bucketed commit writes repartition to EXACTLY the layout's
+    * bucket granularity instead of the session shuffle width. The
+    * column-only repartition let AQE coalesce the tiny-bucket shuffle
+    * to its 64 MB advisory — the q197/q50 base commits measured as 4
+    * tasks carrying ~10 s of sort+encode CPU while 28 cores idled
+    * (bench/r16 JobProbe); at planet scale the same rule keeps write
+    * width tracking the store's declared bucket count, not whatever
+    * machine runs the commit. `SPARK_GRAFT_VT_WIDTH=session` restores
+    * the old shape (dev A/B lever). */
+  private def bucketRepartition(df: DataFrame, width: Int): DataFrame =
+    if (sys.env.get("SPARK_GRAFT_VT_WIDTH").contains("session"))
+      df.repartition(col("__bucket"))
+    else df.repartition(math.max(1, width), col("__bucket"))
 
   def commit(root: String, tables: Map[String, DataFrame],
              meta: Map[String, String] = Map.empty,
@@ -381,8 +430,10 @@ object VersionedTable {
     // writeManifest's final atomic move, so releasing is always safe
     // here; an orphan claim would block every future commit)
     try {
-      parallelTableWrites(tables.toSeq) { case (name, df) =>
-        df.write.mode("overwrite").parquet(s"$root/v=$next/$name")
+      parallelTableWrites(
+        tables.head._2.sparkSession.sparkContext, tables.toSeq) {
+        case (name, df) =>
+          df.write.mode("overwrite").parquet(s"$root/v=$next/$name")
       }
       if (!dryRun) {
         val prevM = prev.getOrElse(Manifest(0L, Nil, Map.empty))
@@ -441,9 +492,11 @@ object VersionedTable {
     // claim released on any pre-publish failure incl. the manifest
     // write itself — see commit()
     try {
-      parallelTableWrites(tables.toSeq) { case (name, (df, key)) =>
-        df.withColumn("__bucket", bucketExpr(key, nBuckets))
-          .repartition(col("__bucket"))
+      parallelTableWrites(
+        tables.head._2._1.sparkSession.sparkContext, tables.toSeq) {
+        case (name, (df, key)) =>
+        bucketRepartition(
+          df.withColumn("__bucket", bucketExpr(key, nBuckets)), nBuckets)
           // (__bucket, key), NOT key alone: the dynamic-partition
           // writer REQUIRES its output ordered by the partition
           // column, and an ordering that doesn't lead with __bucket
@@ -646,22 +699,32 @@ object VersionedTable {
     // claim released on any pre-publish failure incl. the manifest
     // write itself — see commit()
     try {
+      // resolve (spec, changed buckets) ONCE per table and reuse for
+      // both the write pass and the manifest update below — computing
+      // them twice was correct only because changedBuckets is an eager
+      // Seq, and a future lazy/effectful implementation would silently
+      // diverge the written buckets from the manifest (r15 advisor)
+      val resolved = deltas.toSeq.map { case (name, d) =>
+        val spec = prev.buckets.getOrElse(name,
+          throw new IllegalStateException(s"$name is not bucketed"))
+        (name, spec, d.changedBuckets.distinct.sorted, d.transform)
+      }
       // per-table changed-bucket rewrites are independent jobs —
       // overlap them like commit()/commitBucketed() (guide §2.6); the
       // manifest spec update below is pure driver arithmetic
-      parallelTableWrites(deltas.toSeq) { case (name, d) =>
-        val spec = prev.buckets.getOrElse(name,
-          throw new IllegalStateException(s"$name is not bucketed"))
-        val changed = d.changedBuckets.distinct.sorted
+      parallelTableWrites(spark.sparkContext, resolved) {
+        case (name, spec, changed, transform) =>
         if (changed.nonEmpty) {
           val old = readBuckets(spark, root, name, changed, Some(prev))
           // guard: keep only rows that truly hash into the changed set,
           // so a buggy transform cannot leak rows into linked buckets
           val bucketCol = bucketExpr(spec.key, spec.nBuckets)
-          d.transform(old)
-            .withColumn("__bucket", bucketCol)
-            .where(col("__bucket").isin(changed.map(Integer.valueOf): _*))
-            .repartition(col("__bucket"))
+          bucketRepartition(
+            transform(old)
+              .withColumn("__bucket", bucketCol)
+              .where(col("__bucket")
+                .isin(changed.map(Integer.valueOf): _*)),
+            changed.size)
             // (__bucket, key) — see commitBucketed: leading with the
             // partition column keeps the writer from inserting its own
             // unstable sort that would scramble per-bucket key order
@@ -677,14 +740,12 @@ object VersionedTable {
             .parquet(s"$root/v=$next/$name")
         }
       }
-      val newBuckets = deltas.map { case (name, d) =>
-        val spec = prev.buckets(name)
-        val changed = d.changedBuckets.distinct.sorted
+      val newBuckets = resolved.map { case (name, spec, changed, _) =>
         val versions = spec.versions.zipWithIndex.map { case (v, b) =>
           if (changed.contains(b)) next else v
         }
         name -> spec.copy(versions = versions)
-      }
+      }.toMap
       if (!dryRun)
         writeManifest(root, prev.copy(version = next,
           meta = prev.meta ++ meta,

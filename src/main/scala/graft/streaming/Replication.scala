@@ -187,13 +187,30 @@ object Replication {
     // meta timestamp, then visible=false first (at a dead tie the
     // delete is the terminal state), then a content hash so the winner
     // is arbitrary-but-deterministic, never partition-order-dependent.
+    // last-resort content tiebreaker (malformed diffs only — the real
+    // ordering is (seqnum, version, timestamp, visible) above, and a
+    // well-formed batch never reaches the hash). r16: hash the columns
+    // directly instead of xxhash64(to_json(struct(*))) — JSON text
+    // construction ran per input row and is pure per-task CPU; the
+    // direct hash is codegen'd. Maps are not hashable in Spark, so
+    // tags hashes via its sorted entry array — still a deterministic
+    // function of the row's CONTENT, which is all the contract asks
+    // (the winner is arbitrary-but-deterministic either way).
+    // SPARK_GRAFT_CHANGE_HASH=json restores the old form (A/B lever).
+    val contentHash =
+      if (sys.env.get("SPARK_GRAFT_CHANGE_HASH").contains("json"))
+        xxhash64(to_json(struct(col("*"))))
+      else xxhash64(batch.columns.map {
+        case "tags" => sort_array(map_entries(col("tags")))
+        case c => col(c)
+      }: _*)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("etype"), col("id"))
       .orderBy(col("seqnum").desc,
         coalesce(col("version"), col("meta.version"), lit(0)).desc,
         coalesce(col("meta.timestamp"), lit(0L)).desc,
         col("visible").asc_nulls_last,
-        xxhash64(to_json(struct(col("*")))).desc)
+        contentHash.desc)
     val changes = batch
       .withColumn("_rk", row_number().over(w))
       .where(col("_rk") === 1).drop("_rk")
@@ -207,20 +224,32 @@ object Replication {
       val relIds = relCh.select(col("id")).distinct()
 
       val deltas = scala.collection.mutable.Map[String, Delta]()
-      def byId(table: String, keys: DataFrame,
+      // every bucketsOf is a driver ACTION — per-batch action count is
+      // the version store's fixed cost. Tables keyed the same way over
+      // the same id set share ONE job (locations+nodes both bucket the
+      // node ids by "id"; parentsOf re-asks for the ways/relations
+      // sets byId already computed). keysTag identifies WHICH id set,
+      // since all element tables share the key column name (r16).
+      val bucketJobs =
+        scala.collection.mutable.Map[(Int, String, Int), Seq[Int]]()
+      def bucketsOfCached(keysTag: Int, keys: DataFrame, key: String,
+                          nBuckets: Int): Seq[Int] =
+        bucketJobs.getOrElseUpdate((keysTag, key, nBuckets),
+          VersionedTable.bucketsOf(keys, key, nBuckets))
+      def byId(table: String, keysTag: Int, keys: DataFrame,
                transform: DataFrame => DataFrame): Unit =
         bk.get(table).foreach { spec =>
           deltas += table -> Delta(
-            VersionedTable.bucketsOf(keys, spec.key, spec.nBuckets),
+            bucketsOfCached(keysTag, keys, spec.key, spec.nBuckets),
             transform)
         }
 
       // U1 — coordinate store + tagged-node blobs
-      byId("locations", nodeIds, Changeset.delta.locations(nodeCh))
-      byId("nodes", nodeIds, Changeset.delta.nodeBlobs(nodeCh))
+      byId("locations", 0, nodeIds, Changeset.delta.locations(nodeCh))
+      byId("nodes", 0, nodeIds, Changeset.delta.nodeBlobs(nodeCh))
       // U2a / U3a — way and relation element tables
-      byId("ways", wayIds, Changeset.delta.ways(wayCh))
-      byId("relations", relIds, Changeset.delta.relations(relCh))
+      byId("ways", 1, wayIds, Changeset.delta.ways(wayCh))
+      byId("relations", 2, relIds, Changeset.delta.relations(relCh))
 
       // U2b/U3b — reverse adjacency. The buckets to rewrite are the
       // ones holding the changed parents' OLD member rows plus the NEW
@@ -228,11 +257,11 @@ object Replication {
       // own element rows (read partition-pruned from the pinned
       // version — O(changes), the reference's per-way reverse lookup
       // at `update.cpp:78-126`).
-      def parentsOf(elemTable: String, elemIds: DataFrame)
+      def parentsOf(elemTable: String, keysTag: Int, elemIds: DataFrame)
       : Option[DataFrame] =
         bk.get(elemTable).map { elemSpec =>
-          val parentBuckets = VersionedTable.bucketsOf(
-            elemIds, elemSpec.key, elemSpec.nBuckets)
+          val parentBuckets = bucketsOfCached(keysTag, elemIds,
+            elemSpec.key, elemSpec.nBuckets)
           VersionedTable.readBuckets(spark, root, elemTable,
             parentBuckets, Some(prev)).join(elemIds, Seq("id"))
         }
@@ -248,7 +277,7 @@ object Replication {
             transform)
         }
 
-      adjDelta("node_way", parentsOf("ways", wayIds),
+      adjDelta("node_way", parentsOf("ways", 1, wayIds),
         old => old.select(explode(col("nodes")).as("member_id")),
         wayCh.where(col("visible"))
           .select(explode(col("nodes")).as("member_id")),
@@ -261,7 +290,7 @@ object Replication {
       // member types: read the pruned buckets ONCE and cache across
       // the three adjacency deltas (the bucketsOf actions inside
       // adjDelta materialize eagerly, so the unpersist below is safe)
-      val relParents = parentsOf("relations", relIds).map(
+      val relParents = parentsOf("relations", 2, relIds).map(
         _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       for (mtype <- Seq("node", "way", "relation"))
         adjDelta(s"${mtype}_relation", relParents,

@@ -38,8 +38,7 @@ object JobProbe {
     val stageToJob = new ConcurrentHashMap[Int, Int]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
-        val site = Option(e.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short")))
+        val site = e.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n'))
           .getOrElse("?")
         jobs.put(e.jobId, Job(e.time, site))
         e.stageIds.foreach(s => stageToJob.put(s, e.jobId))
@@ -74,6 +73,7 @@ object JobProbe {
       catch { case _: Throwable => () }
     }
 
+    jobs.clear() // warmup/staging jobs are outside the timed region
     val t0 = System.nanoTime()
     graft.SparkEntry.queries(name)(spark, sfDir)
       .write.format("noop").mode("overwrite").save()

@@ -51,4 +51,23 @@ class ClosureSpec extends AnyFunSuite {
     val out = reach((1L to 10L).toList, Seq((1L, 99L)), 10L)
     assert(out == (1L to 10L).toSet + 99L)
   }
+
+  test("primitive driver BFS agrees with the distributed loop on " +
+    "random multigraphs") {
+    // pins the r16 CSR rewrite: duplicate edges, self-loops, fan-in,
+    // seeds absent from the edge list, sparse 64-bit ids
+    val rnd = new scala.util.Random(1316)
+    for (trial <- 1 to 5) {
+      val nodes = (1 to 40).map(_ => rnd.nextLong().abs % 100000L + 1L)
+      val edges = (1 to 120).map { _ =>
+        (nodes(rnd.nextInt(nodes.size)), nodes(rnd.nextInt(nodes.size)))
+      }
+      val seeds = (1 to 5).map(_ => nodes(rnd.nextInt(nodes.size))) ++
+        Seq(999999999L) // seed with no edges at all
+      val driver = reach(seeds, edges, 1000000L)
+      val dist = reach(seeds, edges, 0L)
+      assert(driver == dist, s"trial=$trial")
+      assert(seeds.toSet.subsetOf(driver), s"trial=$trial seeds kept")
+    }
+  }
 }

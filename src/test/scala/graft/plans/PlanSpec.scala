@@ -345,13 +345,19 @@ class PlanSpec extends AnyFunSuite {
   test("bucket truncation is a projection, not an extra exchange") {
     // the maxBucket cap (slice after the bucket agg) must not add a
     // shuffle or a window: the candidate pipeline keeps exactly ONE
-    // exchange (the band groupBy) regardless of cap value
+    // HASH exchange (the band groupBy) regardless of cap value. (The
+    // r16 ScanParallelism kernel-parallelism floor may add ONE
+    // round-robin exchange BELOW the signature kernel on narrow
+    // single-file inputs — that is scan widening, not a cap cost, and
+    // it must never be hash-partitioned.)
     val docs = graft.Queries.T(spark, SF, "documents")
     val pairs = graft.llm.Dedup.minhashCandidatePairs(
       docs, "text", "doc_id", maxBucket = 3)
     val plan = pairs.queryExecution.executedPlan.toString
-    assert("Exchange".r.findAllIn(plan).size == 1,
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
       s"truncated candidate pairs must keep the single band shuffle:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size <= 2,
+      s"at most the band shuffle plus the scan-widening round robin:\n$plan")
     assert(!plan.contains("Window"),
       s"the cap is a slice(), not a windowed rank:\n$plan")
   }
