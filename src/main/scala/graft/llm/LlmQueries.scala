@@ -4967,11 +4967,16 @@ object LlmQueries {
         // paired A/B measured widen 0.86x here — with the persist the
         // kernel runs once, and the extra exchange costs more than one
         // pass's parallelism buys.
-        val sh = T(s, d, "documents")
+        val sh0 = T(s, d, "documents")
           .select($"doc_id",
             TextFunctions.ngramShingleHashes($"text", 4).as("hs"))
           .where(size($"hs") > 0)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // SPARK_GRAFT_Q193_PERSIST=0 restores the recompute-per-subtree
+        // shape (dev A/B lever)
+        val sh =
+          if (sys.env.get("SPARK_GRAFT_Q193_PERSIST").contains("0")) sh0
+          else sh0.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val dfr = sh.select($"doc_id", explode($"hs").as("h"))
           .groupBy($"h").agg(count(lit(1)).as("df"))
         val ranked = sh.select($"doc_id", explode($"hs").as("h"))
